@@ -1,0 +1,103 @@
+"""Perceptual hashing: 64-bit DCT average hash + phash→embedding featurizer.
+
+The phash embedding replaces the reference's autoencoder latent vectors
+(/root/reference/ml/utils/autoencoder.py:235-245) as the MMD drift feature
+(BASELINE.json north_star: "MMD over phash-derived embeddings"). Unpacking
+``phash:int64`` into a 64-dim ±1 float32 vector is pure bit-twiddling and
+stateless, so it runs as a vectorized ``map_batches`` expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_DCT_N = 32
+
+
+def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize via bin means (deterministic, no interpolation lib)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+    csum[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    s = (
+        csum[np.ix_(ys[1:], xs[1:])]
+        - csum[np.ix_(ys[:-1], xs[1:])]
+        - csum[np.ix_(ys[1:], xs[:-1])]
+        + csum[np.ix_(ys[:-1], xs[:-1])]
+    )
+    return s / np.maximum(area, 1)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a uint8 image (grayscale or RGB)."""
+    if img.ndim == 3:
+        img = img.astype(np.float64).mean(axis=2)
+    small = _resize_area(img, _DCT_N, _DCT_N)
+    coeffs = _DCT @ small @ _DCT.T
+    block = coeffs[:8, :8].copy()
+    flat = block.ravel()
+    med = np.median(np.concatenate([flat[1:8], block[1:].ravel()]))  # exclude DC
+    bits = (flat > med).astype(np.uint64)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out.view(np.int64))
+
+
+def phash_to_embedding(phash: np.ndarray) -> np.ndarray:
+    """(n,) int64 phash column → (n, 64) float32 ±1 matrix, L2-normalized.
+
+    Vectorized: unpack bits via right-shifts against a broadcast bit index.
+    """
+    h = np.asarray(phash, dtype=np.int64).view(np.uint64)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float32)
+    emb = bits * 2.0 - 1.0
+    return emb / np.float32(8.0)  # ||±1 vector of dim 64|| = 8
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return popcount64(
+        np.asarray(a, dtype=np.int64).view(np.uint64)
+        ^ np.asarray(b, dtype=np.int64).view(np.uint64)
+    )
+
+
+def phash_bands(phash: np.ndarray, n_bands: int = 4) -> np.ndarray:
+    """(n, n_bands) int64 band keys (16-bit slices for n_bands=4).
+
+    Near-dup banding: two images within Hamming distance d collide in at least
+    one band when d < n_bands (pigeonhole) — the LSH-style grouping key for the
+    near-duplicate constraint (SURVEY.md §2.7 item 4).
+    """
+    h = np.asarray(phash, dtype=np.int64).view(np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    cols = [
+        (((h >> np.uint64(b * width)) & mask).astype(np.int64) | (np.int64(b) << np.int64(58)))
+        for b in range(n_bands)
+    ]
+    return np.stack(cols, axis=1)
