@@ -1,0 +1,70 @@
+"""Fit job: freeze the reference window state (SURVEY.md §3.1 → engine mapping).
+
+``read(reference partitions) → map_batches(FeaturizeAndSketch) →
+groupby-merge partials → median-heuristic σ → save reference_state/``.
+
+The reference analogue: encode the detector split and ``detector.fit(X_ref)``
+(/root/reference/ml/training.py:423-460).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..sources.fragmented import TableManifest, read_images
+from ..stages.featurize import FeaturizeAndSketch
+from ..state.partials import PartialState
+from ..state.reference import ReferenceState
+from .config import EngineConfig
+
+
+def merge_partials_table(batch: pa.Table, cfg: EngineConfig) -> PartialState:
+    merged: PartialState | None = None
+    for blob in batch["state"]:
+        ps = PartialState.from_bytes(blob.as_py())
+        if merged is None:
+            merged = ps
+        else:
+            merged.merge(ps, cfg.ref_sample_cap)
+    if merged is None:
+        merged = PartialState(cfg.marginals, cfg.fmt_categories)
+    return merged
+
+
+def fit(manifest_dir: str, out_state_dir: str, cfg: EngineConfig | None = None,
+        reference_kinds: tuple[str, ...] = ("reference",)) -> ReferenceState:
+    cfg = cfg or EngineConfig()
+    manifest = TableManifest.load(manifest_dir)
+    ref_pids = {
+        pid for pid, meta in manifest.partitions.items() if meta.get("kind") in reference_kinds
+    }
+    if not ref_pids:
+        raise ValueError(f"no partitions of kind {reference_kinds} in manifest")
+    skip = set(manifest.partition_ids()) - ref_pids
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = read_images(manifest, skip_partitions=skip)
+    reduced = ds.map_batches(
+        FeaturizeAndSketch,
+        fn_constructor_args=(cfg, None),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+        concurrency=cfg.featurize_concurrency or max(2, ncpu - 2),
+    )
+    partials = reduced.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "partial")).select(
+            ["partition_id", "state", "n_rows"]
+        ),
+        batch_format="pyarrow",
+    )
+    # small: one row per (block × partition); merge on the driver
+    merged = merge_partials_table(pa.Table.from_pylist(partials.take_all()), cfg)
+    ref = ReferenceState.fit(
+        merged,
+        meta={"reference_partitions": sorted(ref_pids), "source": manifest_dir,
+              "seed": cfg.seed},
+    )
+    ref.save(out_state_dir)
+    return ref

@@ -1,0 +1,250 @@
+"""The main validation DAG (SURVEY.md §3.2):
+
+    read(images) [fragment-partitioned, finished partitions filtered out]
+      → map_batches(FeaturizeAndSketch)          [actor pool; bytes never shuffle]
+      → split: violations | per-block partials
+      → groupby(partition_id) merge partials     [shuffle #1 — tiny: sketch rows]
+      → map_batches(DriftTestActor)              [actor pool holding ref state]
+      ‖ pruned re-read → uniqueness groupby      [shuffle #2 — id/count rows]
+      ‖ pruned re-read → phash band groupby      [shuffle #3 — band rows]
+      → per-partition commit (verdicts + violations + column_stats + lineage)
+
+Verdict/violation/stat volumes are orders of magnitude below the input, so the
+final assembly collects them driver-side and writes resumable per-partition
+parquet through ``CheckpointStore``; at 10^12-row scale the same tables stream
+through ``write_parquet(partition_cols=...)`` instead — the layout is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..sources.fragmented import TableManifest, read_images
+from ..stages.constraints import VIOLATION_SCHEMA, check_neardup, check_uniqueness
+from ..stages.drift import TS_FORMAT, VERDICT_SCHEMA, DriftTestActor
+from ..stages.featurize import FeaturizeAndSketch
+from ..state.checkpoint import CheckpointStore
+from ..state.partials import PartialState
+from .config import EngineConfig
+from .fit import merge_partials_table
+
+CONSTRAINT_CHECKS = ("unique_image_id", "neardup_phash")
+
+COLUMN_STATS_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("column", pa.string()),
+        ("count", pa.int64()),
+        ("null_count", pa.int64()),
+        ("min", pa.float64()),
+        ("max", pa.float64()),
+        ("mean", pa.float64()),
+        ("std", pa.float64()),
+        ("p50", pa.float64()),
+        ("p95", pa.float64()),
+        ("distinct_est", pa.float64()),
+    ]
+)
+
+
+def _column_stats_rows(pid: int, ps: PartialState) -> list[dict]:
+    rows = []
+    for col, st in ps.stats.items():
+        q = ps.digests[col].quantile([0.5, 0.95])
+        rows.append({
+            "partition_id": pid, "column": col, "count": st.count,
+            "null_count": st.nulls,
+            "min": st.minv if st.count else float("nan"),
+            "max": st.maxv if st.count else float("nan"),
+            "mean": st.mean, "std": st.std,
+            "p50": float(q[0]), "p95": float(q[1]),
+            "distinct_est": float("nan"),
+        })
+    rows.append({
+        "partition_id": pid, "column": "image_id", "count": ps.n_rows, "null_count": 0,
+        "min": float("nan"), "max": float("nan"), "mean": float("nan"),
+        "std": float("nan"), "p50": float("nan"), "p95": float("nan"),
+        "distinct_est": ps.id_hll.estimate(),
+    })
+    rows.append({
+        "partition_id": pid, "column": "phash", "count": ps.n_rows, "null_count": 0,
+        "min": float("nan"), "max": float("nan"), "mean": float("nan"),
+        "std": float("nan"), "p50": float("nan"), "p95": float("nan"),
+        "distinct_est": ps.phash_hll.estimate(),
+    })
+    return rows
+
+
+def validate(
+    manifest_dir: str,
+    ref_state_dir: str,
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run the full validation pass; returns a summary dict."""
+    import ray
+
+    cfg = cfg or EngineConfig()
+    t0 = time.time()
+    manifest = TableManifest.load(manifest_dir)
+    store = CheckpointStore(out_dir)
+    finished = store.finished_partitions() if resume else set()
+    todo = [p for p in manifest.partition_ids() if p not in finished]
+    summary = {
+        "partitions_total": len(manifest.partition_ids()),
+        "partitions_skipped": len(finished),
+        "partitions_processed": len(todo),
+        "rows_processed": 0,
+    }
+    if not todo:
+        summary["wall_s"] = time.time() - t0
+        return summary
+    rows_todo = sum(f.rows for f in manifest.fragments if f.partition_id not in finished)
+    summary["rows_processed"] = rows_todo
+
+    # broadcast the referential universe once (SURVEY.md §2.5)
+    broadcast = None
+    manifest_ids_path = os.path.join(manifest_dir, "truth", "manifest_ids.parquet")
+    if os.path.exists(manifest_ids_path):
+        from ..functions.hashing import hash64
+
+        ids = pq.read_table(manifest_ids_path)["image_id"].to_numpy(zero_copy_only=False)
+        # hash + sort once on the driver; ship the sorted uint64 probe array
+        broadcast = {"ref": ray.put(np.sort(hash64(ids.astype(object))))}
+
+    # ---- pass 1: bytes-heavy featurize + sketch partials ----
+    # actor pool must leave CPU slots for the read stage, or the pipeline
+    # deadlocks (pool reserves every CPU and ReadParquet never schedules)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = cfg.featurize_concurrency or max(2, ncpu - 2)
+    ds = read_images(manifest, skip_partitions=finished)
+    reduced = ds.map_batches(
+        FeaturizeAndSketch,
+        fn_constructor_args=(cfg, broadcast),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    ).materialize()  # tiny: per-block partial rows + violation rows only
+
+    domain_viol = reduced.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "violation")).select(
+            ["partition_id", "image_id", "check", "column", "observed", "expected"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    partials = reduced.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "partial")).select(
+            ["partition_id", "state", "n_rows"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def merge_group(batch: pa.Table) -> pa.Table:
+        pid = int(batch["partition_id"][0].as_py())
+        merged = merge_partials_table(batch, cfg)
+        return pa.table({
+            "partition_id": pa.array([pid], pa.int32()),
+            "state": pa.array([merged.to_bytes()], pa.binary()),
+            "n_rows": pa.array([merged.n_rows], pa.int64()),
+        })
+
+    per_part = partials.groupby("partition_id").map_groups(merge_group, batch_format="pyarrow")
+
+    # ---- drift verdicts: stateful actor pool vs frozen reference ----
+    verdicts_ds = per_part.map_batches(
+        DriftTestActor,
+        fn_constructor_args=(cfg, ref_state_dir),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=min(cfg.drift_concurrency, max(1, ncpu - 2)),
+    )
+
+    # ---- global constraint shuffles over a column-pruned re-read ----
+    ids_ds = read_images(manifest, columns=["image_id", "phash", "partition_id"])
+    uniq_viol = check_uniqueness(ids_ds)
+    ids_ds2 = read_images(manifest, columns=["image_id", "phash", "partition_id"])
+    neardup_viol = check_neardup(ids_ds2, cfg)
+
+    # ---- driver-side assembly (all small relative to input) ----
+    verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)
+    viol_tables = []
+    for vds in (domain_viol, uniq_viol, neardup_viol):
+        rows = vds.take_all()
+        if rows:
+            viol_tables.append(pa.Table.from_pylist(rows, schema=VIOLATION_SCHEMA))
+    violations = (
+        pa.concat_tables(viol_tables) if viol_tables else VIOLATION_SCHEMA.empty_table()
+    )
+    # byte-stable ordering (SURVEY.md §7 "hard parts")
+    violations = violations.sort_by(
+        [("partition_id", "ascending"), ("check", "ascending"), ("image_id", "ascending")]
+    )
+
+    # constraint verdict rows (per partition × constraint check)
+    ts = cfg.freeze_time or time.strftime("%d/%m/%Y %H:%M:%S.000000", time.gmtime())
+    assert TS_FORMAT  # format documented in stages.drift
+    c_rows = []
+    vp = violations["partition_id"].to_numpy(zero_copy_only=False)
+    vc = violations["check"].to_numpy(zero_copy_only=False)
+    for pid in todo:
+        for check in CONSTRAINT_CHECKS:
+            n_bad = int(((vp == pid) & (vc == check)).sum())
+            c_rows.append({
+                "partition_id": pid, "check": check, "column": "image_id" if "unique" in check else "phash",
+                "statistic": float(n_bad), "p_value": float("nan"), "alpha": cfg.alpha,
+                "passed": n_bad == 0, "n_ref": 0, "n_test": 0, "datetime": ts,
+            })
+        n_domain = int(
+            ((vp == pid) & ~np.isin(vc, CONSTRAINT_CHECKS)).sum()
+        )
+        c_rows.append({
+            "partition_id": pid, "check": "schema_domain", "column": "*",
+            "statistic": float(n_domain), "p_value": float("nan"), "alpha": cfg.alpha,
+            "passed": n_domain == 0, "n_ref": 0, "n_test": 0, "datetime": ts,
+        })
+    verdicts = pa.concat_tables(
+        [verdicts, pa.Table.from_pylist(c_rows, schema=VERDICT_SCHEMA)]
+    ).sort_by([("partition_id", "ascending"), ("check", "ascending"), ("column", "ascending")])
+
+    # ---- per-partition commit with lineage ----
+    states = {int(r["partition_id"]): r["state"] for r in per_part.take_all()}
+    wall = time.time() - t0
+    for pid in todo:
+        ps = PartialState.from_bytes(states[pid]) if pid in states else None
+        col_stats = pa.Table.from_pylist(
+            _column_stats_rows(pid, ps) if ps else [], schema=COLUMN_STATS_SCHEMA
+        )
+        vmask = pc.equal(verdicts["partition_id"], pid)
+        violm = violations.filter(pc.equal(violations["partition_id"], pid))
+        store.commit_partition(
+            partition_id=pid,
+            fragment_ids=manifest.fragments_of(pid),
+            verdicts=verdicts.filter(vmask),
+            violations=violm,
+            column_stats=col_stats,
+            stats_blob=states.get(pid, b""),
+            wall_s=wall / max(len(todo), 1),
+        )
+
+    summary.update({
+        "wall_s": wall,
+        "rows_per_s": rows_todo / wall if wall > 0 else float("nan"),
+        "verdicts": verdicts.num_rows,
+        "violations": violations.num_rows,
+        "drift_flagged": int(
+            pc.sum(
+                pc.and_(pc.invert(verdicts["passed"]),
+                        pc.is_in(verdicts["check"], value_set=pa.array(["ks", "chi2", "mmd"])))
+            ).as_py() or 0
+        ),
+    })
+    return summary

@@ -1,0 +1,123 @@
+"""Lance-style fragment-addressable table layout (parquet fallback in-sandbox).
+
+A dataset directory holds numbered fragment files plus a JSON manifest:
+
+    images/
+      frag-00000.parquet ... frag-NNNNN.parquet
+      manifest.json   {"fragments": [{"id", "file", "rows", "partition_id"}, ...],
+                       "partitions": {"0": {"kind": "reference"}, ...}}
+
+``lance`` is not importable in-sandbox (SURVEY.md §7), so reads go through
+``ray.data.read_parquet`` over the manifest's fragment file list; when the
+``lance`` package is present the same manifest maps onto Lance fragment ids and
+``ray.data.read_lance`` — lineage records carry ``fragment_ids`` either way, so
+swapping storage is mechanical. Every fragment file carries ``partition_id``
+and ``fragment_id`` columns so partition identity survives block splitting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST = "manifest.json"
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("fragment_id", pa.int64()),
+        ("partition_id", pa.int32()),
+    ]
+)
+
+
+@dataclass
+class FragmentInfo:
+    id: int
+    file: str
+    rows: int
+    partition_id: int
+
+
+@dataclass
+class TableManifest:
+    root: str
+    fragments: list[FragmentInfo] = field(default_factory=list)
+    partitions: dict[int, dict] = field(default_factory=dict)
+
+    def fragment_paths(self, partition_ids: set[int] | None = None) -> list[str]:
+        return [
+            os.path.join(self.root, f.file)
+            for f in self.fragments
+            if partition_ids is None or f.partition_id in partition_ids
+        ]
+
+    def partition_ids(self) -> list[int]:
+        return sorted({f.partition_id for f in self.fragments})
+
+    def fragments_of(self, partition_id: int) -> list[int]:
+        return [f.id for f in self.fragments if f.partition_id == partition_id]
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.rows for f in self.fragments)
+
+    def save(self) -> None:
+        payload = {
+            "fragments": [
+                {"id": f.id, "file": f.file, "rows": f.rows, "partition_id": f.partition_id}
+                for f in self.fragments
+            ],
+            "partitions": {str(k): v for k, v in self.partitions.items()},
+        }
+        tmp = os.path.join(self.root, MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, os.path.join(self.root, MANIFEST))
+
+    @classmethod
+    def load(cls, root: str) -> "TableManifest":
+        with open(os.path.join(root, MANIFEST)) as fh:
+            payload = json.load(fh)
+        return cls(
+            root=root,
+            fragments=[FragmentInfo(**f) for f in payload["fragments"]],
+            partitions={int(k): v for k, v in payload["partitions"].items()},
+        )
+
+
+def write_fragment(root: str, fragment_id: int, partition_id: int, table: pa.Table) -> FragmentInfo:
+    fname = f"frag-{fragment_id:05d}.parquet"
+    pq.write_table(table, os.path.join(root, fname), compression="zstd")
+    return FragmentInfo(id=fragment_id, file=fname, rows=table.num_rows, partition_id=partition_id)
+
+
+def read_images(
+    manifest: TableManifest,
+    columns: list[str] | None = None,
+    skip_partitions: set[int] | None = None,
+):
+    """Ray Dataset over the table's fragments, with column pruning at the read.
+
+    ``skip_partitions`` implements resume: finished partitions never leave disk
+    (the driver filters the fragment list before the read — SURVEY.md §4).
+    """
+    import ray.data
+
+    keep = None
+    if skip_partitions:
+        keep = {p for p in manifest.partition_ids() if p not in skip_partitions}
+    paths = manifest.fragment_paths(keep)
+    if not paths:
+        return ray.data.from_arrow(IMAGES_SCHEMA.empty_table())
+    return ray.data.read_parquet(paths, columns=columns)

@@ -1,0 +1,232 @@
+"""Single-pass featurize + schema-check + sketch-partial stage.
+
+The one stage that touches the heavy ``bytes`` column. Per Arrow batch it
+computes, vectorized:
+
+  * schema/domain violations (non-null id/bytes, fmt domain, w/h > 0, caption
+    non-null — the engine analogue of the reference's pydantic decode-validation
+    at /root/reference/dimensionality_reduction_api/app/schemas/dr.py:15-30),
+  * header-decoded dims vs the ``w``/``h`` columns (cheap header parse, no inflate),
+  * sampled full decode → pixel-intensity marginal (catches brightness/contrast
+    jitter drift, which phash is invariant to by design),
+  * referential probe of ``image_id`` against a broadcast manifest (anti-join
+    without a shuffle — SURVEY.md §2.5),
+  * per-block ``PartialState`` sketch partials + a deterministic MMD embedding
+    sample (smallest hash64(image_id) keys — invariant to block boundaries).
+
+Output is a union-schema table of 'violation' and 'partial' rows — a few KB per
+block — so the raw bytes never enter a shuffle (SURVEY.md §7 "wide binary rows").
+
+Row-level sampling uses hash64(image_id, seed) thresholds, never block-local
+randomness, so results are identical at any parallelism level and under resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.codec import decode_image, image_dims
+from ..functions.hashing import hash64
+from ..functions.phash import phash_to_embedding
+from ..pipelines.config import EngineConfig
+from ..state.partials import PartialState
+
+OUT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),          # 'violation' | 'partial'
+        ("partition_id", pa.int32()),
+        ("image_id", pa.string()),
+        ("check", pa.string()),
+        ("column", pa.string()),
+        ("observed", pa.string()),
+        ("expected", pa.string()),
+        ("state", pa.binary()),
+        ("n_rows", pa.int64()),
+    ]
+)
+
+
+class FeaturizeAndSketch:
+    """Callable-class stage: runs as an actor pool so the broadcast manifest-id
+    set is fetched once per worker (``ray.put`` → ``ray.get`` in ``__init__``),
+    mirroring the reference's singleton-per-process model cache
+    (/root/reference/detector_api/app/utils.py:4-14)."""
+
+    def __init__(self, cfg: EngineConfig, manifest_broadcast: dict | None = None):
+        self.cfg = cfg
+        self.fmt_list = list(cfg.fmt_categories)
+        self.fmt_index = {f: i for i, f in enumerate(cfg.fmt_categories)}
+        self.dims_thresh = np.uint64(min(cfg.sample_threshold(cfg.dims_check_fraction), 2**64 - 1))
+        self.decode_thresh = np.uint64(min(cfg.sample_threshold(cfg.decode_fraction), 2**64 - 1))
+        self.manifest_hashes: np.ndarray | None = None
+        if manifest_broadcast is not None:
+            # The ObjectRef is wrapped in a dict so Ray does NOT resolve it at
+            # actor creation (unwrapped ctor refs deadlock actor pools — ray
+            # issue #53727); ray.get here runs once per actor = broadcast.
+            import ray
+
+            self.manifest_hashes = ray.get(manifest_broadcast["ref"])
+
+    def _probe_manifest(self, id_hashes: np.ndarray) -> np.ndarray:
+        """True where the id IS in the manifest. Sorted-array probe in-sandbox;
+        at 10^12-id scale swap in a Bloom filter (same broadcast shape)."""
+        pos = np.searchsorted(self.manifest_hashes, id_hashes)
+        pos = np.minimum(pos, self.manifest_hashes.size - 1)
+        return self.manifest_hashes[pos] == id_hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        if n == 0:
+            return OUT_SCHEMA.empty_table()
+
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fmt = batch["fmt"].to_numpy(zero_copy_only=False)
+        phash = batch["phash"].to_numpy(zero_copy_only=False)
+        part_ids = batch["partition_id"].to_numpy(zero_copy_only=False)
+        captions = batch["caption"].to_numpy(zero_copy_only=False)
+        caption_null = pc.is_null(batch["caption"]).to_numpy(zero_copy_only=False)
+        caption_len = np.where(
+            caption_null, np.nan,
+            pc.utf8_length(pc.fill_null(batch["caption"], "")).to_numpy(zero_copy_only=False),
+        ).astype(np.float64)
+        bytes_len = pc.binary_length(pc.fill_null(batch["bytes"], b"")).to_numpy(zero_copy_only=False)
+        bytes_null = pc.is_null(batch["bytes"]).to_numpy(zero_copy_only=False)
+        id_null = pc.is_null(batch["image_id"]).to_numpy(zero_copy_only=False)
+        id_hash = hash64(np.where(id_null, "", ids).astype(object))
+
+        v_id: list = []
+        v_part: list = []
+        v_check: list = []
+        v_col: list = []
+        v_obs: list = []
+        v_exp: list = []
+
+        def add_mask(mask: np.ndarray, check: str, column: str, observed, expected: str):
+            for i in np.nonzero(mask)[0]:
+                add_one(int(i), check, column,
+                        observed(int(i)) if callable(observed) else observed, expected)
+
+        def add_one(i: int, check: str, column: str, observed: str, expected: str):
+            v_id.append(None if id_null[i] else str(ids[i]))
+            v_part.append(int(part_ids[i]))
+            v_check.append(check)
+            v_col.append(column)
+            v_obs.append(str(observed))
+            v_exp.append(expected)
+
+        # --- vectorized domain checks ---
+        add_mask(id_null, "image_id_nonnull", "image_id", "null", "non-null")
+        empty_bytes = bytes_null | (bytes_len == 0)
+        add_mask(empty_bytes, "bytes_nonempty", "bytes", "empty", "len>0")
+        fmt_known = np.isin(fmt, self.fmt_list)
+        add_mask(~fmt_known, "fmt_in_domain", "fmt",
+                 lambda i: str(fmt[i]), "|".join(cfg.fmt_categories))
+        add_mask(w <= 0, "w_positive", "w", lambda i: str(int(w[i])), ">0")
+        add_mask(h <= 0, "h_positive", "h", lambda i: str(int(h[i])), ">0")
+        add_mask(caption_null, "caption_nonnull", "caption", "null", "non-null")
+        if self.manifest_hashes is not None:
+            present = self._probe_manifest(id_hash)
+            add_mask(~present & ~id_null, "referential_image_id", "image_id",
+                     lambda i: str(ids[i]), "in manifest")
+
+        # --- sampled per-image checks (codecs are inherently per-image) ---
+        decodable = ~empty_bytes & fmt_known
+        dims_rows = np.nonzero(decodable & (id_hash < self.dims_thresh))[0]
+        decode_rows = np.nonzero(decodable & (id_hash < self.decode_thresh))[0]
+        bytes_col = batch["bytes"]
+
+        for i in dims_rows:
+            i = int(i)
+            try:
+                dw, dh, _ = image_dims(bytes_col[i].as_py(), str(fmt[i]))
+            except Exception as exc:  # struct.error / zlib.error / ValueError
+                add_one(i, "decodable", "bytes", type(exc).__name__, "decodable header")
+                continue
+            if dw != int(w[i]) or dh != int(h[i]):
+                add_one(i, "dims_match_decoded", "w,h",
+                        f"{dw}x{dh}", f"{int(w[i])}x{int(h[i])}")
+
+        pm_part: list[int] = []
+        pm_val: list[float] = []
+        ps_val: list[float] = []
+        for i in decode_rows:
+            i = int(i)
+            try:
+                img = decode_image(bytes_col[i].as_py(), str(fmt[i]))
+            except Exception as exc:
+                add_one(i, "decode_ok", "bytes", type(exc).__name__, "decodable")
+                continue
+            pix = np.asarray(img, dtype=np.float64)
+            pm_part.append(int(part_ids[i]))
+            pm_val.append(float(pix.mean()))
+            ps_val.append(float(pix.std()))
+        pm_part_arr = np.asarray(pm_part, dtype=np.int64)
+        pm_val_arr = np.asarray(pm_val, dtype=np.float64)
+        ps_val_arr = np.asarray(ps_val, dtype=np.float64)
+
+        # --- per-partition sketch partials ---
+        partials: list[tuple[int, PartialState]] = []
+        for pid in np.unique(part_ids):
+            sel = part_ids == pid
+            ps = PartialState(cfg.marginals, cfg.fmt_categories)
+            ps.n_rows = int(sel.sum())
+            ps.update_numeric("w", w[sel])
+            ps.update_numeric("h", h[sel])
+            ps.update_numeric("caption_len", caption_len[sel],
+                              n_null=int(caption_null[sel].sum()))
+            if pm_val_arr.size:
+                in_pid = pm_part_arr == pid
+                ps.update_numeric("pixel_mean", pm_val_arr[in_pid])
+                ps.update_numeric("pixel_std", ps_val_arr[in_pid])
+            else:
+                ps.update_numeric("pixel_mean", np.empty(0))
+                ps.update_numeric("pixel_std", np.empty(0))
+            fidx = np.array(
+                [self.fmt_index.get(f, len(cfg.fmt_categories)) for f in fmt[sel]],
+                dtype=np.int64,
+            )
+            np.add.at(ps.fmt_counts, fidx, 1)
+            ps.id_hll.update_hashes(id_hash[sel])
+            ps.phash_hll.update(phash[sel])
+            ps.caption_cms.update(np.where(caption_null[sel], "", captions[sel]).astype(object))
+            keys = id_hash[sel]
+            order = np.argsort(keys, kind="stable")[: cfg.mmd_sample_cap]
+            ps.add_sample(keys[order], phash_to_embedding(phash[sel][order]),
+                          cfg.mmd_sample_cap)
+            partials.append((int(pid), ps))
+
+        # --- assemble union-schema output ---
+        tables = []
+        nv = len(v_id)
+        if nv:
+            tables.append(pa.table({
+                "kind": pa.array(["violation"] * nv),
+                "partition_id": pa.array(v_part, pa.int32()),
+                "image_id": pa.array(v_id, pa.string()),
+                "check": pa.array(v_check, pa.string()),
+                "column": pa.array(v_col, pa.string()),
+                "observed": pa.array(v_obs, pa.string()),
+                "expected": pa.array(v_exp, pa.string()),
+                "state": pa.array([None] * nv, pa.binary()),
+                "n_rows": pa.array([0] * nv, pa.int64()),
+            }, schema=OUT_SCHEMA))
+        if partials:
+            tables.append(pa.table({
+                "kind": pa.array(["partial"] * len(partials)),
+                "partition_id": pa.array([p for p, _ in partials], pa.int32()),
+                "image_id": pa.array([None] * len(partials), pa.string()),
+                "check": pa.array([None] * len(partials), pa.string()),
+                "column": pa.array([None] * len(partials), pa.string()),
+                "observed": pa.array([None] * len(partials), pa.string()),
+                "expected": pa.array([None] * len(partials), pa.string()),
+                "state": pa.array([ps.to_bytes() for _, ps in partials], pa.binary()),
+                "n_rows": pa.array([ps.n_rows for _, ps in partials], pa.int64()),
+            }, schema=OUT_SCHEMA))
+        if not tables:
+            return OUT_SCHEMA.empty_table()
+        return pa.concat_tables(tables)

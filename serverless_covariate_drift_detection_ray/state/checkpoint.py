@@ -1,0 +1,99 @@
+"""Per-partition lineage checkpointing — what makes a killed run resumable.
+
+Layout under the run's output directory:
+
+    out/
+      verdicts/partition_id=N/verdicts.parquet
+      violations/partition_id=N/violations.parquet
+      column_stats/partition_id=N/column_stats.parquet
+      lineage/N.json        # written LAST, atomically (tmp+rename)
+
+A partition is "finished" iff its lineage JSON exists; on resume the driver
+lists finished partitions and filters their fragments out of the read
+(SURVEY.md §4 "Checkpoint / resume"). Data files are written before the lineage
+marker, so a crash mid-partition leaves no marker and the partition reruns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import __version__
+
+LINEAGE_DIR = "lineage"
+
+
+class CheckpointStore:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
+
+    def finished_partitions(self) -> set[int]:
+        d = os.path.join(self.out_dir, LINEAGE_DIR)
+        out = set()
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                try:
+                    out.add(int(name[:-5]))
+                except ValueError:
+                    continue
+        return out
+
+    def _write_part(self, sub: str, partition_id: int, table: pa.Table, fname: str) -> None:
+        d = os.path.join(self.out_dir, sub, f"partition_id={partition_id}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, fname + ".tmp")
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, fname))
+
+    def commit_partition(
+        self,
+        partition_id: int,
+        fragment_ids: list[int],
+        verdicts: pa.Table,
+        violations: pa.Table,
+        column_stats: pa.Table,
+        stats_blob: bytes,
+        wall_s: float,
+    ) -> None:
+        self._write_part("verdicts", partition_id, verdicts, "verdicts.parquet")
+        self._write_part("violations", partition_id, violations, "violations.parquet")
+        self._write_part("column_stats", partition_id, column_stats, "column_stats.parquet")
+        blob_dir = os.path.join(self.out_dir, "stats_blobs")
+        os.makedirs(blob_dir, exist_ok=True)
+        btmp = os.path.join(blob_dir, f"{partition_id}.bin.tmp")
+        with open(btmp, "wb") as fh:
+            fh.write(stats_blob)
+        os.replace(btmp, os.path.join(blob_dir, f"{partition_id}.bin"))
+        lineage = {
+            "partition_id": partition_id,
+            "fragment_ids": fragment_ids,
+            "status": "done",
+            "verdict_count": verdicts.num_rows,
+            "violation_count": violations.num_rows,
+            "wall_s": round(wall_s, 3),
+            "engine_version": __version__,
+            "completed_at": time.time(),
+        }
+        tmp = os.path.join(self.out_dir, LINEAGE_DIR, f"{partition_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(lineage, fh, indent=1)
+        os.replace(tmp, os.path.join(self.out_dir, LINEAGE_DIR, f"{partition_id}.json"))
+
+    def read_all(self, sub: str) -> pa.Table | None:
+        """Concatenate all committed per-partition tables of one kind."""
+        root = os.path.join(self.out_dir, sub)
+        if not os.path.isdir(root):
+            return None
+        tables = []
+        for part in sorted(os.listdir(root)):
+            d = os.path.join(root, part)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(d, f)))
+        return pa.concat_tables(tables) if tables else None

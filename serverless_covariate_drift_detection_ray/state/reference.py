@@ -1,0 +1,55 @@
+"""Frozen reference-window state — the engine's fitted detector artifact.
+
+The reference pipeline freezes a reference sample at fit time
+(``detector.fit(X=X_ref)``, /root/reference/ml/training.py:131-148) and every
+compare is a two-sample test against it
+(/root/reference/detector_api/app/detector.py:58-61). Here the frozen state is
+the merged ``PartialState`` of the designated reference partitions plus the
+median-heuristic RBF bandwidth σ (/root/reference/ml/training.py:123-129),
+persisted as plain bytes + JSON (no pickle — SURVEY.md §2.1 S5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..functions.stats import median_heuristic_sigma
+from .partials import PartialState
+
+STATE_FILE = "reference_state.bin"
+META_FILE = "reference_meta.json"
+
+
+class ReferenceState:
+    def __init__(self, state: PartialState, sigma: float, meta: dict | None = None):
+        self.state = state
+        self.sigma = float(sigma)
+        self.meta = meta or {}
+
+    @classmethod
+    def fit(cls, merged: PartialState, meta: dict | None = None) -> "ReferenceState":
+        sigma = median_heuristic_sigma(merged.sample_embs)
+        return cls(merged, sigma, meta)
+
+    def save(self, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = os.path.join(out_dir, STATE_FILE + ".tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(self.state.to_bytes())
+        os.replace(tmp, os.path.join(out_dir, STATE_FILE))
+        meta = dict(self.meta)
+        meta.update({"sigma": self.sigma, "n_rows": self.state.n_rows,
+                     "n_sample": int(self.state.sample_embs.shape[0])})
+        tmpm = os.path.join(out_dir, META_FILE + ".tmp")
+        with open(tmpm, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmpm, os.path.join(out_dir, META_FILE))
+
+    @classmethod
+    def load(cls, in_dir: str) -> "ReferenceState":
+        with open(os.path.join(in_dir, STATE_FILE), "rb") as fh:
+            state = PartialState.from_bytes(fh.read())
+        with open(os.path.join(in_dir, META_FILE)) as fh:
+            meta = json.load(fh)
+        return cls(state, meta["sigma"], meta)

@@ -1,0 +1,175 @@
+"""End-to-end: fixture → fit → validate → verdicts/violations/lineage.
+
+Mirrors the reference's replication harness shape (ml/testing.py: one reference
+window, a fan of corrupted variants, per-variant verdicts) — SURVEY.md §5.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
+from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+from serverless_covariate_drift_detection_ray.pipelines.fit import fit
+from serverless_covariate_drift_detection_ray.pipelines.validate import validate
+from serverless_covariate_drift_detection_ray.sources.fragmented import TableManifest
+
+ALPHA = 0.01
+
+
+@pytest.fixture(scope="module")
+def run(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("e2e")
+    fix = ensure_fixture("tiny")
+    cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000")
+    ref_dir = str(base / "refstate")
+    out_dir = str(base / "out")
+    fit(fix, ref_dir, cfg)
+    summary = validate(fix, ref_dir, out_dir, cfg)
+    manifest = TableManifest.load(fix)
+    kinds = {pid: meta["kind"] for pid, meta in manifest.partitions.items()}
+    verdicts = pd.concat([
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(out_dir, "verdicts", "*", "*.parquet")))
+    ])
+    violations = pd.concat([
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(out_dir, "violations", "*", "*.parquet")))
+    ])
+    truth = pq.read_table(os.path.join(fix, "truth", "violations.parquet")).to_pandas()
+    return dict(fix=fix, cfg=cfg, ref_dir=ref_dir, out_dir=out_dir, summary=summary,
+                kinds=kinds, verdicts=verdicts, violations=violations, truth=truth)
+
+
+def _drift_checks(run, pid):
+    v = run["verdicts"]
+    return v[(v.partition_id == pid) & v.check.isin(["ks", "chi2", "mmd"])]
+
+
+class TestDriftVerdicts:
+    def test_reference_and_clean_partitions_pass(self, run):
+        for pid, kind in run["kinds"].items():
+            if kind in ("reference", "clean"):
+                d = _drift_checks(run, pid)
+                assert (d.p_value > ALPHA).all(), (pid, kind, d)
+
+    def test_each_drift_kind_flagged_on_its_marginal(self, run):
+        expect = {
+            "drift-blur-2.0": ("ks", "pixel_std"),
+            "drift-jitter-1.2": ("ks", "pixel_mean"),
+            "drift-dims": ("ks", "w"),
+            "drift-fmt": ("chi2", "fmt"),
+            "drift-caption": ("ks", "caption_len"),
+            "drift-struct": ("mmd", "phash_embedding"),
+        }
+        for pid, kind in run["kinds"].items():
+            if kind in expect:
+                check, col = expect[kind]
+                d = _drift_checks(run, pid)
+                row = d[(d.check == check) & (d.column == col)].iloc[0]
+                assert row.p_value <= ALPHA, (kind, row.p_value)
+                assert not row.passed
+
+    def test_verdict_schema_matches_reference_contract(self, run):
+        # alpha / distance(statistic) / p_value / is_drift(passed) / datetime —
+        # cf. reference detector_api/app/detector.py:62-70
+        cols = set(run["verdicts"].columns)
+        assert {"partition_id", "check", "column", "statistic", "p_value",
+                "alpha", "passed", "n_ref", "n_test", "datetime"} <= cols
+        assert (run["verdicts"]["datetime"] == run["cfg"].freeze_time).all()
+
+
+class TestViolations:
+    def test_seeded_defects_all_caught(self, run):
+        got = set(zip(run["violations"].image_id, run["violations"].check))
+        for _, t in run["truth"].iterrows():
+            assert (t.image_id, t.check) in got, (t.image_id, t.check)
+
+    def test_no_spurious_violations_on_clean_partitions(self, run):
+        viol_parts = {pid for pid, kind in run["kinds"].items()
+                      if kind in ("reference", "clean")}
+        extra = run["violations"][run["violations"].partition_id.isin(viol_parts)]
+        assert len(extra) == 0, extra
+
+    def test_violation_count_matches_truth(self, run):
+        # every engine violation on the violations partition must be seeded
+        assert len(run["violations"]) == len(run["truth"])
+
+    def test_byte_stable_ordering(self, run):
+        v = run["violations"].reset_index(drop=True)
+        expected = v.sort_values(
+            ["partition_id", "check", "image_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(v, expected)
+
+
+class TestColumnStats:
+    def test_counts_match_partition_sizes(self, run):
+        manifest = TableManifest.load(run["fix"])
+        stats = pd.concat([
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(run["out_dir"], "column_stats", "*", "*.parquet"))
+        ])
+        sizes = {}
+        for f in manifest.fragments:
+            sizes[f.partition_id] = sizes.get(f.partition_id, 0) + f.rows
+        for pid, n in sizes.items():
+            wrow = stats[(stats.partition_id == pid) & (stats.column == "w")].iloc[0]
+            assert wrow["count"] == n
+            idrow = stats[(stats.partition_id == pid) & (stats.column == "image_id")].iloc[0]
+            assert abs(idrow.distinct_est - n) / n < 0.15
+
+    def test_caption_len_stats_sane(self, run):
+        stats = pd.concat([
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(os.path.join(run["out_dir"], "column_stats", "*", "*.parquet"))
+        ])
+        cl = stats[stats.column == "caption_len"]
+        assert (cl["min"] >= 0).all()
+        assert (cl["max"] <= 300).all()
+        assert cl["p50"].between(5, 120).all()
+
+
+class TestResume:
+    def test_noop_resume(self, run):
+        s = validate(run["fix"], run["ref_dir"], run["out_dir"], run["cfg"])
+        assert s["partitions_processed"] == 0
+        assert s["partitions_skipped"] == run["summary"]["partitions_total"]
+
+    def test_partial_resume_recomputes_only_missing(self, run):
+        out_dir = run["out_dir"]
+        pid = 3
+        before = pq.read_table(
+            glob.glob(os.path.join(out_dir, "verdicts", f"partition_id={pid}", "*.parquet"))[0]
+        ).to_pandas()
+        os.remove(os.path.join(out_dir, "lineage", f"{pid}.json"))
+        s = validate(run["fix"], run["ref_dir"], out_dir, run["cfg"])
+        assert s["partitions_processed"] == 1
+        after = pq.read_table(
+            glob.glob(os.path.join(out_dir, "verdicts", f"partition_id={pid}", "*.parquet"))[0]
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            before.sort_values(["check", "column"]).reset_index(drop=True),
+            after.sort_values(["check", "column"]).reset_index(drop=True),
+        )
+
+
+class TestRepartitionInvariance:
+    def test_drift_statistics_invariant_to_batch_size(self, run, tmp_path_factory):
+        base = tmp_path_factory.mktemp("inv")
+        cfg2 = EngineConfig(freeze_time=run["cfg"].freeze_time, batch_size=64)
+        out2 = str(base / "out2")
+        validate(run["fix"], run["ref_dir"], out2, cfg2)
+        v2 = pd.concat([
+            pq.read_table(f).to_pandas()
+            for f in sorted(glob.glob(os.path.join(out2, "verdicts", "*", "*.parquet")))
+        ])
+        key = ["partition_id", "check", "column"]
+        a = run["verdicts"][run["verdicts"].check.isin(["ks", "chi2", "mmd"])]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = v2[v2.check.isin(["ks", "chi2", "mmd"])].sort_values(key).reset_index(drop=True)
+        assert np.allclose(a.statistic.to_numpy(), b.statistic.to_numpy(), atol=1e-12)
+        assert np.allclose(a.p_value.to_numpy(), b.p_value.to_numpy(), atol=1e-12)
