@@ -1,0 +1,636 @@
+"""Driver-facing query suite over the testdata tables (TESTDATA.md).
+
+Each function maps one engine capability from SURVEY.md §2 onto the generic
+TPC-H-ish tables so the driver can verify it against a DuckDB oracle
+(``__ray_entry__.oracle_sql``). The implementations are Ray-Data-first: column
+pruning at the read, vectorized Arrow/numpy batch kernels, partial aggregation
+before shuffles, broadcast small-side joins, hash-partitioned large joins.
+
+Float determinism: every float that reaches the driver's value-hash is rounded
+with ``floor(x * 10^d + 0.5) / 10^d`` — the same IEEE ops the oracle SQL uses
+(``FLOOR(x * 10^d + 0.5) / 10^d``) — so Ray and DuckDB produce bit-identical
+values despite different summation orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.stats import chi2_test_counts, ks_2samp
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(x, d: int):
+    """floor(x*10^d + 0.5)/10^d — matches the oracle's FLOOR-based rounding."""
+    s = 10.0**d
+    return np.floor(np.asarray(x, dtype=np.float64) * s + 0.5) / s
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for col, d in spec.items():
+        df[col] = _round(df[col].to_numpy(), d)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Aggregation with partial pre-aggregation (SURVEY.md §2.3 / guide "Aggregation
+# at scale"): per-batch combine inside map_batches, then a tiny groupby.
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: the canonical partial-aggregate groupby."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df.l_extendedprice * (1.0 - df.l_discount)
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    df = out.to_pandas()
+    df["avg_qty"] = df.sum_qty / df.count_order
+    df["avg_price"] = df.sum_base_price / df.count_order
+    df = _round_cols(df, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+                          "avg_qty": 4, "avg_price": 4})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  FLOOR(SUM(l_quantity)*100+0.5)/100 AS sum_qty,
+  FLOOR(SUM(l_extendedprice)*100+0.5)/100 AS sum_base_price,
+  FLOOR(SUM(l_extendedprice*(1-l_discount))*100+0.5)/100 AS sum_disc_price,
+  COUNT(*) AS count_order,
+  FLOOR(SUM(l_quantity)/COUNT(*)*10000+0.5)/10000 AS avg_qty,
+  FLOOR(SUM(l_extendedprice)/COUNT(*)*10000+0.5)/10000 AS avg_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-level map + filter + projection (SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+
+def filter_project_revenue(sf_dir: str):
+    """Vectorized predicate + computed column, row-level output."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate", "l_discount",
+                "l_extendedprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1995-07-01", "us"))),
+            pc.greater(batch["l_discount"], 0.05),
+        )
+        t = batch.filter(mask)
+        rev = _round(
+            t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()), 2
+        )
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": pa.array(rev, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+  FLOOR(l_extendedprice*(1-l_discount)*100+0.5)/100 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-07-01' AND l_discount > 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast (small-side) join — SURVEY.md §2.5
+# ---------------------------------------------------------------------------
+
+
+class _NationRevenue:
+    """Actor-pool stage: the customer→nation dimension map is ray.put once and
+    fetched once per actor in ``__init__`` (wrapped ref — never resolved at
+    actor creation)."""
+
+    def __init__(self, wrapped):
+        import ray
+
+        self.cust_to_nation: pd.DataFrame = ray.get(wrapped["ref"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        j = df.merge(self.cust_to_nation, left_on="o_custkey", right_index=True, how="inner")
+        g = j.groupby("n_name", sort=False).agg(
+            total_price=("o_totalprice", "sum"), n_orders=("o_orderkey", "size")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def join_broadcast_nation_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].set_index("c_custkey")
+    wrapped = {"ref": ray.put(dim)}
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    partials = ds.map_batches(
+        _NationRevenue, fn_constructor_args=(wrapped,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=2,
+    )
+    out = partials.groupby("n_name").aggregate(
+        Sum("total_price", alias_name="total_price"), Sum("n_orders", alias_name="n_orders")
+    )
+    df = _round_cols(out.to_pandas(), {"total_price": 2})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+JOIN_BROADCAST_SQL = """
+SELECT n_name,
+  FLOOR(SUM(o_totalprice)*100+0.5)/100 AS total_price,
+  COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Large-large join: Ray's hash-partitioned Dataset.join
+# ---------------------------------------------------------------------------
+
+
+def join_large_priority_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
+        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": pa.array(r)})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"),
+    )
+    df = out.to_pandas()
+    # n_items via a second cheap aggregate on the same joined stream would
+    # re-execute the join; count rides along as sum of ones instead
+    df = _round_cols(df, {"revenue": 2})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+JOIN_LARGE_SQL = """
+SELECT o_orderpriority,
+  FLOOR(SUM(l_extendedprice*(1-l_discount))*100+0.5)/100 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / distinct — SURVEY.md §2.6
+# ---------------------------------------------------------------------------
+
+
+def topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    df = _round_cols(out.to_pandas(), {"o_totalprice": 2})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+TOPK_SQL = """
+SELECT o_orderkey, FLOOR(o_totalprice*100+0.5)/100 AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_flag_status(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n")
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def heavy_hitter_users(sf_dir: str):
+    """Exact top-5 heavy hitters (the CMS sketch is the at-scale screen —
+    tested against this exact answer in unit tests)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    out = counts.sort(["n", "user_id"], descending=[True, False]).limit(5)
+    return out
+
+
+HEAVY_HITTERS_SQL = """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed / stream-shaped aggregates over the events log
+# ---------------------------------------------------------------------------
+
+
+def window_tumbling_events(sf_dir: str):
+    """Tumbling 1-hour event-time windows via groupby on truncated ts."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({
+            "hour": hour, "event_type": batch["event_type"], "value": batch["value"],
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["hour", "event_type"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    df = _round_cols(out.to_pandas(), {"sum_value": 2})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+  FLOOR(SUM(value)*100+0.5)/100 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Session windows (gap-based) per user: groupby(user).map_groups over the
+    ts-sorted group — the Ray Data shape for stream-style windows (ray guide
+    "Streaming-shaped workloads"). Ordering assumption: within one user the
+    group is sorted by (ts, event_id) before sessionizing."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    gap = np.timedelta64(gap_minutes * 60 * 1000 * 1000, "us")
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df.ts.to_numpy()
+        new_session = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        return pd.DataFrame({
+            "user_id": [int(df.user_id.iloc[0])],
+            "n_sessions": [int(new_session.sum())],
+            "n_events": [len(df)],
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def running_sum_events(sf_dir: str):
+    """Per-user running sum ordered by (ts, event_id) — cumulative window."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        out = pd.DataFrame({
+            "event_id": df.event_id.to_numpy(),
+            "user_id": df.user_id.to_numpy(),
+            "run_sum": _round(df.value.cumsum().to_numpy(), 2),
+        })
+        return out
+
+    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+
+
+RUNNING_SUM_SQL = """
+SELECT event_id, user_id,
+  FLOOR(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)*100+0.5)/100 AS run_sum
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Validation-engine checks expressed over the generic tables
+# ---------------------------------------------------------------------------
+
+
+def column_stats_lineitem(sf_dir: str):
+    """Per-column exact stats via mergeable partials (NumericStats shape)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            v = batch[c].to_numpy()
+            rows.append({
+                "col_name": c, "cnt": int(v.size),
+                "nulls": int(batch[c].null_count),
+                "vmin": float(np.min(v)), "vmax": float(np.max(v)),
+                "vsum": float(np.sum(v)),
+            })
+        return pa.Table.from_pylist(rows)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "col_name"
+    ).aggregate(
+        Sum("cnt", alias_name="count"), Sum("nulls", alias_name="null_count"),
+        Min("vmin", alias_name="min"), Max("vmax", alias_name="max"),
+        Sum("vsum", alias_name="vsum"),
+    )
+    df = agg.to_pandas()
+    df["mean"] = df.vsum / df["count"]
+    df = df.drop(columns=["vsum"])
+    df = _round_cols(df, {"min": 4, "max": 4, "mean": 4})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+COLUMN_STATS_SQL = """
+SELECT col_name, count, null_count,
+  FLOOR(vmin*10000+0.5)/10000 AS min, FLOOR(vmax*10000+0.5)/10000 AS max,
+  FLOOR(vsum/count*10000+0.5)/10000 AS mean
+FROM (
+  SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS count,
+         COUNT(*)-COUNT(l_quantity) AS null_count, MIN(l_quantity) AS vmin,
+         MAX(l_quantity) AS vmax, SUM(l_quantity) AS vsum FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(l_extendedprice), COUNT(*)-COUNT(l_extendedprice),
+         MIN(l_extendedprice), MAX(l_extendedprice), SUM(l_extendedprice) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(l_discount), COUNT(*)-COUNT(l_discount),
+         MIN(l_discount), MAX(l_discount), SUM(l_discount) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', COUNT(l_tax), COUNT(*)-COUNT(l_tax),
+         MIN(l_tax), MAX(l_tax), SUM(l_tax) FROM lineitem
+)
+"""
+
+
+def uniqueness_pk(sf_dir: str):
+    """PK uniqueness over four tables: partial per-block key counts → groupby —
+    the engine's unique_image_id check generalized (SURVEY.md §2.7 item 2)."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    specs = [("orders", "o_orderkey"), ("part", "p_partkey"),
+             ("documents", "doc_id"), ("events", "event_id")]
+    rows = []
+    for table, key in specs:
+        ds = _read(sf_dir, table, [key])
+
+        def precount(batch: pa.Table, key=key) -> pa.Table:
+            v, c = np.unique(batch[key].to_numpy(), return_counts=True)
+            return pa.table({"k": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+        agg = ds.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True
+                             ).groupby("k").aggregate(Sum("c", alias_name="n"))
+
+        def summarize(batch: pa.Table) -> pa.Table:
+            n = batch["n"].to_numpy()
+            return pa.table({
+                "rows": pa.array([int(n.sum())], pa.int64()),
+                "keys": pa.array([int(n.size)], pa.int64()),
+                "dup_keys": pa.array([int((n > 1).sum())], pa.int64()),
+            })
+
+        parts = agg.map_batches(summarize, batch_format="pyarrow").to_pandas().sum()
+        rows.append({"table_name": table, "n_rows": int(parts["rows"]),
+                     "n_keys": int(parts["keys"]), "n_dup_keys": int(parts["dup_keys"])})
+    return pa.Table.from_pylist(rows)
+
+
+UNIQUENESS_SQL = """
+SELECT 'orders' AS table_name, COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
+  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*)>1)) AS n_dup_keys FROM orders
+UNION ALL
+SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+  (SELECT COUNT(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING COUNT(*)>1)) FROM part
+UNION ALL
+SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id),
+  (SELECT COUNT(*) FROM (SELECT doc_id FROM documents GROUP BY 1 HAVING COUNT(*)>1)) FROM documents
+UNION ALL
+SELECT 'events', COUNT(*), COUNT(DISTINCT event_id),
+  (SELECT COUNT(*) FROM (SELECT event_id FROM events GROUP BY 1 HAVING COUNT(*)>1)) FROM events
+"""
+
+
+def referential_orphans(sf_dir: str):
+    """Broadcast anti-join referential checks (engine referential_image_id)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.hashing import hash64
+
+    specs = [
+        ("orders_to_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem_to_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_to_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    rows = []
+    for name, fact, fk, dim, pk in specs:
+        keys = pq.read_table(f"{sf_dir}/{dim}.parquet", columns=[pk])[pk].to_numpy()
+        probe = np.sort(hash64(keys))
+        wrapped = {"ref": ray.put(probe)}
+
+        class AntiJoin:
+            def __init__(self, wrapped=wrapped, fk=fk):
+                self.probe = ray.get(wrapped["ref"])
+                self.fk = fk
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                h = hash64(batch[self.fk].to_numpy())
+                pos = np.minimum(np.searchsorted(self.probe, h), self.probe.size - 1)
+                miss = int((self.probe[pos] != h).sum())
+                return pa.table({"orphans": pa.array([miss], pa.int64())})
+
+        ds = _read(sf_dir, fact, [fk])
+        total = ds.map_batches(AntiJoin, batch_format="pyarrow", zero_copy_batch=True,
+                               concurrency=2).to_pandas()["orphans"].sum()
+        rows.append({"relation": name, "n_orphans": int(total)})
+    return pa.Table.from_pylist(rows)
+
+
+REFERENTIAL_SQL = """
+SELECT 'orders_to_customer' AS relation,
+  (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey=c.c_custkey
+   WHERE c.c_custkey IS NULL) AS n_orphans
+UNION ALL
+SELECT 'lineitem_to_orders',
+  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey=o.o_orderkey
+   WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'lineitem_to_part',
+  (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey=p.p_partkey
+   WHERE p.p_partkey IS NULL)
+"""
+
+
+def chi2_event_type(sf_dir: str):
+    """Two-sample Chi² homogeneity: event_type mix of first vs second half of
+    the event stream (split by median event_id) — the engine's fmt Chi² drift
+    check over a generic categorical."""
+    import pyarrow.parquet as pq
+
+    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    half = n_total // 2
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["side"] = np.where(df.event_id.to_numpy() < half, "a", "b")
+        g = df.groupby(["event_type", "side"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        ["event_type", "side"]
+    ).aggregate(Sum("n", alias_name="n")).to_pandas()
+    piv = agg.pivot_table(index="event_type", columns="side", values="n",
+                          fill_value=0).sort_index()
+    stat, dof, p = chi2_test_counts(piv["a"].to_numpy(), piv["b"].to_numpy())
+    return pa.Table.from_pylist([{
+        "column": "event_type", "statistic": float(_round(stat, 6)), "dof": dof,
+    }])
+
+
+CHI2_SQL = """
+WITH tot AS (SELECT COUNT(*) AS n FROM events),
+cont AS (
+  SELECT event_type,
+    SUM(CASE WHEN event_id < (SELECT n//2 FROM tot) THEN 1 ELSE 0 END)::DOUBLE AS a,
+    SUM(CASE WHEN event_id >= (SELECT n//2 FROM tot) THEN 1 ELSE 0 END)::DOUBLE AS b
+  FROM events GROUP BY event_type),
+sums AS (SELECT SUM(a) AS sa, SUM(b) AS sb, SUM(a)+SUM(b) AS grand FROM cont)
+SELECT 'event_type' AS column,
+  FLOOR(SUM( POWER(a - (a+b)*sa/grand, 2) / ((a+b)*sa/grand)
+           + POWER(b - (a+b)*sb/grand, 2) / ((a+b)*sb/grand) )*1000000+0.5)/1000000 AS statistic,
+  COUNT(*)::BIGINT - 1 AS dof
+FROM cont, sums
+"""
+
+
+def ks_purchase_click(sf_dir: str):
+    """Two-sample KS on the value distributions of two event types. The
+    samples are collected per-type via column-pruned reads (bounded size); the
+    statistic is the engine's exact-sample KS (stats.ks_2samp)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keep = df[df.event_type.isin(["purchase", "click"])]
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    small = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    a = small[small.event_type == "purchase"].value.to_numpy()
+    b = small[small.event_type == "click"].value.to_numpy()
+    d, _ = ks_2samp(a, b)
+    return pa.Table.from_pylist([{
+        "column": "value", "d_stat": float(_round(d, 6)),
+        "n_a": int(a.size), "n_b": int(b.size),
+    }])
+
+
+KS_SQL = """
+WITH a AS (SELECT value AS v FROM events WHERE event_type='purchase'),
+b AS (SELECT value AS v FROM events WHERE event_type='click'),
+na AS (SELECT COUNT(*)::DOUBLE AS n FROM a), nb AS (SELECT COUNT(*)::DOUBLE AS n FROM b),
+pooled AS (SELECT v, 1 AS s FROM a UNION ALL SELECT v, 0 FROM b),
+cum AS (
+  SELECT v,
+    SUM(s) OVER (ORDER BY v RANGE UNBOUNDED PRECEDING)::DOUBLE AS ca,
+    SUM(1-s) OVER (ORDER BY v RANGE UNBOUNDED PRECEDING)::DOUBLE AS cb
+  FROM pooled)
+SELECT 'value' AS column,
+  FLOOR(MAX(ABS(ca/(SELECT n FROM na) - cb/(SELECT n FROM nb)))*1000000+0.5)/1000000 AS d_stat,
+  (SELECT n FROM na)::BIGINT AS n_a, (SELECT n FROM nb)::BIGINT AS n_b
+FROM cum
+"""
+
+
+def quantiles_extendedprice(sf_dir: str):
+    """Exact quantiles (driver-side on one pruned column; the t-digest sketch
+    is the at-scale path — its accuracy is pinned in unit tests)."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    vals = np.sort(np.concatenate([
+        b["l_extendedprice"].to_numpy()
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]))
+    qs = [0.25, 0.5, 0.75, 0.95]
+    out = np.quantile(vals, qs)  # linear interpolation == quantile_cont
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array(_round(out, 4), pa.float64()),
+    })
+
+
+QUANTILES_SQL = """
+SELECT 0.25 AS q, FLOOR(quantile_cont(l_extendedprice, 0.25)*10000+0.5)/10000 AS value FROM lineitem
+UNION ALL
+SELECT 0.5, FLOOR(quantile_cont(l_extendedprice, 0.5)*10000+0.5)/10000 FROM lineitem
+UNION ALL
+SELECT 0.75, FLOOR(quantile_cont(l_extendedprice, 0.75)*10000+0.5)/10000 FROM lineitem
+UNION ALL
+SELECT 0.95, FLOOR(quantile_cont(l_extendedprice, 0.95)*10000+0.5)/10000 FROM lineitem
+"""
