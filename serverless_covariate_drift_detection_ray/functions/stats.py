@@ -218,21 +218,21 @@ def mmd_permutation_test(
     pooled = np.concatenate([x, y], axis=0)
     k = _rbf_kernel(pooled, pooled, sigma, chunk)
     ksum = k.sum()
-
-    def stat_from_mask(ix: np.ndarray) -> float:
-        kx = k[np.ix_(ix, ix)].sum()
-        kxy_row = k[ix].sum()  # sum over rows in x, all cols
-        ky = ksum - 2.0 * kxy_row + kx  # = sum over y-rows × y-cols
-        kxy = kxy_row - kx
-        return kx / (n * n) + ky / (m * m) - 2.0 * kxy / (n * m)
-
-    observed = stat_from_mask(np.arange(n))
     rng = np.random.Generator(np.random.PCG64(seed))
-    count = 0
-    idx = np.arange(n + m)
-    for _ in range(num_permutations):
-        perm = rng.permutation(idx)
-        if stat_from_mask(perm[:n]) >= observed:
-            count += 1
+    total = n + m
+    # indicator matrix Z (total × P+1): column 0 = observed labeling; one
+    # K @ Z matmul replaces P per-permutation submatrix reductions
+    z = np.zeros((total, num_permutations + 1), dtype=np.float64)
+    z[:n, 0] = 1.0
+    for p_i in range(1, num_permutations + 1):
+        z[rng.permutation(total)[:n], p_i] = 1.0
+    a = k @ z  # (total, P+1)
+    kx = np.einsum("ij,ij->j", z, a)  # z_pᵀ K z_p
+    kxrow = z.T @ k.sum(axis=1)  # Σ_{i∈x} (full row sum)_i per labeling
+    ky = ksum - 2.0 * kxrow + kx
+    kxy = kxrow - kx
+    stats = kx / (n * n) + ky / (m * m) - 2.0 * kxy / (n * m)
+    observed = float(stats[0])
+    count = int((stats[1:] >= observed).sum())
     p = (1.0 + count) / (1.0 + num_permutations)
-    return float(observed), float(p)
+    return observed, float(p)

@@ -33,6 +33,9 @@ class EngineConfig:
     ref_sample_cap: int = 1024
     decode_fraction: float = 0.10      # fraction of rows fully decoded for pixel stats
     dims_check_fraction: float = 1.0   # fraction of rows header-checked for dims
+    phash_verify: bool = True          # recompute phash on decoded rows and compare
+    phash_tol_lossless: int = 0        # max Hamming drift allowed (exact codecs)
+    phash_tol_lossy: int = 6           # max Hamming drift allowed (lossy codecs)
     marginals: dict[str, tuple[float, float, int]] = field(
         default_factory=lambda: dict(DEFAULT_MARGINALS)
     )

@@ -19,16 +19,10 @@ from .config import EngineConfig
 
 
 def merge_partials_table(batch: pa.Table, cfg: EngineConfig) -> PartialState:
-    merged: PartialState | None = None
-    for blob in batch["state"]:
-        ps = PartialState.from_bytes(blob.as_py())
-        if merged is None:
-            merged = ps
-        else:
-            merged.merge(ps, cfg.ref_sample_cap)
-    if merged is None:
-        merged = PartialState(cfg.marginals, cfg.fmt_categories)
-    return merged
+    states = [PartialState.from_bytes(blob.as_py()) for blob in batch["state"]]
+    if not states:
+        return PartialState(cfg.marginals, cfg.fmt_categories)
+    return PartialState.merge_many(states, cfg.ref_sample_cap)
 
 
 def fit(manifest_dir: str, out_state_dir: str, cfg: EngineConfig | None = None,

@@ -36,6 +36,10 @@ from .fit import merge_partials_table
 
 CONSTRAINT_CHECKS = ("unique_image_id", "neardup_phash")
 
+# partial-state rows above which the per-partition merge runs as a distributed
+# groupby instead of on the driver (~100 KB per partial row)
+DRIVER_MERGE_MAX_PARTIALS = 20_000
+
 COLUMN_STATS_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
@@ -122,9 +126,13 @@ def validate(
     # ---- pass 1: bytes-heavy featurize + sketch partials ----
     # actor pool must leave CPU slots for the read stage, or the pipeline
     # deadlocks (pool reserves every CPU and ReadParquet never schedules)
+    stage_t = {}
+    # ~3/4 of CPUs for the featurize pool, the rest for the parquet read —
+    # an actor pool that reserves every CPU starves (or deadlocks) the read
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     concurrency = cfg.featurize_concurrency or max(2, ncpu - 2)
     ds = read_images(manifest, skip_partitions=finished)
+    t1 = time.time()
     reduced = ds.map_batches(
         FeaturizeAndSketch,
         fn_constructor_args=(cfg, broadcast),
@@ -133,19 +141,22 @@ def validate(
         zero_copy_batch=True,
         concurrency=concurrency,
     ).materialize()  # tiny: per-block partial rows + violation rows only
+    stage_t["featurize"] = time.time() - t1
 
-    domain_viol = reduced.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "violation")).select(
-            ["partition_id", "image_id", "check", "column", "observed", "expected"]
-        ),
-        batch_format="pyarrow",
+    # the reduced stream is a few KB per input block — collect it once on the
+    # driver and split locally (violations | partials). At 10^12-row scale the
+    # partial count grows with block count; above DRIVER_MERGE_MAX_PARTIALS the
+    # per-partition merge runs as a groupby shuffle instead (same semantics —
+    # merge_many is commutative), keeping the driver out of the data path.
+    t1 = time.time()
+    reduced_tbl = pa.concat_tables(
+        list(reduced.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
     )
-
-    partials = reduced.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "partial")).select(
-            ["partition_id", "state", "n_rows"]
-        ),
-        batch_format="pyarrow",
+    domain_viol_tbl = reduced_tbl.filter(
+        pc.equal(reduced_tbl["kind"], "violation")
+    ).select(["partition_id", "image_id", "check", "column", "observed", "expected"])
+    partials_tbl = reduced_tbl.filter(pc.equal(reduced_tbl["kind"], "partial")).select(
+        ["partition_id", "state", "n_rows"]
     )
 
     def merge_group(batch: pa.Table) -> pa.Table:
@@ -157,7 +168,21 @@ def validate(
             "n_rows": pa.array([merged.n_rows], pa.int64()),
         })
 
-    per_part = partials.groupby("partition_id").map_groups(merge_group, batch_format="pyarrow")
+    if partials_tbl.num_rows <= DRIVER_MERGE_MAX_PARTIALS:
+        part_tables = []
+        pids_present = np.unique(partials_tbl["partition_id"].to_numpy())
+        for pid in pids_present:
+            sub = partials_tbl.filter(pc.equal(partials_tbl["partition_id"], int(pid)))
+            part_tables.append(merge_group(sub))
+        # one single-row block per partition so the drift actor pool fans out
+        per_part = ray.data.from_arrow(part_tables)
+    else:
+        import ray.data  # noqa: F401  (scale path)
+
+        per_part = ray.data.from_arrow(partials_tbl).groupby("partition_id").map_groups(
+            merge_group, batch_format="pyarrow"
+        ).materialize()
+    stage_t["merge_partials"] = time.time() - t1
 
     # ---- drift verdicts: stateful actor pool vs frozen reference ----
     verdicts_ds = per_part.map_batches(
@@ -168,17 +193,30 @@ def validate(
         concurrency=min(cfg.drift_concurrency, max(1, ncpu - 2)),
     )
 
-    # ---- global constraint shuffles over a column-pruned re-read ----
-    ids_ds = read_images(manifest, columns=["image_id", "phash", "partition_id"])
+    # ---- global constraint shuffles over ONE column-pruned re-read ----
+    # the pruned id/phash projection is small (≈30 B/row) — materialize once
+    # and feed both constraint checks instead of re-reading parquet per check
+    t1 = time.time()
+    ids_ds = read_images(
+        manifest, columns=["image_id", "phash", "partition_id"]
+    ).materialize()
+    stage_t["ids_read"] = time.time() - t1
+    t1 = time.time()
     uniq_viol = check_uniqueness(ids_ds)
-    ids_ds2 = read_images(manifest, columns=["image_id", "phash", "partition_id"])
-    neardup_viol = check_neardup(ids_ds2, cfg)
+    stage_t["uniq_setup"] = time.time() - t1
+    t1 = time.time()
+    neardup_viol = check_neardup(ids_ds, cfg)
+    stage_t["neardup_setup"] = time.time() - t1
 
     # ---- driver-side assembly (all small relative to input) ----
+    t1 = time.time()
     verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)
-    viol_tables = []
-    for vds in (domain_viol, uniq_viol, neardup_viol):
+    stage_t["drift"] = time.time() - t1
+    viol_tables = [domain_viol_tbl.cast(VIOLATION_SCHEMA)]
+    for nm, vds in (("uniqueness", uniq_viol), ("neardup", neardup_viol)):
+        t1 = time.time()
         rows = vds.take_all()
+        stage_t[nm] = time.time() - t1
         if rows:
             viol_tables.append(pa.Table.from_pylist(rows, schema=VIOLATION_SCHEMA))
     violations = (
@@ -215,10 +253,13 @@ def validate(
         [verdicts, pa.Table.from_pylist(c_rows, schema=VERDICT_SCHEMA)]
     ).sort_by([("partition_id", "ascending"), ("check", "ascending"), ("column", "ascending")])
 
-    # ---- per-partition commit with lineage ----
+    # ---- per-partition commit with lineage (I/O-bound → thread pool) ----
+    from concurrent.futures import ThreadPoolExecutor
+
     states = {int(r["partition_id"]): r["state"] for r in per_part.take_all()}
     wall = time.time() - t0
-    for pid in todo:
+
+    def commit_one(pid: int) -> None:
         ps = PartialState.from_bytes(states[pid]) if pid in states else None
         col_stats = pa.Table.from_pylist(
             _column_stats_rows(pid, ps) if ps else [], schema=COLUMN_STATS_SCHEMA
@@ -235,6 +276,13 @@ def validate(
             wall_s=wall / max(len(todo), 1),
         )
 
+    t1 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(commit_one, todo))
+    stage_t["commit_io"] = time.time() - t1
+
+    stage_t["commit"] = time.time() - t0 - sum(stage_t.values())
+    summary["stages"] = {k: round(v, 2) for k, v in stage_t.items()}
     summary.update({
         "wall_s": wall,
         "rows_per_s": rows_todo / wall if wall > 0 else float("nan"),

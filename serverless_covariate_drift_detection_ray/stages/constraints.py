@@ -49,12 +49,74 @@ def _precount(batch: pa.Table) -> pa.Table:
     })
 
 
+SCREEN_MAX_ROWS = 50_000_000  # above this the dup screen would strain the driver
+
+
 def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
     """image_id PK check: violations for every id appearing more than once.
 
-    ``map_batches(precount) → groupby(image_id) → filter(sum > 1)`` — the
-    partial/combiner shape, so the shuffle moves one row per (block, id).
+    Two-phase: (1) a cheap *screen* — per-block id-hash partials stream to the
+    driver (8 B/id) and a numpy unique finds duplicated hashes; when none
+    exist (the common case) no shuffle happens at all. (2) only rows whose
+    hash is in the (tiny) dup set are pulled and grouped exactly.
+
+    Above ``SCREEN_MAX_ROWS`` the screen is skipped for the all-to-all
+    ``map_batches(precount) → groupby(image_id)`` partial/combiner shape —
+    the inherent exact-uniqueness shuffle at cluster scale.
     """
+    from ..functions.hashing import hash64
+
+    import ray.data
+
+    try:
+        total_rows = ds.count()
+    except Exception:
+        total_rows = SCREEN_MAX_ROWS + 1
+
+    if total_rows <= SCREEN_MAX_ROWS:
+        def id_hashes(batch: pa.Table) -> pa.Table:
+            h = hash64(batch["image_id"].to_numpy(zero_copy_only=False))
+            return pa.table({"h": pa.array(h.astype(np.int64))})
+
+        hs = []
+        for b in ds.map_batches(id_hashes, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"):
+            hs.append(b["h"].to_numpy())
+        allh = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        uniq, counts = np.unique(allh, return_counts=True)
+        dup_hashes = np.sort(uniq[counts > 1])
+        dup_counts = dict(zip(uniq[counts > 1].tolist(), counts[counts > 1].tolist()))
+        if dup_hashes.size == 0:
+            return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+
+        def collect_dups(batch: pa.Table) -> pa.Table:
+            h = hash64(batch["image_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
+            pos = np.minimum(np.searchsorted(dup_hashes, h), dup_hashes.size - 1)
+            mask = dup_hashes[pos] == h
+            dup = batch.filter(pa.array(mask))
+            n = dup.num_rows
+            if n == 0:
+                return VIOLATION_SCHEMA.empty_table()
+            hd = h[mask]
+            return pa.table({
+                "partition_id": dup["partition_id"].cast(pa.int32()),
+                "image_id": dup["image_id"],
+                "check": pa.array(["unique_image_id"] * n),
+                "column": pa.array(["image_id"] * n),
+                "observed": pa.array([str(dup_counts[int(x)]) for x in hd]),
+                "expected": pa.array(["1"] * n),
+            }, schema=VIOLATION_SCHEMA)
+
+        dup_rows = ds.map_batches(collect_dups, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+        # one violation row per duplicated KEY (min partition as the locus)
+        def dedupe_key(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values("partition_id").head(1)
+
+        return dup_rows.groupby("image_id").map_groups(dedupe_key, batch_format="pandas")
+
     from ray.data.aggregate import Min, Sum
 
     pre = ds.map_batches(_precount, batch_format="pyarrow", zero_copy_batch=True)
@@ -93,13 +155,122 @@ def _explode_bands(batch: pa.Table, n_bands: int) -> pa.Table:
     })
 
 
-def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
-    """phash near-duplicate buckets via LSH banding (SURVEY.md §2.6).
+NEARDUP_DRIVER_MAX = 50_000_000  # distinct phash values the driver will hold (8 B each)
 
-    explode(4 band keys/img) → groupby(band_key) → verify pairwise Hamming ≤ d
-    within each group → one violation row per member of a cluster of size ≥
-    ``neardup_min_cluster``; cross-band duplicates collapse via a final groupby
-    on image_id (keep the lexicographically-smallest cluster rep).
+
+def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
+    """phash near-duplicate buckets (SURVEY.md §2.7 item 4), driver-coordinated.
+
+    The phash column is 8 B/row, so up to ~50M *distinct* values the whole
+    candidate search runs as vectorized numpy on the driver: band the distinct
+    values (21/21/22-bit slices), batch same-sized band groups into one
+    matrix, popcount ALL candidate pairs in one shot, then connected
+    components by scatter-min label propagation. Only the final violation-row
+    emit is distributed (broadcast flagged values → filter per batch).
+    Beyond the driver bound, ``check_neardup_distributed`` runs the same
+    algorithm as explode → hot-band prefilter → groupby(band_key) shuffles.
+    """
+    import ray
+    import ray.data
+
+    hmax, min_cluster = cfg.neardup_hamming_max, cfg.neardup_min_cluster
+
+    phs = []
+    for b in ds.select_columns(["phash"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        phs.append(b["phash"].to_numpy())
+    allph = np.concatenate(phs) if phs else np.empty(0, np.int64)
+    vals, mult = np.unique(allph, return_counts=True)
+    if vals.size > NEARDUP_DRIVER_MAX:
+        return check_neardup_distributed(ds, cfg)
+
+    bands = phash_bands(vals, 3)
+    pair_a, pair_b = [], []
+    for bcol in range(bands.shape[1]):
+        keys = bands[:, bcol]
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        sizes = np.diff(np.r_[starts, sk.size])
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            gsel = np.flatnonzero(sizes == m)
+            mm = int(m)
+            if mm > 1024:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "neardup: %d band groups capped %d → 1024", gsel.size, mm)
+                mm = 1024
+            mat = order[starts[gsel][:, None] + np.arange(mm)[None, :]]
+            iu, ju = np.triu_indices(mm, 1)
+            pair_a.append(mat[:, iu].ravel())
+            pair_b.append(mat[:, ju].ravel())
+    if pair_a:
+        a = np.concatenate(pair_a)
+        b = np.concatenate(pair_b)
+        close = phash_hamming(vals[a], vals[b]) <= hmax
+        a, b = a[close], b[close]
+    else:
+        a = b = np.empty(0, np.int64)
+
+    # connected components: scatter-min + pointer jumping
+    labels = np.arange(vals.size)
+    for _ in range(64):
+        before = labels.copy()
+        np.minimum.at(labels, a, labels[b])
+        np.minimum.at(labels, b, labels[a])
+        labels = labels[labels]
+        if np.array_equal(labels, before):
+            break
+    csize = np.bincount(labels, weights=mult.astype(np.float64))
+    flagged = csize[labels] >= min_cluster
+    flag_vals = vals[flagged]
+    flag_labels = labels[flagged]
+    if flag_vals.size == 0:
+        return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+    # cluster rep = smallest phash value in the cluster (vals ascending ⇒
+    # first occurrence per label); byte-stable across runs and parallelism
+    rep_of: dict[int, int] = {}
+    for v, l in zip(flag_vals.tolist(), flag_labels.tolist()):
+        rep_of.setdefault(l, v)
+    rep_str = np.array(
+        ["cluster-%016x" % (v & 0xFFFFFFFFFFFFFFFF) for v in
+         (rep_of[l] for l in flag_labels.tolist())], dtype=object)
+    order2 = np.argsort(flag_vals, kind="stable")
+    fv, fr = flag_vals[order2], rep_str[order2]
+    wrapped = {"ref": ray.put((fv, fr))}
+
+    class EmitViolations:
+        def __init__(self):
+            self.fv, self.fr = ray.get(wrapped["ref"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ph = batch["phash"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.fv, ph), self.fv.size - 1)
+            mask = self.fv[pos] == ph
+            hit = batch.filter(pa.array(mask))
+            n = hit.num_rows
+            if n == 0:
+                return VIOLATION_SCHEMA.empty_table()
+            reps = self.fr[pos[mask]]
+            return pa.table({
+                "partition_id": hit["partition_id"].cast(pa.int32()),
+                "image_id": hit["image_id"],
+                "check": pa.array(["neardup_phash"] * n),
+                "column": pa.array(["phash"] * n),
+                "observed": pa.array(reps.astype(str)),
+                "expected": pa.array([f"hamming>{hmax}"] * n),
+            }, schema=VIOLATION_SCHEMA)
+
+    return ds.map_batches(EmitViolations, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=2)
+
+
+def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
+    """At-scale near-dup path: explode band keys → hot-band prefilter →
+    groupby(band_key) verify — all-to-all only over candidate-bucket members.
     """
 
     hamming_max = cfg.neardup_hamming_max
@@ -118,16 +289,17 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
         m = len(df)
         if m < min_cluster:
             return _empty()
-        if m > 512:  # hot-band cap: flat/degenerate hashes; report the bucket itself
-            df = df.nsmallest(512, "image_id")
+        if m > 512:  # hot-band cap: flat/degenerate hashes; deterministic subset
+            df = df.sort_values("image_id").head(512)
             m = len(df)
         ph = df["phash"].to_numpy()
         dist = phash_hamming(ph[:, None], ph[None, :])
         close = dist <= hamming_max
-        # connected components via numpy label propagation (groups are small)
+        # connected components via vectorized min-label propagation; converges
+        # in O(component diameter) iterations
         labels = np.arange(m)
         for _ in range(m):
-            new = np.array([labels[close[i]].min() for i in range(m)])
+            new = np.where(close, labels[None, :], m).min(axis=1)
             if np.array_equal(new, labels):
                 break
             labels = new
@@ -145,10 +317,54 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
         out = pd.DataFrame(rows, columns=["partition_id", "image_id", "rep"])
         return out.astype({"partition_id": "int64", "image_id": "string", "rep": "string"})
 
+    # Hot-band prefilter: almost every band bucket holds < min_cluster images,
+    # so counting first and shuffling ONLY members of candidate buckets turns
+    # the groupby from per-image-size to per-candidate-size. Counts stream to
+    # the driver as (band_key, n) partials (≈ one row per distinct band per
+    # block); at multi-node scale the same partials tree-reduce in tasks.
+    # materialized: consumed twice (count pass + hot-filter pass); band rows
+    # are ~40 B/image — tiny next to the bytes column that never enters here
     exploded = ds.map_batches(
-        lambda b: _explode_bands(b, 4), batch_format="pyarrow", zero_copy_batch=True
-    )
-    candidates = exploded.groupby("band_key").map_groups(verify_group, batch_format="pandas")
+        lambda b: _explode_bands(b, 3), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def band_counts(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch["band_key"].to_numpy(), return_counts=True)
+        return pa.table({"band_key": pa.array(v), "n": pa.array(c.astype(np.int64))})
+
+    keys_list, counts_list = [], []
+    for b in exploded.map_batches(
+        band_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        keys_list.append(b["band_key"].to_numpy())
+        counts_list.append(b["n"].to_numpy())
+    if not keys_list:
+        return ds.map_batches(lambda t: VIOLATION_SCHEMA.empty_table(),
+                              batch_format="pyarrow")
+    all_keys = np.concatenate(keys_list)
+    all_counts = np.concatenate(counts_list)
+    uniq_keys, inv = np.unique(all_keys, return_inverse=True)
+    totals = np.zeros(uniq_keys.size, dtype=np.int64)
+    np.add.at(totals, inv, all_counts)
+    hot = np.sort(uniq_keys[totals >= min_cluster])
+
+    import ray
+
+    hot_wrapped = {"ref": ray.put(hot)}
+
+    class HotFilter:
+        def __init__(self):
+            self.hot = ray.get(hot_wrapped["ref"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch["band_key"].to_numpy()
+            pos = np.minimum(np.searchsorted(self.hot, k), max(self.hot.size - 1, 0))
+            mask = self.hot[pos] == k if self.hot.size else np.zeros(k.size, bool)
+            return batch.filter(pa.array(mask))
+
+    hot_rows = exploded.map_batches(HotFilter, batch_format="pyarrow",
+                                    zero_copy_batch=True, concurrency=2)
+    candidates = hot_rows.groupby("band_key").map_groups(verify_group, batch_format="pandas")
 
     def dedupe(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values("rep").head(1)

@@ -20,6 +20,7 @@ from datetime import datetime, timezone
 import numpy as np
 import pyarrow as pa
 
+from ..functions.phash import phash_to_embedding
 from ..functions.stats import chi2_test_counts, ks_pvalue_from_d, mmd_permutation_test
 from ..pipelines.config import EngineConfig
 from ..state.partials import PartialState
@@ -89,9 +90,9 @@ class DriftTestActor:
         stat, dof, p = chi2_test_counts(ps.fmt_counts, ref.fmt_counts)
         verdict("chi2", "fmt", stat, p, int(ref.fmt_counts.sum()), int(ps.fmt_counts.sum()))
 
-        # MMD + permutation test over phash embeddings
-        x = ref.sample_embs[: cfg.ref_sample_cap]
-        y = ps.sample_embs[: cfg.mmd_sample_cap]
+        # MMD + permutation test over phash-derived embeddings
+        x = phash_to_embedding(ref.sample_phash[: cfg.ref_sample_cap])
+        y = phash_to_embedding(ps.sample_phash[: cfg.mmd_sample_cap])
         if x.shape[0] and y.shape[0]:
             dist, p = mmd_permutation_test(
                 x, y, self.ref.sigma,

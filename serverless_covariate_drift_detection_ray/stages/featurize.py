@@ -27,9 +27,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.codec import decode_image, image_dims
+from ..functions.codec import LOSSY_FMTS, decode_image, image_dims
 from ..functions.hashing import hash64
-from ..functions.phash import phash_to_embedding
+from ..functions.phash import phash64, phash_hamming
 from ..pipelines.config import EngineConfig
 from ..state.partials import PartialState
 
@@ -156,8 +156,9 @@ class FeaturizeAndSketch:
         ps_val: list[float] = []
         for i in decode_rows:
             i = int(i)
+            f = str(fmt[i])
             try:
-                img = decode_image(bytes_col[i].as_py(), str(fmt[i]))
+                img = decode_image(bytes_col[i].as_py(), f)
             except Exception as exc:
                 add_one(i, "decode_ok", "bytes", type(exc).__name__, "decodable")
                 continue
@@ -165,6 +166,18 @@ class FeaturizeAndSketch:
             pm_part.append(int(part_ids[i]))
             pm_val.append(float(pix.mean()))
             ps_val.append(float(pix.std()))
+            if cfg.phash_verify:
+                # per-row fidelity: the phash column must match the decoded
+                # pixels (BASELINE.json input_hint invariant); lossy codecs get
+                # a small Hamming allowance for quantization
+                ph_dec = phash64(img)
+                tol = (cfg.phash_tol_lossy if f in LOSSY_FMTS
+                       else cfg.phash_tol_lossless)
+                dist = int(phash_hamming(
+                    np.array([ph_dec]), np.array([phash[i]]))[0])
+                if dist > tol:
+                    add_one(i, "phash_match_decoded", "phash",
+                            f"hamming={dist}", f"<={tol}")
         pm_part_arr = np.asarray(pm_part, dtype=np.int64)
         pm_val_arr = np.asarray(pm_val, dtype=np.float64)
         ps_val_arr = np.asarray(ps_val, dtype=np.float64)
@@ -196,8 +209,7 @@ class FeaturizeAndSketch:
             ps.caption_cms.update(np.where(caption_null[sel], "", captions[sel]).astype(object))
             keys = id_hash[sel]
             order = np.argsort(keys, kind="stable")[: cfg.mmd_sample_cap]
-            ps.add_sample(keys[order], phash_to_embedding(phash[sel][order]),
-                          cfg.mmd_sample_cap)
+            ps.add_sample(keys[order], phash[sel][order], cfg.mmd_sample_cap)
             partials.append((int(pid), ps))
 
         # --- assemble union-schema output ---

@@ -92,18 +92,20 @@ class PartialState:
         self.id_hll = HyperLogLog()
         self.phash_hll = HyperLogLog()
         self.caption_cms = CountMinSketch()
-        # deterministic embedding sample: rows with the smallest hash64(image_id)
+        # deterministic MMD sample: rows with the smallest hash64(image_id);
+        # stored as raw phash int64 (8 B/row) — the 64-dim embedding is
+        # re-derived where needed (phash_to_embedding), keeping partials small
         self.sample_keys = np.empty(0, dtype=np.uint64)
-        self.sample_embs = np.empty((0, 64), dtype=np.float32)
+        self.sample_phash = np.empty(0, dtype=np.int64)
 
     def update_numeric(self, column: str, values: np.ndarray, n_null: int = 0) -> None:
         self.hists[column].update(values)
         self.stats[column].update(values, n_null)
         self.digests[column].update(values)
 
-    def add_sample(self, keys: np.ndarray, embs: np.ndarray, cap: int) -> None:
+    def add_sample(self, keys: np.ndarray, phash: np.ndarray, cap: int) -> None:
         self.sample_keys = np.concatenate([self.sample_keys, keys.astype(np.uint64)])
-        self.sample_embs = np.concatenate([self.sample_embs, embs.astype(np.float32)])
+        self.sample_phash = np.concatenate([self.sample_phash, phash.astype(np.int64)])
         self._trim_sample(cap)
 
     def _trim_sample(self, cap: int) -> None:
@@ -112,7 +114,34 @@ class PartialState:
         # order regardless of block boundaries (repartition-invariance).
         order = np.argsort(self.sample_keys, kind="stable")[:cap]
         self.sample_keys = self.sample_keys[order]
-        self.sample_embs = self.sample_embs[order]
+        self.sample_phash = self.sample_phash[order]
+
+    @classmethod
+    def merge_many(cls, states: list["PartialState"], sample_cap: int) -> "PartialState":
+        """Bulk merge: vectorized array sums + one t-digest compress per
+        marginal instead of N pairwise merges (the groupby hot path)."""
+        if not states:
+            raise ValueError("nothing to merge")
+        first = states[0]
+        out = cls(first.marginal_spec, first.fmt_categories)
+        out.n_rows = sum(s.n_rows for s in states)
+        for c in out.hists:
+            out.hists[c].counts = np.sum([s.hists[c].counts for s in states], axis=0)
+            ns = NumericStats()
+            for s in states:
+                ns.merge(s.stats[c])
+            out.stats[c] = ns
+            out.digests[c] = TDigest.merge_many([s.digests[c] for s in states])
+        out.fmt_counts = np.sum([s.fmt_counts for s in states], axis=0)
+        out.id_hll.registers = np.maximum.reduce([s.id_hll.registers for s in states])
+        out.phash_hll.registers = np.maximum.reduce([s.phash_hll.registers for s in states])
+        out.caption_cms.table = np.sum([s.caption_cms.table for s in states], axis=0,
+                                       dtype=np.uint64)
+        out.caption_cms.total = sum(s.caption_cms.total for s in states)
+        out.sample_keys = np.concatenate([s.sample_keys for s in states])
+        out.sample_phash = np.concatenate([s.sample_phash for s in states])
+        out._trim_sample(sample_cap)
+        return out
 
     def merge(self, other: "PartialState", sample_cap: int) -> "PartialState":
         self.n_rows += other.n_rows
@@ -124,7 +153,7 @@ class PartialState:
         self.id_hll.merge(other.id_hll)
         self.phash_hll.merge(other.phash_hll)
         self.caption_cms.merge(other.caption_cms)
-        self.add_sample(other.sample_keys, other.sample_embs, sample_cap)
+        self.add_sample(other.sample_keys, other.sample_phash, sample_cap)
         return self
 
     # -- serialization ------------------------------------------------------
@@ -134,7 +163,7 @@ class PartialState:
         arrays: dict[str, np.ndarray] = {
             "fmt_counts": self.fmt_counts,
             "sample_keys": self.sample_keys,
-            "sample_embs": self.sample_embs.ravel(),
+            "sample_phash": self.sample_phash,
         }
         for c in self.hists:
             blobs[f"hist:{c}"] = self.hists[c].to_bytes()
@@ -149,7 +178,6 @@ class PartialState:
             "n_rows": self.n_rows,
             "marginals": {c: list(v) for c, v in self.marginal_spec.items()},
             "fmt_categories": list(self.fmt_categories),
-            "emb_dim": int(self.sample_embs.shape[1]) if self.sample_embs.size else 64,
             "arrays": {k: [v.dtype.str, len(v.tobytes())] for k, v in arrays.items()},
             "blobs": {k: len(v) for k, v in blobs.items()},
         }
@@ -179,8 +207,7 @@ class PartialState:
             arrays[k] = np.frombuffer(buf.read(nb), dtype=np.dtype(dt))
         ps.fmt_counts = arrays["fmt_counts"].astype(np.int64).copy()
         ps.sample_keys = arrays["sample_keys"].astype(np.uint64).copy()
-        dim = int(header["emb_dim"])
-        ps.sample_embs = arrays["sample_embs"].astype(np.float32).reshape(-1, dim).copy()
+        ps.sample_phash = arrays["sample_phash"].astype(np.int64).copy()
         blobs = {k: buf.read(nb) for k, nb in header["blobs"].items()}
         for c in marginals:
             ps.hists[c] = FixedHistogram.from_bytes(blobs[f"hist:{c}"])

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 
+from ..functions.phash import phash_to_embedding
 from ..functions.stats import median_heuristic_sigma
 from .partials import PartialState
 
@@ -29,7 +30,7 @@ class ReferenceState:
 
     @classmethod
     def fit(cls, merged: PartialState, meta: dict | None = None) -> "ReferenceState":
-        sigma = median_heuristic_sigma(merged.sample_embs)
+        sigma = median_heuristic_sigma(phash_to_embedding(merged.sample_phash))
         return cls(merged, sigma, meta)
 
     def save(self, out_dir: str) -> None:
@@ -40,7 +41,7 @@ class ReferenceState:
         os.replace(tmp, os.path.join(out_dir, STATE_FILE))
         meta = dict(self.meta)
         meta.update({"sigma": self.sigma, "n_rows": self.state.n_rows,
-                     "n_sample": int(self.state.sample_embs.shape[0])})
+                     "n_sample": int(self.state.sample_phash.shape[0])})
         tmpm = os.path.join(out_dir, META_FILE + ".tmp")
         with open(tmpm, "w") as fh:
             json.dump(meta, fh, indent=1)

@@ -85,6 +85,28 @@ class TDigest:
         self._compress(extra_weights=other.weights.copy())
         return self
 
+    @classmethod
+    def merge_many(cls, digests: list["TDigest"]) -> "TDigest":
+        """Merge N digests with ONE sort+compress pass instead of N pairwise
+        compressions — the per-partition partial-merge hot path."""
+        if not digests:
+            return cls()
+        out = cls(delta=digests[0].delta)
+        means, weights = [], []
+        for d in digests:
+            d._compress()
+            means.append(d.means)
+            weights.append(d.weights)
+        out.means = np.concatenate(means) if means else out.means
+        out.weights = np.concatenate(weights) if weights else out.weights
+        if out.means.size:
+            order = np.argsort(out.means, kind="stable")
+            out.means = out.means[order]
+            out.weights = out.weights[order]
+            out._buf.append(np.empty(0))
+            out._compress(extra_weights=np.empty(0))
+        return out
+
     def _compress(self, extra_weights: np.ndarray | None = None) -> None:
         if not self._buf and extra_weights is None:
             return
@@ -210,7 +232,7 @@ class CountMinSketch:
 
     TAG = b"CM1"
 
-    def __init__(self, depth: int = 5, width: int = 4096, seed: int = 7):
+    def __init__(self, depth: int = 4, width: int = 1024, seed: int = 7):
         self.depth, self.width, self.seed = int(depth), int(width), int(seed)
         self.table = np.zeros((self.depth, self.width), dtype=np.uint64)
         self.total = 0
