@@ -222,3 +222,23 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+# ---------------------------------------------------------------------------
+# External-codec stubs (multimodal plumbing; libs absent in-sandbox)
+# ---------------------------------------------------------------------------
+
+EXTERNAL_FMTS = ("jpeg", "webp")
+
+
+def decode_external(data: bytes, fmt: str) -> "np.ndarray":
+    """Decode stub for codecs whose libraries (libjpeg/libwebp/PIL) are not in
+    this container. The Ray-side plumbing — schema, actor signature, batch
+    sizing — is real and tested (tests/test_multimodal.py); swap this body for
+    ``PIL.Image.open`` / ``cv2.imdecode`` on a cluster with the libs baked in.
+    """
+    if fmt not in EXTERNAL_FMTS:
+        raise ValueError(f"unknown external format {fmt!r}")
+    raise NotImplementedError(
+        f"{fmt} decode requires an image library not present in this sandbox"
+    )

@@ -1,0 +1,92 @@
+"""Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
+
+The full 29-query sweep runs in the driver's correctness gate; these pin a
+representative query per operator family plus the rows-only determinism and
+the MinHash ⊇ exact-Jaccard property.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_df(res):
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "join_large_priority_revenue", "topk_orders",
+    "sessionize_events", "column_stats_lineitem", "uniqueness_pk",
+    "ks_purchase_click", "dedup_exact_documents", "jaccard_neardup_pairs",
+    "ann_topk_cosine",
+])
+def test_query_matches_oracle(ray_session, oracle, name):
+    import __ray_entry__ as e
+
+    rdf = _canon(_to_df(e.queries()[name](SF)))
+    odf = _canon(oracle.execute(e.oracle_sql()[name]).fetchdf())
+    assert list(rdf.columns) == list(odf.columns)
+    pd.testing.assert_frame_equal(rdf, odf, check_dtype=False, check_exact=True)
+
+
+def test_minhash_candidates_cover_exact_jaccard(ray_session):
+    """MinHash-LSH output must contain every within-bucket exact-Jaccard pair
+    (16 bands × 4 rows ⇒ P(miss) ≈ (1 - 0.8^4)^16 < 0.01 per pair at j=0.8)."""
+    import __ray_entry__ as e
+
+    mh = _to_df(e.queries()["minhash_neardup_documents"](SF))
+    exact = _to_df(e.queries()["jaccard_neardup_pairs"](SF))
+    mh_pairs = set(zip(mh.doc_a, mh.doc_b))
+    missed = [p for p in zip(exact.doc_a, exact.doc_b) if p not in mh_pairs]
+    assert len(missed) <= max(1, len(exact) // 20), missed[:5]
+
+
+def test_rows_only_queries_deterministic(ray_session):
+    import __ray_entry__ as e
+
+    for name in ["simhash_documents", "fingerprint_documents", "mmd_embeddings_drift"]:
+        a = _canon(_to_df(e.queries()[name](SF)))
+        b = _canon(_to_df(e.queries()[name](SF)))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_mmd_embeddings_verdicts(ray_session):
+    import __ray_entry__ as e
+
+    df = _to_df(e.queries()["mmd_embeddings_drift"](SF)).set_index("case")
+    assert not df.loc["null_even_vs_odd", "is_drift"]
+    assert df.loc["shifted_odd", "is_drift"]
+
+
+def test_ann_lsh_recall_vs_exact(ray_session):
+    import __ray_entry__ as e
+
+    exact = _to_df(e.queries()["ann_topk_cosine"](SF))
+    lsh = _to_df(e.queries()["ann_lsh_bucketed"](SF))
+    # bucketed search trades recall for candidate-set size; it must still find
+    # a meaningful share of true neighbors and only true corpus ids
+    epairs = set(zip(exact.query_id, exact.neighbor_id))
+    lpairs = set(zip(lsh.query_id, lsh.neighbor_id))
+    assert len(lpairs & epairs) >= len(epairs) * 0.1
+    assert (lsh.neighbor_id >= 10).all()
