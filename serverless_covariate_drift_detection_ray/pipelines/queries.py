@@ -338,7 +338,7 @@ WITH marked AS (
               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, SUM(new_session)::BIGINT AS n_sessions, COUNT(*) AS n_events
 FROM marked GROUP BY user_id
 """
 

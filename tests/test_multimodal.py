@@ -5,17 +5,17 @@ container — codec.decode_external raises NotImplementedError), but the Ray
 plumbing — binary column schema, actor pool signature, per-batch output
 layout, error routing — is real and exercised here with the in-repo codecs
 standing in for the external ones.
+
+The actor class lives in the PACKAGE (stages/multimodal.py), not this module:
+Ray workers can't import test modules, so a module-level class here hangs the
+actor pool forever (round-1 red item).
 """
 
 import numpy as np
-import pyarrow as pa
 import pytest
 
-from serverless_covariate_drift_detection_ray.functions.codec import (
-    decode_external,
-    decode_image,
-    encode_image,
-)
+from serverless_covariate_drift_detection_ray.functions.codec import decode_external, encode_image
+from serverless_covariate_drift_detection_ray.stages.multimodal import DecodeFeatures, read_image_dir
 
 
 def test_external_decode_stub_raises():
@@ -25,38 +25,20 @@ def test_external_decode_stub_raises():
         decode_external(b"", "gif")
 
 
-class DecodeFeatures:
-    """The multimodal actor-pool stage shape: decode opaque bytes → features."""
-
-    def __init__(self):
-        self.decode = decode_image  # swap for decode_external on real clusters
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        means, oks = [], []
-        for i in range(batch.num_rows):
-            try:
-                img = self.decode(batch["bytes"][i].as_py(), batch["fmt"][i].as_py())
-                means.append(float(np.asarray(img, dtype=np.float64).mean()))
-                oks.append(True)
-            except Exception:
-                means.append(float("nan"))
-                oks.append(False)
-        return pa.table({
-            "image_id": batch["image_id"],
-            "pixel_mean": pa.array(means, pa.float64()),
-            "decode_ok": pa.array(oks),
-        })
+def _image_rows(n=64, seed=5):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    for i in range(n):
+        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        rows.append({"image_id": f"m-{i}", "bytes": encode_image(img, "png"),
+                     "fmt": "png"})
+    return rows
 
 
 def test_decode_actor_pool_plumbing(ray_session):
     import ray.data
 
-    rng = np.random.Generator(np.random.PCG64(5))
-    rows = []
-    for i in range(64):
-        img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
-        rows.append({"image_id": f"m-{i}", "bytes": encode_image(img, "png"),
-                     "fmt": "png"})
+    rows = _image_rows()
     rows.append({"image_id": "bad", "bytes": b"corrupt", "fmt": "png"})
     ds = ray.data.from_items(rows)
     out = ds.map_batches(DecodeFeatures, batch_format="pyarrow", batch_size=16,
@@ -65,3 +47,17 @@ def test_decode_actor_pool_plumbing(ray_session):
     assert out[out.image_id == "bad"].decode_ok.iloc[0] == False  # noqa: E712
     assert out[out.image_id != "bad"].decode_ok.all()
     assert out[out.image_id != "bad"].pixel_mean.between(0, 255).all()
+    assert out[out.image_id != "bad"].pixel_std.ge(0).all()
+
+
+def test_read_image_dir_loose_files(ray_session, tmp_path):
+    rng = np.random.Generator(np.random.PCG64(9))
+    for i in range(8):
+        img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        (tmp_path / f"img-{i}.png").write_bytes(encode_image(img, "png"))
+    ds = read_image_dir(str(tmp_path))
+    out = ds.map_batches(DecodeFeatures, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert len(out) == 8
+    assert out.decode_ok.all()
+    assert set(out.image_id) == {f"img-{i}" for i in range(8)}

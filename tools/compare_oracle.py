@@ -1,0 +1,96 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs selected ``queries()`` entries against their ``oracle_sql()`` DuckDB
+equivalents at sf0.01 and reports rows / schema / value match, with columns
+sorted by name and rows sorted by all columns before compare (the driver's
+documented behavior — dtype differences DO count, round-1 caught an
+int64-vs-float64 hash mismatch).
+
+Usage: python tools/compare_oracle.py [query ...]   (default: all oracled)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> dict:
+    out = {"rows_match": len(ray_df) == len(ora_df),
+           "schema_match": sorted(ray_df.columns) == sorted(ora_df.columns),
+           "dtype_match": None, "value_match": None}
+    if not (out["rows_match"] and out["schema_match"]):
+        return out
+    a, b = canon(ray_df), canon(ora_df)
+    out["dtype_match"] = all(str(a[c].dtype) == str(b[c].dtype) for c in a.columns)
+    ok = True
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            if not np.allclose(av.astype(np.float64), bv.astype(np.float64),
+                               rtol=1e-9, atol=1e-12, equal_nan=True):
+                ok = False
+        else:
+            if not (av == bv).all():
+                ok = False
+    out["value_match"] = ok
+    return out
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = sys.argv[1:] or [n for n in qs if n in oracles]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    failures = 0
+    for name in names:
+        try:
+            ray_df = to_pandas(qs[name](sf))
+            ora_df = con.execute(oracles[name]).fetchdf()
+            r = compare(name, ray_df, ora_df)
+            status = "OK " if all(v for v in r.values() if v is not None) else "FAIL"
+            if status == "FAIL":
+                failures += 1
+            print(f"{status} {name}: {r}")
+        except Exception as ex:  # noqa: BLE001
+            failures += 1
+            print(f"ERR  {name}: {type(ex).__name__}: {ex}")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
