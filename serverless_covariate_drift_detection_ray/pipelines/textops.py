@@ -188,68 +188,224 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
     })
 
 
+HOT_BAND_CAP = 512  # all-pairs bound per band bucket; beyond it, star-link
+N_DEDUP_BUCKETS = 256  # salt buckets for the distributed pair-distinct
+
+
+def _word_hash_table(batch: pa.Table) -> pa.Table:
+    """(doc_id, words) where words = sorted distinct 64-bit word hashes.
+
+    The compact per-doc token representation shipped through the verify
+    joins — word hashes instead of raw text keep join payloads small;
+    Jaccard over 64-bit hashes equals word-set Jaccard up to negligible
+    collision probability."""
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    words = []
+    for t in texts:
+        ws = sorted({w for w in (t or "").split(" ") if w})
+        h = hash64(np.asarray(ws, dtype=object)) if ws else np.empty(0, np.uint64)
+        # binary blob (sorted int64 array bytes): Arrow hash joins reject
+        # list-typed payload columns, binary passes through fine
+        words.append(np.unique(h).astype(np.int64).tobytes())
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "words": pa.array(words, pa.binary()),
+    })
+
+
+def _attach_words(pairs_ds, sf_dir: str, key: str, out_col: str, n_buckets: int = 64):
+    """Bucketed distributed join: attach per-doc token-hash blobs to pair rows.
+
+    Pair rows and doc rows are unioned into one schema-aligned dataset,
+    salted into ``n_buckets`` groups by hash(key), and merged vectorized
+    (pandas) within each group — a hash join expressed as one single-key
+    groupby shuffle with bounded group count (Ray 2.49's per-group overhead
+    makes one-group-per-key infeasible, and its join operator has ~10 s+
+    fixed aggregator cost per side at this scale). Only the candidate docs'
+    token blobs survive the inner merge, so nothing corpus-sized is broadcast
+    or collected. Doc-id columns stay < 2^32, so the float64 round-trip that
+    nullable-int union columns take in pandas is exact."""
+    other = "doc_b" if key == "doc_a" else "doc_a"
+    schema_cols = ["doc_a", "doc_b", "words_a", "words_b", "jbkt"]
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in schema_cols:
+            if c in batch.column_names:
+                cols[c] = batch[c]
+            elif c.startswith("words"):
+                cols[c] = pa.nulls(batch.num_rows, pa.binary())
+            else:
+                cols[c] = pa.nulls(batch.num_rows, pa.int64())
+        return pa.table(cols)
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        k = batch[key].to_numpy()
+        bkt = (splitmix64(k.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return widen(batch.append_column("jbkt", pa.array(bkt)))
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        t = _word_hash_table(batch)
+        k = t["doc_id"].to_numpy()
+        bkt = (splitmix64(k.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
+        return widen(pa.table({key: t["doc_id"], out_col: t["words"],
+                               "jbkt": pa.array(bkt)}))
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # doc rows have no partner id; pair rows always carry both doc ids
+        is_doc = df[other].isna()
+        d = df.loc[is_doc, [key, out_col]]
+        p = df.loc[~is_doc].drop(columns=[out_col, "jbkt"])
+        return p.merge(d, on=key, how="inner")
+
+    return tagged.union(docs).groupby("jbkt").map_groups(merge, batch_format="pandas")
+
+
+# verify-path gate: doc token blobs are broadcast only when the corpus is
+# provably small (parquet metadata count — no scan); otherwise the bucketed
+# map_groups join runs. 200k docs × ~25 tokens × 8 B ≈ 40 MB broadcast.
+VERIFY_BROADCAST_MAX_DOCS = 200_000
+
+
+def _jaccard_blobs(wa, wb) -> np.ndarray:
+    """Exact Jaccard over pairs of sorted-int64-array blobs."""
+    jac = np.zeros(len(wa), dtype=np.float64)
+    for i in range(len(wa)):
+        a = np.frombuffer(wa[i], dtype=np.int64)
+        b = np.frombuffer(wb[i], dtype=np.int64)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        jac[i] = inter / union if union else 0.0
+    return jac
+
+
 def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
     """shingle→minhash→band→bucket groupby→candidate pairs→exact-Jaccard verify.
 
-    Verification broadcasts the doc_id→word-set map (documents are the small
-    side here; at scale the verify stage re-reads just the candidate doc texts
-    via a semi-join instead)."""
-    import pyarrow.parquet as pq
+    No whole-corpus broadcast, no unbounded driver collect:
+
+    1. band buckets emit candidate pairs; a bucket hotter than HOT_BAND_CAP
+       does all-pairs over its first CAP ids and star-links the rest to the
+       bucket minimum (O(M) instead of O(M²), cluster connectivity preserved
+       for dedup; logged, never silent).
+    2. pair-distinct via a salted single-key groupby (N_DEDUP_BUCKETS groups,
+       vectorized ``np.unique`` per group) — bounded group count instead of
+       one group per pair.
+    3. verify: when the corpus is provably small (parquet metadata row count
+       ≤ VERIFY_BROADCAST_MAX_DOCS), broadcast the doc token-hash matrix
+       (``ray.put`` once, read once per actor) and verify shuffle-free with
+       the whole pipeline streaming end-to-end; otherwise fall back to two
+       bucketed map_groups joins (_attach_words) that never hold more than a
+       salt bucket in memory.
+    """
     import ray
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", zero_copy_batch=True)
 
+    def add_bucket_key(batch: pa.Table) -> pa.Table:
+        # composite single int64 key: multi-column groupby costs ~2 ms/group
+        bh = batch["band_hash"].to_numpy().astype(np.uint64)
+        b = batch["band"].to_numpy().astype(np.uint64)
+        key = splitmix64(bh ^ (b << np.uint64(56))).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "bkey": pa.array(key)})
+
+    keyed = sigs.map_batches(add_bucket_key, batch_format="pyarrow", zero_copy_batch=True)
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Candidate pairs as one composite int64 key (a<<32|b): multi-column
-        groupbys are ~100× slower than single-key unique() in Ray 2.49."""
+        """Candidate pairs as one composite int64 key (a<<32|b)."""
         ids = np.sort(df.doc_id.unique())
-        if ids.size > 256:
-            # hot-band cap (deterministic: smallest ids); at scale, salt the
-            # band key instead of dropping — logged so the cap is never silent
+        if ids.size < 2:
+            return pd.DataFrame({"pair": pd.array([], dtype="int64"),
+                                 "bkt": pd.array([], dtype="int64")})
+        if ids.size > HOT_BAND_CAP:
             import logging
 
             logging.getLogger(__name__).warning(
-                "minhash band bucket capped: %d → 256 docs", ids.size)
-            ids = ids[:256]
-        if ids.size < 2:
-            return pd.DataFrame({"pair": pd.array([], dtype="int64")})
-        a, b = np.triu_indices(ids.size, k=1)
+                "hot minhash band bucket (%d docs): star-linking beyond %d",
+                ids.size, HOT_BAND_CAP)
+            head = ids[:HOT_BAND_CAP]
+            ai, bi = np.triu_indices(head.size, k=1)
+            a = np.concatenate([head[ai], np.full(ids.size - HOT_BAND_CAP, ids[0])])
+            b = np.concatenate([head[bi], ids[HOT_BAND_CAP:]])
+        else:
+            ai, bi = np.triu_indices(ids.size, k=1)
+            a, b = ids[ai], ids[bi]
+        pair = (a.astype(np.int64) << 32) | b.astype(np.int64)
+        bkt = (splitmix64(pair.astype(np.uint64)) % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
+        return pd.DataFrame({"pair": pair, "bkt": bkt})
+
+    candidates = keyed.groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pair = np.unique(df.pair.to_numpy())
         return pd.DataFrame({
-            "pair": (ids[a].astype(np.int64) << 32) | ids[b].astype(np.int64)
+            "doc_a": (pair >> 32).astype(np.int64),
+            "doc_b": (pair & 0xFFFFFFFF).astype(np.int64),
         })
 
-    candidates = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    uniq = candidates.groupby("bkt").map_groups(dedup_bucket, batch_format="pandas")
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
-    word_sets = dict(zip(docs.doc_id, _tokens(docs.text).map(set)))
-    wrapped = {"ref": ray.put(word_sets)}
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
+    if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
+        blobs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _word_hash_table, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        # padded token matrix: docs here are short (LSH shingle sets), so a
+        # (n_docs, max_tokens) int64 matrix + batched broadcast-compare beats
+        # per-pair intersect1d ~7x; pads are distinct negatives per row so
+        # pad-vs-pad never matches across different docs
+        arrs = [np.frombuffer(w, dtype=np.int64) for w in blobs.words]
+        width = max((a.size for a in arrs), default=1) or 1
+        mat = np.empty((len(arrs), width), dtype=np.int64)
+        lens = np.empty(len(arrs), dtype=np.int64)
+        for i, a in enumerate(arrs):
+            mat[i, :a.size] = a
+            mat[i, a.size:] = -(i + 1)
+            lens[i] = a.size
+        row_of = {int(d): i for i, d in enumerate(blobs.doc_id)}
+        state_ref = ray.put((mat, lens, row_of))
 
-    class Verify:
-        def __init__(self):
-            self.sets = ray.get(wrapped["ref"])
+        class VerifyBroadcast:
+            def __init__(self):
+                self.mat, self.lens, self.row_of = ray.get(state_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            pair = df.pair.to_numpy()
-            doc_a = (pair >> 32).astype(np.int64)
-            doc_b = (pair & 0xFFFFFFFF).astype(np.int64)
-            jac = []
-            for a, b in zip(doc_a, doc_b):
-                sa, sb = self.sets[a], self.sets[b]
-                u = len(sa | sb)
-                jac.append(len(sa & sb) / u if u else 0.0)
-            out = pd.DataFrame({"doc_a": doc_a, "doc_b": doc_b,
-                                "jaccard": _round(np.asarray(jac), 4)})
-            return out[out.jaccard >= threshold]
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                da, db = df.doc_a.to_numpy(), df.doc_b.to_numpy()
+                ia = np.fromiter((self.row_of[x] for x in da), np.int64, len(da))
+                ib = np.fromiter((self.row_of[x] for x in db), np.int64, len(db))
+                A, B = self.mat[ia], self.mat[ib]  # (n, W)
+                inter = (A[:, :, None] == B[:, None, :]).sum(axis=(1, 2))
+                union = self.lens[ia] + self.lens[ib] - inter
+                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                out = pd.DataFrame({"doc_a": da, "doc_b": db,
+                                    "jaccard": _round(jac, 4)})
+                return out[out.jaccard >= threshold]
 
-    # global distinct on the composite key, then verify exact Jaccard
-    import ray.data
+        return uniq.map_batches(VerifyBroadcast, batch_format="pandas",
+                                batch_size=16384, concurrency=(1, 16))
 
-    pairs = np.sort(np.asarray(list(candidates.unique("pair")), dtype=np.int64))
-    uniq = ray.data.from_arrow(pa.table({"pair": pa.array(pairs)}))
-    return uniq.map_batches(Verify, batch_format="pandas", concurrency=2)
+    # at-scale fallback: bucketed semi-join re-read, no driver state
+    j = _attach_words(uniq, sf_dir, "doc_a", "words_a")
+    j = _attach_words(j, sf_dir, "doc_b", "words_b")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            # union null-columns come back float64; doc ids < 2^32 are exact
+            "doc_a": df.doc_a.to_numpy().astype(np.int64),
+            "doc_b": df.doc_b.to_numpy().astype(np.int64),
+            "jaccard": _round(_jaccard_blobs(df.words_a.to_numpy(),
+                                             df.words_b.to_numpy()), 4),
+        })
+        return out[out.jaccard >= threshold]
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 def simhash_documents(sf_dir: str):

@@ -90,3 +90,16 @@ def test_ann_lsh_recall_vs_exact(ray_session):
     lpairs = set(zip(lsh.query_id, lsh.neighbor_id))
     assert len(lpairs & epairs) >= len(epairs) * 0.1
     assert (lsh.neighbor_id >= 10).all()
+
+
+def test_minhash_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
+    """The at-scale bucketed-join verify (no broadcast) must produce the same
+    pairs as the gated broadcast path."""
+    import __ray_entry__ as e
+    from serverless_covariate_drift_detection_ray.pipelines import textops
+
+    broadcast = _to_df(e.queries()["minhash_neardup_documents"](SF))
+    monkeypatch.setattr(textops, "VERIFY_BROADCAST_MAX_DOCS", 0)
+    fallback = _to_df(e.queries()["minhash_neardup_documents"](SF))
+    assert set(zip(broadcast.doc_a, broadcast.doc_b)) == set(
+        zip(fallback.doc_a, fallback.doc_b))
