@@ -109,68 +109,162 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
-def ann_lsh_bucketed(sf_dir: str, n_planes: int = 4):
-    """Scale-path ANN: random-hyperplane LSH bucket per vector, then exact
-    search only inside the query's bucket. Returns (bucket, n_vectors) stats +
-    per-query top-k within-bucket; recall vs exact is measured in tests."""
+LSH_TABLES = 3  # independent hash tables (banding): recall 1-(1-p^planes)^tables
+LSH_PLANES = 4  # 16 buckets per table; ~3/16 of the corpus scanned per query
+LSH_BUCKET_CAP = 4096  # max corpus rows scored per bucket (deterministic subset)
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector width from the first row of the first row group — no full read."""
     import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = pf.read_row_group(0, columns=["embedding"])
+    return len(first["embedding"][0])
+
+
+def ann_lsh_bucketed(sf_dir: str, n_tables: int = LSH_TABLES,
+                     n_planes: int = LSH_PLANES):
+    """Scale-path ANN: multi-table random-hyperplane LSH.
+
+    Each vector lands in one bucket per hash table (``n_tables`` rows through
+    the shuffle); exact scoring happens only within (table, bucket) groups,
+    capped at LSH_BUCKET_CAP corpus rows per bucket (deterministic
+    smallest-hash subset, logged when it trips) so no group ever holds more
+    than a bounded pandas frame. Per-query results merge across tables with
+    neighbor dedup. Recall vs the exact baseline is measured in tests."""
     import ray
 
+    from ..functions.hashing import hash64, splitmix64
+
     rng = np.random.Generator(np.random.PCG64(7))
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    dim = len(qt["embedding"][0])
-    planes = rng.normal(size=(n_planes, dim))
+    dim = _embedding_dim(sf_dir)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
     wrapped = {"ref": ray.put(planes)}
 
     class Bucketize:
         def __init__(self):
-            self.planes = ray.get(wrapped["ref"])
+            self.planes = ray.get(wrapped["ref"])  # (t, p, d)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             x = _to_matrix(batch["embedding"])
-            bits = (x @ self.planes.T) > 0  # (n, p)
-            bucket = bits @ (1 << np.arange(n_planes))
-            return pa.table({
-                "vec_id": batch["vec_id"],
-                "bucket": pa.array(bucket.astype(np.int64)),
-                "embedding": batch["embedding"],
-            })
+            n = x.shape[0]
+            outs = []
+            for t in range(n_tables):
+                bits = (x @ self.planes[t].T) > 0  # (n, p)
+                bucket = bits @ (1 << np.arange(n_planes))
+                key = (np.int64(t) << np.int64(n_planes)) | bucket.astype(np.int64)
+                outs.append(pa.table({
+                    "vec_id": batch["vec_id"],
+                    "tbucket": pa.array(key),
+                    "embedding": batch["embedding"],
+                }))
+            return pa.concat_tables(outs)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
 
     def within_bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                              "neighbor_id": pd.array([], dtype="int64"),
+                              "cos": pd.array([], dtype="float64")})
         ids = df.vec_id.to_numpy()
+        qsel = ids < N_QUERIES
+        if not qsel.any() or qsel.all():
+            return empty
+        corpus = np.flatnonzero(~qsel)
+        if corpus.size > LSH_BUCKET_CAP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hot LSH bucket (%d rows): scoring deterministic %d-subset",
+                corpus.size, LSH_BUCKET_CAP)
+            h = splitmix64(ids[corpus].astype(np.uint64))
+            corpus = corpus[np.argsort(h, kind="stable")[:LSH_BUCKET_CAP]]
         x = np.stack(df.embedding.to_numpy())
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        qsel = ids < N_QUERIES
-        if not qsel.any():
-            return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
-                                 "neighbor_id": pd.array([], dtype="int64"),
-                                 "cos": pd.array([], dtype="float64")})
-        cos = x[qsel] @ x[~qsel].T if (~qsel).any() else np.zeros((qsel.sum(), 0))
-        rows = []
-        cids = ids[~qsel]
-        for qi, qid in enumerate(ids[qsel]):
-            order = np.argsort(-cos[qi])[:TOP_K]
-            for j in order:
-                rows.append((int(qid), int(cids[j]), float(_round(cos[qi][j], 6))))
-        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+        cos = x[qsel] @ x[corpus].T  # (nq, nc)
+        k = min(TOP_K, corpus.size)
+        cids = ids[corpus]
+        qids = ids[qsel]
+        out_q, out_n, out_c = [], [], []
+        for qi in range(qids.size):
+            top = np.argpartition(-cos[qi], k - 1)[:k]
+            out_q.append(np.full(k, qids[qi], dtype=np.int64))
+            out_n.append(cids[top].astype(np.int64))
+            out_c.append(cos[qi][top])
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "cos": np.concatenate(out_c),
+        })
 
-    return bucketed.groupby("bucket").map_groups(within_bucket_topk, batch_format="pandas")
+    partials = bucketed.groupby("tbucket").map_groups(
+        within_bucket_topk, batch_format="pandas")
+
+    def merge_tables(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("neighbor_id")
+        df = df.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        return pd.DataFrame({
+            "query_id": df.query_id.to_numpy(),
+            "neighbor_id": df.neighbor_id.to_numpy(),
+            "cos": _round(df.cos.to_numpy(), 6),
+        })
+
+    return partials.groupby("query_id").map_groups(merge_tables, batch_format="pandas")
+
+
+MMD_SAMPLE_CAP = 2048  # per-side deterministic sample bound for the MMD test
 
 
 def mmd_embeddings_drift(sf_dir: str):
     """MMD+permutation two-sample tests on the embeddings table:
     (a) null — even vs odd vec_id; (b) drift — second half affinely shifted.
-    The engine drift operator applied to generic ``list<float>`` vectors."""
+
+    Each side is bounded by a deterministic smallest-hash sample
+    (splitmix64(vec_id), cap MMD_SAMPLE_CAP): per-block partial samples stream
+    to the driver, which keeps the global smallest — never the full column
+    (the image path's sampling scheme, stages/featurize.py). Stable under any
+    block layout / parallelism."""
+    from ..functions.hashing import splitmix64
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    t = pa.concat_tables(
-        [b for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")]
-    )
-    ids = t["vec_id"].to_numpy()
-    x = _to_matrix(t["embedding"])
-    even, odd = x[ids % 2 == 0], x[ids % 2 == 1]
+    cap = MMD_SAMPLE_CAP
+
+    def partial_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        keys = splitmix64(ids.astype(np.uint64))
+        even = ids % 2 == 0
+        parts = []
+        for grp, sel in (("even", even), ("odd", ~even)):
+            idx = np.flatnonzero(sel)
+            if not idx.size:
+                continue
+            order = np.argsort(keys[idx], kind="stable")[:cap]
+            take = idx[order]
+            sub = batch.take(pa.array(take))
+            parts.append(pa.table({
+                "grp": pa.array([grp] * take.size),
+                "key": pa.array(keys[take].astype(np.int64)),
+                "embedding": sub["embedding"],
+            }))
+        if not parts:
+            return pa.table({"grp": pa.array([], pa.string()),
+                             "key": pa.array([], pa.int64()),
+                             "embedding": batch["embedding"].slice(0, 0)})
+        return pa.concat_tables(parts)
+
+    sampled = ds.map_batches(partial_sample, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+
+    def side(grp: str) -> np.ndarray:
+        sub = sampled[sampled.grp == grp]
+        # uint64 keys compare identically as int64 views here only within a
+        # block; re-sort on the unsigned view for the global smallest-cap
+        order = np.argsort(sub.key.to_numpy().astype(np.uint64), kind="stable")[:cap]
+        return np.stack(sub.embedding.to_numpy()[order]).astype(np.float64)
+
+    even, odd = side("even"), side("odd")
     sigma = median_heuristic_sigma(even)
     d_null, p_null = mmd_permutation_test(even, odd, sigma, 100, seed=31)
     shifted = odd * 1.3 + 0.5

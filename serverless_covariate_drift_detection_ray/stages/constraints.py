@@ -175,14 +175,37 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
 
     hmax, min_cluster = cfg.neardup_hamming_max, cfg.neardup_min_cluster
 
-    phs = []
-    for b in ds.select_columns(["phash"]).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"):
-        phs.append(b["phash"].to_numpy())
-    allph = np.concatenate(phs) if phs else np.empty(0, np.int64)
-    vals, mult = np.unique(allph, return_counts=True)
-    if vals.size > NEARDUP_DRIVER_MAX:
+    # choose the path BEFORE collecting anything: row count bounds the
+    # distinct-phash count, so the driver path is only entered when the
+    # collect is provably bounded (round-1 red item: the old code
+    # concatenated the full column first and guarded after)
+    try:
+        total_rows = ds.count()
+    except Exception:
+        total_rows = None
+    if total_rows is None or total_rows > NEARDUP_DRIVER_MAX:
         return check_neardup_distributed(ds, cfg)
+
+    # per-block unique partials (dups collapse before leaving the workers)
+    def block_uniques(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch["phash"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    vs, cs = [], []
+    for b in ds.select_columns(["phash"]).map_batches(
+            block_uniques, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        vs.append(b["v"].to_numpy())
+        cs.append(b["c"].to_numpy())
+    if vs:
+        allv, allc = np.concatenate(vs), np.concatenate(cs)
+        vals, inv = np.unique(allv, return_inverse=True)
+        mult = np.zeros(vals.size, dtype=np.int64)
+        np.add.at(mult, inv, allc)
+    else:
+        vals, mult = np.empty(0, np.int64), np.empty(0, np.int64)
 
     bands = phash_bands(vals, 3)
     pair_a, pair_b = [], []
