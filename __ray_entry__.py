@@ -19,7 +19,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-from serverless_covariate_drift_detection_ray.pipelines import ann, textops
+from serverless_covariate_drift_detection_ray.pipelines import ann, classify, textops
 from serverless_covariate_drift_detection_ray.pipelines import queries as relq
 
 
@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_by_lang": textops.token_stats_by_lang,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
+        # classifier projection + accuracy aggregate (SURVEY M3/A5)
+        "classify_accuracy_embeddings": classify.classify_accuracy_embeddings,
         # similarity search / embedding drift
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
@@ -130,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_by_lang": textops.TOKEN_STATS_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
+        "classify_accuracy_embeddings": classify.CLASSIFY_SQL,
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
         # rows-only (no SQL equivalent): minhash_neardup_documents,
         # simhash_documents, fingerprint_documents, ann_lsh_bucketed,

@@ -39,7 +39,7 @@ def _to_df(res):
     "q1_pricing_summary", "join_large_priority_revenue", "topk_orders",
     "sessionize_events", "column_stats_lineitem", "uniqueness_pk",
     "ks_purchase_click", "dedup_exact_documents", "jaccard_neardup_pairs",
-    "ann_topk_cosine",
+    "ann_topk_cosine", "classify_accuracy_embeddings",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
