@@ -65,6 +65,7 @@ class TestDriftVerdicts:
             "drift-fmt": ("chi2", "fmt"),
             "drift-caption": ("ks", "caption_len"),
             "drift-struct": ("mmd", "phash_embedding"),
+            "drift-elastic-2.0": ("mmd", "phash_embedding"),
         }
         for pid, kind in run["kinds"].items():
             if kind in expect:
