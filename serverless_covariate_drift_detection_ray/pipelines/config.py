@@ -46,6 +46,10 @@ class EngineConfig:
     featurize_concurrency: int | None = None  # None = stateless tasks autoscale
     drift_concurrency: int = 4
     freeze_time: str | None = None     # fixed verdict timestamp for byte-stable goldens
+    # drift-check plugins (§2.10): registered names or custom Check instances
+    # (instances are cloudpickled by value into the actor pool, so custom
+    # checks need not be importable on workers) — see stages/checks.py
+    drift_checks: tuple = ("ks", "chi2", "mmd")
 
     def sample_threshold(self, fraction: float) -> int:
         """uint64 threshold t such that P[hash64(id) < t] = fraction."""

@@ -1,0 +1,122 @@
+"""The ``Check`` protocol: pluggable drift/validation checks (SURVEY.md §2.10).
+
+The reference's extension point is detector polymorphism — its service loads
+ANY pickled ``BaseDetector`` and relies only on ``.compare()``
+(/root/reference/detector_api/app/detector.py:27-42,58-61). The engine
+mirrors that: a check is any object with a ``name`` and
+``compare(pid, ref, partial, cfg, ts) -> list[verdict dict]``; built-ins
+(KS marginals, Chi² fmt, MMD embeddings) register under short names, and
+``EngineConfig.drift_checks`` may mix registered names with custom Check
+INSTANCES (cloudpickle ships instance-carried classes by value, so a custom
+check defined anywhere reaches the actor-pool workers without being
+importable there).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+from ..functions.phash import phash_to_embedding
+from ..functions.stats import chi2_test_counts, ks_pvalue_from_d, mmd_permutation_test
+from ..pipelines.config import EngineConfig
+from ..state.partials import PartialState
+from ..state.reference import ReferenceState
+from ..state.sketches import ks_from_histograms
+
+
+def make_verdict(pid: int, check: str, column: str, stat: float, p: float,
+                 cfg: EngineConfig, n_ref: int, n_test: int, ts: str) -> dict:
+    """One verdict row in the reference's record shape
+    (alpha/distance/p_value/is_drift/datetime,
+    /root/reference/detector_api/app/detector.py:62-70)."""
+    return {
+        "partition_id": pid, "check": check, "column": column,
+        "statistic": float(stat), "p_value": float(p), "alpha": cfg.alpha,
+        "passed": bool(p > cfg.alpha), "n_ref": int(n_ref),
+        "n_test": int(n_test), "datetime": ts,
+    }
+
+
+@runtime_checkable
+class Check(Protocol):
+    name: str
+
+    def compare(self, pid: int, ref: ReferenceState, ps: PartialState,
+                cfg: EngineConfig, ts: str) -> list[dict]:
+        """Test one partition's merged state against the frozen reference."""
+        ...
+
+
+CHECK_REGISTRY: dict[str, type] = {}
+
+
+def register_check(name: str):
+    def deco(cls):
+        cls.name = name
+        CHECK_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def resolve_checks(specs) -> list["Check"]:
+    """Names -> registry classes (instantiated); instances pass through."""
+    out = []
+    for s in specs:
+        if isinstance(s, str):
+            out.append(CHECK_REGISTRY[s]())
+        else:
+            out.append(s)
+    return out
+
+
+@register_check("ks")
+class KSMarginalsCheck:
+    """KS on each numeric marginal — reference ECDF from the checkpointed
+    histogram (A7; reference-window semantics of detector.py:58-61)."""
+
+    def compare(self, pid, ref, ps, cfg, ts):
+        out = []
+        for col in cfg.marginals:
+            rh, th = ref.state.hists[col], ps.hists[col]
+            n_ref, n_test = rh.total, th.total
+            if n_ref == 0 or n_test == 0:
+                out.append(make_verdict(pid, "ks", col, 0.0, 1.0, cfg, n_ref, n_test, ts))
+                continue
+            d = ks_from_histograms(rh, th)
+            out.append(make_verdict(pid, "ks", col, d, ks_pvalue_from_d(d, n_ref, n_test),
+                                    cfg, n_ref, n_test, ts))
+        return out
+
+
+@register_check("chi2")
+class Chi2FmtCheck:
+    """Chi² observed-vs-expected on the fmt categorical (A7)."""
+
+    def compare(self, pid, ref, ps, cfg, ts):
+        stat, dof, p = chi2_test_counts(ps.fmt_counts, ref.state.fmt_counts)
+        return [make_verdict(pid, "chi2", "fmt", stat, p, cfg,
+                             int(ref.state.fmt_counts.sum()),
+                             int(ps.fmt_counts.sum()), ts)]
+
+
+@register_check("mmd")
+class MMDEmbeddingCheck:
+    """MMD + permutation test over phash-derived embeddings (A2/A3).
+
+    Permutation RNG seeded by (run seed ^ partition_id) only — deterministic
+    under resume and any parallelism (SURVEY.md §4)."""
+
+    def compare(self, pid, ref, ps, cfg, ts):
+        x = phash_to_embedding(ref.state.sample_phash[: cfg.ref_sample_cap])
+        y = phash_to_embedding(ps.sample_phash[: cfg.mmd_sample_cap])
+        if x.shape[0] and y.shape[0]:
+            dist, p = mmd_permutation_test(
+                x, y, ref.sigma,
+                num_permutations=cfg.num_permutations,
+                seed=cfg.seed ^ (pid + 1),
+                chunk=cfg.kernel_chunk,
+            )
+        else:
+            dist, p = 0.0, 1.0
+        return [make_verdict(pid, "mmd", "phash_embedding", dist, p, cfg,
+                             x.shape[0], y.shape[0], ts)]

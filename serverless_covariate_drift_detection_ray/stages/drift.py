@@ -20,12 +20,10 @@ from datetime import datetime, timezone
 import numpy as np
 import pyarrow as pa
 
-from ..functions.phash import phash_to_embedding
-from ..functions.stats import chi2_test_counts, ks_pvalue_from_d, mmd_permutation_test
 from ..pipelines.config import EngineConfig
 from ..state.partials import PartialState
 from ..state.reference import ReferenceState
-from ..state.sketches import ks_from_histograms
+from .checks import resolve_checks
 
 VERDICT_SCHEMA = pa.schema(
     [
@@ -55,6 +53,9 @@ class DriftTestActor:
     def __init__(self, cfg: EngineConfig, ref_state_dir: str):
         self.cfg = cfg
         self.ref = ReferenceState.load(ref_state_dir)
+        # check plugin resolution (SURVEY.md §2.10): registered names and/or
+        # custom Check instances carried in the config — see stages/checks.py
+        self.checks = resolve_checks(cfg.drift_checks)
 
     def _now(self) -> str:
         if self.cfg.freeze_time:
@@ -62,47 +63,10 @@ class DriftTestActor:
         return datetime.now(timezone.utc).strftime(TS_FORMAT)
 
     def verdicts_for_partition(self, pid: int, ps: PartialState) -> list[dict]:
-        cfg = self.cfg
-        ref = self.ref.state
-        out: list[dict] = []
         ts = self._now()
-
-        def verdict(check: str, column: str, stat: float, p: float,
-                    n_ref: int, n_test: int) -> None:
-            out.append({
-                "partition_id": pid, "check": check, "column": column,
-                "statistic": float(stat), "p_value": float(p), "alpha": cfg.alpha,
-                "passed": bool(p > cfg.alpha), "n_ref": int(n_ref),
-                "n_test": int(n_test), "datetime": ts,
-            })
-
-        # KS on each numeric marginal (reference ECDF from checkpointed histogram)
-        for col in cfg.marginals:
-            rh, th = ref.hists[col], ps.hists[col]
-            n_ref, n_test = rh.total, th.total
-            if n_ref == 0 or n_test == 0:
-                verdict("ks", col, 0.0, 1.0, n_ref, n_test)
-                continue
-            d = ks_from_histograms(rh, th)
-            verdict("ks", col, d, ks_pvalue_from_d(d, n_ref, n_test), n_ref, n_test)
-
-        # Chi² on the fmt categorical
-        stat, dof, p = chi2_test_counts(ps.fmt_counts, ref.fmt_counts)
-        verdict("chi2", "fmt", stat, p, int(ref.fmt_counts.sum()), int(ps.fmt_counts.sum()))
-
-        # MMD + permutation test over phash-derived embeddings
-        x = phash_to_embedding(ref.sample_phash[: cfg.ref_sample_cap])
-        y = phash_to_embedding(ps.sample_phash[: cfg.mmd_sample_cap])
-        if x.shape[0] and y.shape[0]:
-            dist, p = mmd_permutation_test(
-                x, y, self.ref.sigma,
-                num_permutations=cfg.num_permutations,
-                seed=cfg.seed ^ (pid + 1),
-                chunk=cfg.kernel_chunk,
-            )
-        else:
-            dist, p = 0.0, 1.0
-        verdict("mmd", "phash_embedding", dist, p, x.shape[0], y.shape[0])
+        out: list[dict] = []
+        for chk in self.checks:
+            out.extend(chk.compare(pid, self.ref, ps, self.cfg, ts))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
