@@ -40,6 +40,15 @@ CONSTRAINT_CHECKS = ("unique_image_id", "neardup_phash")
 # groupby instead of on the driver (~100 KB per partial row)
 DRIVER_MERGE_MAX_PARTIALS = 20_000
 
+# reduced-stream rows (partials + domain violations) the driver will collect;
+# beyond this the split/merge runs distributed (a pathological partition where
+# every row violates must not ride through the driver)
+REDUCED_DRIVER_MAX = 500_000
+
+# total violation rows assembled driver-side; beyond this, violations are
+# sorted and written per partition by a distributed groupby writer
+VIOLATIONS_DRIVER_MAX = 1_000_000
+
 COLUMN_STATS_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
@@ -144,20 +153,14 @@ def validate(
     stage_t["featurize"] = time.time() - t1
 
     # the reduced stream is a few KB per input block — collect it once on the
-    # driver and split locally (violations | partials). At 10^12-row scale the
-    # partial count grows with block count; above DRIVER_MERGE_MAX_PARTIALS the
-    # per-partition merge runs as a groupby shuffle instead (same semantics —
-    # merge_many is commutative), keeping the driver out of the data path.
+    # driver and split locally (violations | partials) while it provably fits
+    # (REDUCED_DRIVER_MAX). Beyond that — e.g. a pathological partition where
+    # every row violates — the split and the per-partition merge both run
+    # distributed (same semantics: merge_many is commutative), keeping the
+    # driver out of the data path.
+    import ray.data
+
     t1 = time.time()
-    reduced_tbl = pa.concat_tables(
-        list(reduced.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
-    )
-    domain_viol_tbl = reduced_tbl.filter(
-        pc.equal(reduced_tbl["kind"], "violation")
-    ).select(["partition_id", "image_id", "check", "column", "observed", "expected"])
-    partials_tbl = reduced_tbl.filter(pc.equal(reduced_tbl["kind"], "partial")).select(
-        ["partition_id", "state", "n_rows"]
-    )
 
     def merge_group(batch: pa.Table) -> pa.Table:
         pid = int(batch["partition_id"][0].as_py())
@@ -168,18 +171,44 @@ def validate(
             "n_rows": pa.array([merged.n_rows], pa.int64()),
         })
 
-    if partials_tbl.num_rows <= DRIVER_MERGE_MAX_PARTIALS:
-        part_tables = []
-        pids_present = np.unique(partials_tbl["partition_id"].to_numpy())
-        for pid in pids_present:
-            sub = partials_tbl.filter(pc.equal(partials_tbl["partition_id"], int(pid)))
-            part_tables.append(merge_group(sub))
-        # one single-row block per partition so the drift actor pool fans out
-        per_part = ray.data.from_arrow(part_tables)
+    VIOL_COLS = ["partition_id", "image_id", "check", "column", "observed", "expected"]
+    n_reduced = reduced.count()
+    if n_reduced <= REDUCED_DRIVER_MAX:
+        reduced_tbl = pa.concat_tables(
+            list(reduced.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+        )
+        domain_viol_ds = ray.data.from_arrow(
+            reduced_tbl.filter(pc.equal(reduced_tbl["kind"], "violation"))
+            .select(VIOL_COLS).cast(VIOLATION_SCHEMA)
+        )
+        partials_tbl = reduced_tbl.filter(pc.equal(reduced_tbl["kind"], "partial")).select(
+            ["partition_id", "state", "n_rows"]
+        )
+        if partials_tbl.num_rows <= DRIVER_MERGE_MAX_PARTIALS:
+            part_tables = []
+            pids_present = np.unique(partials_tbl["partition_id"].to_numpy())
+            for pid in pids_present:
+                sub = partials_tbl.filter(pc.equal(partials_tbl["partition_id"], int(pid)))
+                part_tables.append(merge_group(sub))
+            # one single-row block per partition so the drift actor pool fans out
+            per_part = ray.data.from_arrow(part_tables)
+        else:
+            per_part = ray.data.from_arrow(partials_tbl).groupby("partition_id").map_groups(
+                merge_group, batch_format="pyarrow"
+            ).materialize()
     else:
-        import ray.data  # noqa: F401  (scale path)
+        def keep(kind: str, cols: list[str]):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.equal(batch["kind"], kind)).select(cols)
+            return fn
 
-        per_part = ray.data.from_arrow(partials_tbl).groupby("partition_id").map_groups(
+        domain_viol_ds = reduced.map_batches(
+            keep("violation", VIOL_COLS), batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(lambda t: t.cast(VIOLATION_SCHEMA), batch_format="pyarrow")
+        per_part = reduced.map_batches(
+            keep("partial", ["partition_id", "state", "n_rows"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).groupby("partition_id").map_groups(
             merge_group, batch_format="pyarrow"
         ).materialize()
     stage_t["merge_partials"] = time.time() - t1
@@ -208,46 +237,98 @@ def validate(
     neardup_viol = check_neardup(ids_ds, cfg)
     stage_t["neardup_setup"] = time.time() - t1
 
-    # ---- driver-side assembly (all small relative to input) ----
+    # ---- assembly: verdicts are tiny (per partition × check) and always
+    # collect driver-side; violations collect only below VIOLATIONS_DRIVER_MAX,
+    # else a distributed per-partition writer streams them into the store
+    # layout (sorted within partition — the byte-stable contract) ----
     t1 = time.time()
     verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)
     stage_t["drift"] = time.time() - t1
-    viol_tables = [domain_viol_tbl.cast(VIOLATION_SCHEMA)]
-    for nm, vds in (("uniqueness", uniq_viol), ("neardup", neardup_viol)):
-        t1 = time.time()
-        rows = vds.take_all()
-        stage_t[nm] = time.time() - t1
-        if rows:
-            viol_tables.append(pa.Table.from_pylist(rows, schema=VIOLATION_SCHEMA))
-    violations = (
-        pa.concat_tables(viol_tables) if viol_tables else VIOLATION_SCHEMA.empty_table()
-    )
-    # byte-stable ordering (SURVEY.md §7 "hard parts")
-    violations = violations.sort_by(
-        [("partition_id", "ascending"), ("check", "ascending"), ("image_id", "ascending")]
-    )
 
-    # constraint verdict rows (per partition × constraint check)
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({f.name: t[f.name].cast(f.type) for f in VIOLATION_SCHEMA},
+                        schema=VIOLATION_SCHEMA)
+
+    t1 = time.time()
+    viol_ds = domain_viol_ds.union(
+        uniq_viol.map_batches(conform, batch_format="pyarrow"),
+        neardup_viol.map_batches(conform, batch_format="pyarrow"),
+    ).materialize()
+    n_viol = viol_ds.count()
+    stage_t["constraints"] = time.time() - t1
+
     ts = cfg.freeze_time or time.strftime("%d/%m/%Y %H:%M:%S.000000", time.gmtime())
     assert TS_FORMAT  # format documented in stages.drift
+
+    violations = None  # driver-side table when small, None when streamed
+    if n_viol <= VIOLATIONS_DRIVER_MAX:
+        violations = pa.concat_tables(
+            list(viol_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+        ) if n_viol else VIOLATION_SCHEMA.empty_table()
+        # byte-stable ordering (SURVEY.md §7 "hard parts")
+        violations = violations.sort_by(
+            [("partition_id", "ascending"), ("check", "ascending"), ("image_id", "ascending")]
+        )
+        vp = violations["partition_id"].to_numpy(zero_copy_only=False)
+        vc = violations["check"].to_numpy(zero_copy_only=False)
+        viol_counts = {}
+        for pid in todo:
+            sel = vp == pid
+            viol_counts[pid] = {
+                "total": int(sel.sum()),
+                **{c: int((sel & (vc == c)).sum()) for c in CONSTRAINT_CHECKS},
+                "domain": int((sel & ~np.isin(vc, CONSTRAINT_CHECKS)).sum()),
+            }
+    else:
+        # distributed per-partition writer: each group sorts its rows by
+        # (check, image_id) and writes violations.parquet atomically into the
+        # store layout BEFORE any lineage marker lands; returns counts only
+        viol_root = os.path.join(out_dir, "violations")
+
+        def write_group(batch: pa.Table) -> pa.Table:
+            pid = int(batch["partition_id"][0].as_py())
+            t = batch.sort_by([("check", "ascending"), ("image_id", "ascending")])
+            d = os.path.join(viol_root, f"partition_id={pid}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, "violations.parquet.tmp")
+            pq.write_table(t, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(d, "violations.parquet"))
+            checks = t["check"].to_numpy(zero_copy_only=False)
+            names = list(CONSTRAINT_CHECKS)
+            counts = [int((checks == c).sum()) for c in names]
+            return pa.table({
+                "partition_id": pa.array([pid] * (len(names) + 1), pa.int32()),
+                "check": pa.array(names + ["__domain__"]),
+                "n": pa.array(counts + [int(len(checks) - sum(counts))], pa.int64()),
+            })
+
+        cdf = viol_ds.groupby("partition_id").map_groups(
+            write_group, batch_format="pyarrow").to_pandas()
+        viol_counts = {pid: {"total": 0, "domain": 0,
+                             **{c: 0 for c in CONSTRAINT_CHECKS}} for pid in todo}
+        for _, r in cdf.iterrows():
+            d = viol_counts.setdefault(int(r.partition_id), {
+                "total": 0, "domain": 0, **{c: 0 for c in CONSTRAINT_CHECKS}})
+            key = "domain" if r.check == "__domain__" else r.check
+            d[key] += int(r.n)
+            d["total"] += int(r.n)
+
+    # constraint verdict rows (per partition × constraint check)
     c_rows = []
-    vp = violations["partition_id"].to_numpy(zero_copy_only=False)
-    vc = violations["check"].to_numpy(zero_copy_only=False)
     for pid in todo:
+        cnts = viol_counts.get(pid, {"total": 0, "domain": 0,
+                                     **{c: 0 for c in CONSTRAINT_CHECKS}})
         for check in CONSTRAINT_CHECKS:
-            n_bad = int(((vp == pid) & (vc == check)).sum())
+            n_bad = cnts[check]
             c_rows.append({
                 "partition_id": pid, "check": check, "column": "image_id" if "unique" in check else "phash",
                 "statistic": float(n_bad), "p_value": float("nan"), "alpha": cfg.alpha,
                 "passed": n_bad == 0, "n_ref": 0, "n_test": 0, "datetime": ts,
             })
-        n_domain = int(
-            ((vp == pid) & ~np.isin(vc, CONSTRAINT_CHECKS)).sum()
-        )
         c_rows.append({
             "partition_id": pid, "check": "schema_domain", "column": "*",
-            "statistic": float(n_domain), "p_value": float("nan"), "alpha": cfg.alpha,
-            "passed": n_domain == 0, "n_ref": 0, "n_test": 0, "datetime": ts,
+            "statistic": float(cnts["domain"]), "p_value": float("nan"), "alpha": cfg.alpha,
+            "passed": cnts["domain"] == 0, "n_ref": 0, "n_test": 0, "datetime": ts,
         })
     verdicts = pa.concat_tables(
         [verdicts, pa.Table.from_pylist(c_rows, schema=VERDICT_SCHEMA)]
@@ -265,7 +346,20 @@ def validate(
             _column_stats_rows(pid, ps) if ps else [], schema=COLUMN_STATS_SCHEMA
         )
         vmask = pc.equal(verdicts["partition_id"], pid)
-        violm = violations.filter(pc.equal(violations["partition_id"], pid))
+        if violations is not None:
+            violm = violations.filter(pc.equal(violations["partition_id"], pid))
+            vcount = violm.num_rows
+        else:
+            # streamed path: the distributed writer already landed this
+            # partition's file (if it had any violations); empty otherwise
+            fpath = os.path.join(out_dir, "violations",
+                                 f"partition_id={pid}", "violations.parquet")
+            if os.path.exists(fpath):
+                violm = None
+                vcount = viol_counts.get(pid, {}).get("total", 0)
+            else:
+                violm = VIOLATION_SCHEMA.empty_table()
+                vcount = 0
         store.commit_partition(
             partition_id=pid,
             fragment_ids=manifest.fragments_of(pid),
@@ -274,6 +368,7 @@ def validate(
             column_stats=col_stats,
             stats_blob=states.get(pid, b""),
             wall_s=wall / max(len(todo), 1),
+            violation_count=vcount,
         )
 
     t1 = time.time()
@@ -287,7 +382,8 @@ def validate(
         "wall_s": wall,
         "rows_per_s": rows_todo / wall if wall > 0 else float("nan"),
         "verdicts": verdicts.num_rows,
-        "violations": violations.num_rows,
+        "violations": n_viol,
+        "violations_streamed": violations is None,
         "drift_flagged": int(
             pc.sum(
                 pc.and_(pc.invert(verdicts["passed"]),

@@ -56,13 +56,20 @@ class CheckpointStore:
         partition_id: int,
         fragment_ids: list[int],
         verdicts: pa.Table,
-        violations: pa.Table,
+        violations: pa.Table | None,
         column_stats: pa.Table,
         stats_blob: bytes,
         wall_s: float,
+        violation_count: int | None = None,
     ) -> None:
+        """``violations=None`` means the partition's violation file was already
+        streamed into the layout by a distributed writer (validate.py's
+        above-threshold path) — only the count is recorded here."""
         self._write_part("verdicts", partition_id, verdicts, "verdicts.parquet")
-        self._write_part("violations", partition_id, violations, "violations.parquet")
+        if violations is not None:
+            self._write_part("violations", partition_id, violations, "violations.parquet")
+            if violation_count is None:
+                violation_count = violations.num_rows
         self._write_part("column_stats", partition_id, column_stats, "column_stats.parquet")
         blob_dir = os.path.join(self.out_dir, "stats_blobs")
         os.makedirs(blob_dir, exist_ok=True)
@@ -75,7 +82,7 @@ class CheckpointStore:
             "fragment_ids": fragment_ids,
             "status": "done",
             "verdict_count": verdicts.num_rows,
-            "violation_count": violations.num_rows,
+            "violation_count": int(violation_count or 0),
             "wall_s": round(wall_s, 3),
             "engine_version": __version__,
             "completed_at": time.time(),

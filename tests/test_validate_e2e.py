@@ -174,3 +174,30 @@ class TestRepartitionInvariance:
         b = v2[v2.check.isin(["ks", "chi2", "mmd"])].sort_values(key).reset_index(drop=True)
         assert np.allclose(a.statistic.to_numpy(), b.statistic.to_numpy(), atol=1e-12)
         assert np.allclose(a.p_value.to_numpy(), b.p_value.to_numpy(), atol=1e-12)
+
+
+class TestStreamedViolations:
+    def test_streamed_path_matches_driver_path(self, run, tmp_path_factory, monkeypatch):
+        """Above the driver thresholds, violations are written by a distributed
+        per-partition writer; output must be byte-identical to the driver path."""
+        from serverless_covariate_drift_detection_ray.pipelines import validate as V
+
+        monkeypatch.setattr(V, "REDUCED_DRIVER_MAX", 0)
+        monkeypatch.setattr(V, "VIOLATIONS_DRIVER_MAX", 0)
+        base = tmp_path_factory.mktemp("streamed")
+        out2 = str(base / "out2")
+        s = validate(run["fix"], run["ref_dir"], out2, run["cfg"])
+        assert s["violations_streamed"] is True
+
+        def load(out_dir, sub):
+            return pd.concat([
+                pq.read_table(f).to_pandas()
+                for f in sorted(glob.glob(os.path.join(out_dir, sub, "*", "*.parquet")))
+            ]).reset_index(drop=True)
+
+        v1 = load(run["out_dir"], "violations")
+        v2 = load(out2, "violations")
+        pd.testing.assert_frame_equal(v1, v2)
+        a = load(run["out_dir"], "verdicts")
+        b = load(out2, "verdicts")
+        pd.testing.assert_frame_equal(a, b)
