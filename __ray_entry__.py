@@ -71,8 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (SURVEY §2.5)
         "join_broadcast_nation_revenue": relq.join_broadcast_nation_revenue,
         "join_large_priority_revenue": relq.join_large_priority_revenue,
-        # sort / top-k / distinct (SURVEY §2.6)
+        # sort / top-k / distinct / split / sample (SURVEY §2.6)
         "topk_orders": relq.topk_orders,
+        "split_proportions_orders": relq.split_proportions_orders,
+        "sample_random_orders": relq.sample_random_orders,
         "distinct_flag_status": relq.distinct_flag_status,
         "heavy_hitter_users": relq.heavy_hitter_users,
         # windows / stream-shaped
@@ -115,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "join_broadcast_nation_revenue": relq.JOIN_BROADCAST_SQL,
         "join_large_priority_revenue": relq.JOIN_LARGE_SQL,
         "topk_orders": relq.TOPK_SQL,
+        "split_proportions_orders": relq.SPLIT_SQL,
+        "sample_random_orders": relq.SAMPLE_SQL,
         "distinct_flag_status": relq.DISTINCT_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

@@ -634,3 +634,92 @@ SELECT 0.75, FLOOR(quantile_cont(l_extendedprice, 0.75)*10000+0.5)/10000 FROM li
 UNION ALL
 SELECT 0.95, FLOOR(quantile_cont(l_extendedprice, 0.95)*10000+0.5)/10000 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# Seeded split / deterministic random sample (SURVEY.md §2.6) — the engine
+# analogue of the reference's seeded 5-way proportional split
+# (/root/reference/ml/training.py:248-270). Randomness is a Knuth
+# multiplicative hash of the key, computed identically in numpy and SQL
+# (modular arithmetic kept within int64), so assignment is deterministic at
+# any parallelism and oracle-checkable — the scale-correct replacement for a
+# stateful shuffle-based split (no data movement at all).
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACTIONS = (("train", 60), ("val", 10), ("test", 15), ("cal", 5), ("detect", 10))
+
+
+def _knuth_bucket(keys: np.ndarray) -> np.ndarray:
+    """((key % 4096) * 2654435761) % 2^32 → [0, 100) bucket. int64-safe."""
+    r = ((keys.astype(np.int64) % 4096) * 2654435761) % 4294967296
+    return (r * 100) // 4294967296
+
+
+def split_proportions_orders(sf_dir: str):
+    """5-way proportional split of orders; per-split row count + revenue
+    checksum proves identical assignment vs the oracle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _knuth_bucket(batch["o_orderkey"].to_numpy())
+        names = np.empty(len(b), dtype=object)
+        lo = 0
+        for name, pct in SPLIT_FRACTIONS:
+            names[(b >= lo) & (b < lo + pct)] = name
+            lo += pct
+        df = pd.DataFrame({"split": names, "price": batch["o_totalprice"].to_numpy()})
+        g = df.groupby("split", sort=False).agg(
+            n=("price", "size"), total=("price", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("split").aggregate(
+        Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+    df = _round_cols(out.to_pandas(), {"total": 2})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_HASH_SQL = "((o_orderkey % 4096) * 2654435761) % 4294967296"
+_BUCKET_SQL = f"(({_HASH_SQL}) * 100) // 4294967296"
+
+SPLIT_SQL = f"""
+WITH b AS (SELECT o_totalprice, {_BUCKET_SQL} AS bkt FROM orders)
+SELECT CASE
+    WHEN bkt < 60 THEN 'train' WHEN bkt < 70 THEN 'val' WHEN bkt < 85 THEN 'test'
+    WHEN bkt < 90 THEN 'cal' ELSE 'detect' END AS split,
+  COUNT(*) AS n,
+  FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+FROM b GROUP BY 1
+"""
+
+
+def sample_random_orders(sf_dir: str, k: int = 100):
+    """Deterministic 'random' k-sample: global top-k by the multiplicative
+    hash (distributed sort + limit) — order-free sampling at any scale."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        r = ((batch["o_orderkey"].to_numpy().astype(np.int64) % 4096)
+             * 2654435761) % 4294967296
+        return batch.append_column("r", pa.array(r))
+
+    out = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True
+                         ).sort(["r", "o_orderkey"]).limit(k)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_totalprice": pa.array(_round(batch["o_totalprice"].to_numpy(), 2)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SAMPLE_SQL = f"""
+SELECT o_orderkey, FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+FROM orders
+ORDER BY {_HASH_SQL}, o_orderkey
+LIMIT 100
+"""

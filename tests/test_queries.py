@@ -40,6 +40,7 @@ def _to_df(res):
     "sessionize_events", "column_stats_lineitem", "uniqueness_pk",
     "ks_purchase_click", "dedup_exact_documents", "jaccard_neardup_pairs",
     "ann_topk_cosine", "classify_accuracy_embeddings",
+    "split_proportions_orders", "sample_random_orders",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
