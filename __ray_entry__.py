@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_event_type": relq.chi2_event_type,
         "ks_purchase_click": relq.ks_purchase_click,
         "quantiles_extendedprice": relq.quantiles_extendedprice,
+        # sketch-default variants (the at-scale paths; exact ones stay as
+        # oracle anchors)
+        "ks_purchase_click_hist": relq.ks_purchase_click_hist,
+        "quantiles_extendedprice_tdigest": relq.quantiles_extendedprice_tdigest,
         # dedup / text analysis
         "dedup_exact_documents": textops.dedup_exact_documents,
         "dedup_report_documents": textops.dedup_report_documents,
@@ -130,6 +134,8 @@ def oracle_sql() -> dict[str, str]:
         "chi2_event_type": relq.CHI2_SQL,
         "ks_purchase_click": relq.KS_SQL,
         "quantiles_extendedprice": relq.QUANTILES_SQL,
+        "ks_purchase_click_hist": relq.KS_HIST_SQL,
+        # quantiles_extendedprice_tdigest: rows-only (approximate sketch)
         "dedup_exact_documents": textops.DEDUP_EXACT_SQL,
         "dedup_report_documents": textops.DEDUP_REPORT_SQL,
         "jaccard_neardup_pairs": textops.JACCARD_SQL,

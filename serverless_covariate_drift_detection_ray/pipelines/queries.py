@@ -723,3 +723,100 @@ FROM orders
 ORDER BY {_HASH_SQL}, o_orderkey
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# Sketch-default variants of KS / quantiles (the at-scale paths; VERDICT r1).
+# The exact-sample versions above stay as the oracle anchors; these stream
+# bounded per-block sketch partials instead of collecting raw columns.
+# ---------------------------------------------------------------------------
+
+KS_HIST_BINS = 1024
+
+
+def ks_purchase_click_hist(sf_dir: str):
+    """Histogram-KS over a fixed binning of the value domain: per-block
+    (bin, a, b) count partials -> groupby sum -> D at bin boundaries. The
+    binning arithmetic is identical in SQL, so this sketch path is itself
+    oracle-checked (bin width from the domain min/max aggregate)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    # domain bounds: one cheap distributed aggregate (metadata-sized result)
+    lohi = ds.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([float(np.min(b["value"].to_numpy()))]),
+            "hi": pa.array([float(np.max(b["value"].to_numpy()))]),
+        }), batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    lo, hi = float(lohi.lo.min()), float(lohi.hi.max())
+    width = (hi - lo) / KS_HIST_BINS or 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy()
+        out = []
+        for name, col in (("purchase", "a"), ("click", "b")):
+            sel = et == name
+            bins = np.clip(((v[sel] - lo) / width).astype(np.int64), 0, KS_HIST_BINS - 1)
+            idx, cnt = np.unique(bins, return_counts=True)
+            t = pd.DataFrame({"bin": idx, "a": 0, "b": 0})
+            t[col] = cnt
+            out.append(t)
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("bin").aggregate(
+        Sum("a", alias_name="a"), Sum("b", alias_name="b")).to_pandas()
+    full = np.zeros((KS_HIST_BINS, 2), dtype=np.float64)
+    full[hist.bin.to_numpy(), 0] = hist.a.to_numpy()
+    full[hist.bin.to_numpy(), 1] = hist.b.to_numpy()
+    na, nb = full[:, 0].sum(), full[:, 1].sum()
+    d = float(np.abs(full[:, 0].cumsum() / max(na, 1) - full[:, 1].cumsum() / max(nb, 1)).max())
+    return pa.Table.from_pylist([{
+        "column": "value", "d_stat": float(_round(d, 6)),
+        "n_a": int(na), "n_b": int(nb),
+    }])
+
+
+KS_HIST_SQL = f"""
+WITH dom AS (SELECT MIN(value) AS lo, (MAX(value) - MIN(value)) / {KS_HIST_BINS} AS w
+             FROM events),
+binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - dom.lo) / dom.w) AS BIGINT), 0), {KS_HIST_BINS - 1}) AS bin,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+  FROM events, dom WHERE event_type IN ('purchase', 'click')),
+hist AS (SELECT bin, SUM(a)::DOUBLE AS a, SUM(b)::DOUBLE AS b FROM binned GROUP BY bin),
+tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM hist),
+cum AS (
+  SELECT SUM(a) OVER (ORDER BY bin) AS ca, SUM(b) OVER (ORDER BY bin) AS cb
+  FROM hist)
+SELECT 'value' AS column,
+  FLOOR(MAX(ABS(ca/(SELECT na FROM tot) - cb/(SELECT nb FROM tot)))*1000000+0.5)/1000000 AS d_stat,
+  (SELECT na FROM tot)::BIGINT AS n_a, (SELECT nb FROM tot)::BIGINT AS n_b
+FROM cum
+"""
+
+
+def quantiles_extendedprice_tdigest(sf_dir: str):
+    """t-digest quantiles: per-block digest partials merged on the driver
+    (bounded: one ~2 KB digest per block) — the at-scale default for the
+    exact driver-side sort above. Rows-only (approximate); accuracy vs exact
+    is pinned in tests."""
+    from ..state.sketches import TDigest
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        td = TDigest()
+        td.update(batch["l_extendedprice"].to_numpy())
+        return pa.table({"blob": pa.array([td.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    merged = TDigest.merge_many([TDigest.from_bytes(b) for b in blobs.blob])
+    qs = [0.25, 0.5, 0.75, 0.95]
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array(_round(merged.quantile(qs), 4), pa.float64()),
+    })

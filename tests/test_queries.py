@@ -41,6 +41,7 @@ def _to_df(res):
     "ks_purchase_click", "dedup_exact_documents", "jaccard_neardup_pairs",
     "ann_topk_cosine", "classify_accuracy_embeddings",
     "split_proportions_orders", "sample_random_orders",
+    "ks_purchase_click_hist",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
@@ -104,3 +105,12 @@ def test_minhash_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
     fallback = _to_df(e.queries()["minhash_neardup_documents"](SF))
     assert set(zip(broadcast.doc_a, broadcast.doc_b)) == set(
         zip(fallback.doc_a, fallback.doc_b))
+
+
+def test_tdigest_quantiles_close_to_exact(ray_session):
+    import __ray_entry__ as e
+
+    td = _to_df(e.queries()["quantiles_extendedprice_tdigest"](SF))
+    ex = _to_df(e.queries()["quantiles_extendedprice"](SF))
+    rel = np.abs(td.value.to_numpy() - ex.value.to_numpy()) / ex.value.to_numpy()
+    assert (rel < 0.005).all(), rel
