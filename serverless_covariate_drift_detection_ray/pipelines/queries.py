@@ -205,7 +205,11 @@ def join_large_priority_revenue(sf_dir: str):
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li.join(orders, join_type="inner", num_partitions=8,
+    import ray
+
+    # partition count scales with the cluster instead of a fixed 8
+    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = li.join(orders, join_type="inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("revenue", alias_name="revenue"),

@@ -91,4 +91,52 @@ def read_image_dir(path: str, fmt_from_ext: bool = True):
     return ds.map_batches(to_schema, batch_format="pyarrow")
 
 
-__all__ = ["DecodeFeatures", "read_image_dir", "EXTERNAL_FMTS"]
+def dump_images(ds, out_dir: str, fmt: str = "png", limit_per_partition: int = 16):
+    """Debug image dump sink — the reference's transformed-image writer
+    (/root/reference/ml/utils/drift.py:21-34 writes tensor->uint8 PNGs per
+    class) as a distributed stage: each task decodes its batch rows and
+    writes loose image files under ``out_dir/partition_id=N/``, capped at
+    ``limit_per_partition`` per (task, partition) by a deterministic
+    smallest-hash sample — total output is bounded by limit x n_tasks, so a
+    debug dump of a 10^12-row table stays debug-sized. Returns the number of
+    files written."""
+    import os
+
+    import ray.data  # noqa: F401
+
+    from ..functions.codec import encode_image
+    from ..functions.hashing import hash64
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        parts = (batch.column("partition_id").to_numpy()
+                 if "partition_id" in batch.column_names
+                 else np.zeros(len(ids), dtype=np.int64))
+        data = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        keys = hash64(ids.astype(object))
+        written = []
+        for pid in np.unique(parts):
+            sel = np.flatnonzero(parts == pid)
+            take = sel[np.argsort(keys[sel], kind="stable")[:limit_per_partition]]
+            d = os.path.join(out_dir, f"partition_id={int(pid)}")
+            os.makedirs(d, exist_ok=True)
+            for i in take:
+                try:
+                    img = decode_image(data[i], fmts[i])
+                except Exception:
+                    continue  # undecodable rows are the violation path's job
+                path = os.path.join(d, f"{ids[i]}.{fmt}")
+                with open(path + ".tmp", "wb") as fh:
+                    fh.write(encode_image(np.asarray(img, dtype=np.uint8), fmt))
+                os.replace(path + ".tmp", path)
+                written.append(path)
+        return pa.table({"path": pa.array(written, pa.string())})
+
+    out = ds.map_batches(write_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.count()
+
+
+__all__ = ["DecodeFeatures", "read_image_dir", "dump_images", "EXTERNAL_FMTS"]

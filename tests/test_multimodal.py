@@ -61,3 +61,22 @@ def test_read_image_dir_loose_files(ray_session, tmp_path):
     assert len(out) == 8
     assert out.decode_ok.all()
     assert set(out.image_id) == {f"img-{i}" for i in range(8)}
+
+
+def test_dump_images_sink(ray_session, tmp_path):
+    import glob
+
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.functions.codec import decode_image
+    from serverless_covariate_drift_detection_ray.stages.multimodal import dump_images
+
+    rows = _image_rows(n=32, seed=11)
+    for i, r in enumerate(rows):
+        r["partition_id"] = i % 2
+    out = str(tmp_path / "dump")
+    n = dump_images(ray.data.from_items(rows), out, limit_per_partition=4)
+    files = sorted(glob.glob(f"{out}/partition_id=*/*.png"))
+    assert n == len(files) and 0 < n <= 8 * 4  # bounded by limit x tasks
+    img = decode_image(open(files[0], "rb").read(), "png")
+    assert img.shape == (16, 16)
