@@ -70,13 +70,60 @@ def phash_to_embedding(phash: np.ndarray) -> np.ndarray:
     return emb / np.float32(8.0)  # ||±1 vector of dim 64|| = 8
 
 
+_POP_CHUNK = 1 << 18
+
+
+def _popcount64_inplace(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount written INTO ``x`` (uint64, owned by caller), chunked so
+    the single scratch buffer stays page-warm. First-touch page faults on
+    this host cost ~1 s per 35 MB — far more than the arithmetic — so every
+    fresh allocation matters; the classic expression-form SWAR (7 temporaries)
+    is ~5x slower than this."""
+    flat = x.reshape(-1)
+    t = np.empty(min(_POP_CHUNK, flat.size), np.uint64)
+    m1, m2 = np.uint64(0x5555555555555555), np.uint64(0x3333333333333333)
+    m4, mul = np.uint64(0x0F0F0F0F0F0F0F0F), np.uint64(0x0101010101010101)
+    for i in range(0, flat.size, _POP_CHUNK):
+        c = flat[i:i + _POP_CHUNK]
+        tt = t[:c.size]
+        np.right_shift(c, np.uint64(1), out=tt)
+        tt &= m1
+        c -= tt
+        np.right_shift(c, np.uint64(2), out=tt)
+        tt &= m2
+        c &= m2
+        c += tt
+        np.right_shift(c, np.uint64(4), out=tt)
+        c += tt
+        c &= m4
+        c *= mul
+        c >>= np.uint64(56)
+    return x.view(np.int64)
+
+
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR)."""
-    x = np.asarray(x, dtype=np.uint64).copy()
-    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+    return _popcount64_inplace(np.array(x, dtype=np.uint64, copy=True))
+
+
+def hamming_leq_pairs(vals: np.ndarray, a: np.ndarray, b: np.ndarray,
+                      hmax: int) -> np.ndarray:
+    """``popcount(vals[a] ^ vals[b]) <= hmax`` over index pairs, chunked with
+    reused scratch buffers — one page-warm pass instead of five fresh 8-B/pair
+    temporaries (gather x2, xor, SWAR, compare)."""
+    v = np.asarray(vals, dtype=np.int64).view(np.uint64)
+    out = np.empty(a.size, dtype=bool)
+    ch = 1 << 19
+    sa = np.empty(min(ch, a.size), np.uint64)
+    sb = np.empty(min(ch, a.size), np.uint64)
+    for i in range(0, a.size, ch):
+        n = min(ch, a.size - i)
+        np.take(v, a[i:i + n], out=sa[:n])
+        np.take(v, b[i:i + n], out=sb[:n])
+        sa[:n] ^= sb[:n]
+        np.less_equal(_popcount64_inplace(sa[:n]).view(np.uint64),
+                      np.uint64(hmax), out=out[i:i + n])
+    return out
 
 
 def phash_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -207,8 +207,10 @@ def join_large_priority_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     import ray
 
-    # partition count scales with the cluster instead of a fixed 8
-    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # partition count scales with the cluster instead of a fixed 8; CPU/2
+    # because each join partition also spawns an aggregator actor whose
+    # startup dominates below ~1M rows/partition
+    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     joined = li.join(orders, join_type="inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
     out = joined.groupby("o_orderpriority").aggregate(

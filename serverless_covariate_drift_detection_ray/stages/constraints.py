@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.phash import phash_bands, phash_hamming
+from ..functions.phash import hamming_leq_pairs, phash_bands, phash_hamming
 from ..pipelines.config import EngineConfig
 
 VIOLATION_SCHEMA = pa.schema(
@@ -193,17 +193,14 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
         return pa.table({"v": pa.array(v, pa.int64()),
                          "c": pa.array(c.astype(np.int64))})
 
-    vs, cs = [], []
-    for b in ds.select_columns(["phash"]).map_batches(
-            block_uniques, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        vs.append(b["v"].to_numpy())
-        cs.append(b["c"].to_numpy())
-    if vs:
-        allv, allc = np.concatenate(vs), np.concatenate(cs)
-        vals, inv = np.unique(allv, return_inverse=True)
+    # to_pandas (one bulk transfer) — iter_batches has ~10x per-batch driver
+    # overhead at this row count (measured round 2)
+    part = ds.select_columns(["phash"]).map_batches(
+        block_uniques, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(part):
+        vals, inv = np.unique(part.v.to_numpy(), return_inverse=True)
         mult = np.zeros(vals.size, dtype=np.int64)
-        np.add.at(mult, inv, allc)
+        np.add.at(mult, inv, part.c.to_numpy())
     else:
         vals, mult = np.empty(0, np.int64), np.empty(0, np.int64)
 
@@ -233,7 +230,7 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
     if pair_a:
         a = np.concatenate(pair_a)
         b = np.concatenate(pair_b)
-        close = phash_hamming(vals[a], vals[b]) <= hmax
+        close = hamming_leq_pairs(vals, a, b, hmax)
         a, b = a[close], b[close]
     else:
         a = b = np.empty(0, np.int64)
