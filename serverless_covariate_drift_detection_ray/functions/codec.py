@@ -86,6 +86,26 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * channels + 1
     raw = raw.reshape(h, stride)
     filters = raw[:, 0]
+    # fast paths: filter 0 everywhere (what encode_png writes) is a pure
+    # slice-copy; filter 0/2 (None/Up) vectorizes as a wrapping column cumsum.
+    # The general per-scanline loop below costs ~2 numpy calls per ROW.
+    if not filters.any():
+        img = np.ascontiguousarray(raw[:, 1:]).reshape(h, w, channels)
+        return img[:, :, 0] if channels == 1 else img
+    if np.isin(filters, (0, 2)).all():
+        out = np.ascontiguousarray(raw[:, 1:])
+        # rows with filter 0 restart the running sum: cumsum within segments;
+        # row 0 is always a restart (Up with no prior row adds zeros)
+        starts = (filters == 0).copy()
+        starts[0] = True
+        seg = np.cumsum(starts) - 1
+        acc = out.astype(np.int64).cumsum(axis=0)
+        base = np.zeros((int(seg.max()) + 1, out.shape[1]), dtype=np.int64)
+        first = np.flatnonzero(starts)
+        base[:] = acc[first] - out[first].astype(np.int64)
+        out = ((acc - base[seg]) & 0xFF).astype(np.uint8)
+        img = out.reshape(h, w, channels)
+        return img[:, :, 0] if channels == 1 else img
     out = np.zeros((h, w * channels), dtype=np.uint8)
     bpp = channels
     for y in range(h):

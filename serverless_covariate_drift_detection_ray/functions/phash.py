@@ -26,19 +26,30 @@ _DCT = _dct_matrix()
 
 
 def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Area-average resize via bin means (deterministic, no interpolation lib)."""
+    """Area-average resize via bin means (deterministic, no interpolation lib).
+
+    Two ``np.add.reduceat`` passes (rows, then cols of the 32xw intermediate)
+    instead of a full-image 2-D cumsum — bin sums of uint8 pixels are exact
+    integers in float64 either way, so results are bit-identical, at ~1/3 the
+    cost. Empty bins (out dim > in dim) duplicate the previous boundary index;
+    reduceat then yields that single row/col, which the old cumsum-diff gave 0
+    — but area 0 bins were clamped to mean 0 there and are divided by
+    max(area,1) here too, so only bins with area >= 1 (identical sums) matter."""
     h, w = img.shape[:2]
     ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
     xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
-    csum = np.zeros((h + 1, w + 1), dtype=np.float64)
-    csum[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
-    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
-    s = (
-        csum[np.ix_(ys[1:], xs[1:])]
-        - csum[np.ix_(ys[:-1], xs[1:])]
-        - csum[np.ix_(ys[1:], xs[:-1])]
-        + csum[np.ix_(ys[:-1], xs[:-1])]
-    )
+    f = img.astype(np.float64)
+    rows = np.add.reduceat(f, ys[:-1], axis=0)
+    s = np.add.reduceat(rows, xs[:-1], axis=1)
+    hgt = ys[1:] - ys[:-1]
+    wid = xs[1:] - xs[:-1]
+    # reduceat returns the single element at a repeated index (empty bin) —
+    # zero those to match the exact-sum semantics of the cumsum version
+    if (hgt == 0).any():
+        s[hgt == 0, :] = 0.0
+    if (wid == 0).any():
+        s[:, wid == 0] = 0.0
+    area = hgt[:, None] * wid[None, :]
     return s / np.maximum(area, 1)
 
 

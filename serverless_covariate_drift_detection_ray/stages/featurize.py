@@ -154,6 +154,8 @@ class FeaturizeAndSketch:
         pm_part: list[int] = []
         pm_val: list[float] = []
         ps_val: list[float] = []
+        ver_idx: list[int] = []
+        ver_ph: list[int] = []
         for i in decode_rows:
             i = int(i)
             f = str(fmt[i])
@@ -162,22 +164,27 @@ class FeaturizeAndSketch:
             except Exception as exc:
                 add_one(i, "decode_ok", "bytes", type(exc).__name__, "decodable")
                 continue
-            pix = np.asarray(img, dtype=np.float64)
+            flat = np.ascontiguousarray(img, dtype=np.float64).ravel()
+            s1 = float(flat.sum())
+            s2 = float(np.dot(flat, flat))  # one BLAS pass instead of mean+std
+            m = s1 / flat.size
             pm_part.append(int(part_ids[i]))
-            pm_val.append(float(pix.mean()))
-            ps_val.append(float(pix.std()))
+            pm_val.append(m)
+            ps_val.append(float(np.sqrt(max(s2 / flat.size - m * m, 0.0))))
             if cfg.phash_verify:
-                # per-row fidelity: the phash column must match the decoded
-                # pixels (BASELINE.json input_hint invariant); lossy codecs get
-                # a small Hamming allowance for quantization
-                ph_dec = phash64(img)
-                tol = (cfg.phash_tol_lossy if f in LOSSY_FMTS
-                       else cfg.phash_tol_lossless)
-                dist = int(phash_hamming(
-                    np.array([ph_dec]), np.array([phash[i]]))[0])
-                if dist > tol:
-                    add_one(i, "phash_match_decoded", "phash",
-                            f"hamming={dist}", f"<={tol}")
+                ver_idx.append(i)
+                ver_ph.append(phash64(img))
+        if ver_idx:
+            # per-row fidelity, batched: the phash column must match the
+            # decoded pixels (BASELINE.json input_hint invariant); lossy
+            # codecs get a small Hamming allowance for quantization
+            vi = np.asarray(ver_idx, dtype=np.int64)
+            dist = phash_hamming(np.asarray(ver_ph, dtype=np.int64), phash[vi])
+            tols = np.where(np.isin(fmt[vi], LOSSY_FMTS),
+                            cfg.phash_tol_lossy, cfg.phash_tol_lossless)
+            for k in np.nonzero(dist > tols)[0]:
+                add_one(int(vi[k]), "phash_match_decoded", "phash",
+                        f"hamming={int(dist[k])}", f"<={int(tols[k])}")
         pm_part_arr = np.asarray(pm_part, dtype=np.int64)
         pm_val_arr = np.asarray(pm_val, dtype=np.float64)
         ps_val_arr = np.asarray(ps_val, dtype=np.float64)
