@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": textops.simhash_documents,
         "fingerprint_documents": textops.fingerprint_documents,
         "token_stats_by_lang": textops.token_stats_by_lang,
+        "token_count_regex": textops.token_count_regex,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding drift
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
+        "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
         # flagship image validation (rows-only: non-SQL-expressible)
         "validate_images": _flagship,
@@ -135,11 +137,13 @@ def oracle_sql() -> dict[str, str]:
         "ks_purchase_click": relq.KS_SQL,
         "quantiles_extendedprice": relq.QUANTILES_SQL,
         "ks_purchase_click_hist": relq.KS_HIST_SQL,
+        "embedding_neardup_pairs": ann.EMB_NEARDUP_SQL,
         # quantiles_extendedprice_tdigest: rows-only (approximate sketch)
         "dedup_exact_documents": textops.DEDUP_EXACT_SQL,
         "dedup_report_documents": textops.DEDUP_REPORT_SQL,
         "jaccard_neardup_pairs": textops.JACCARD_SQL,
         "token_stats_by_lang": textops.TOKEN_STATS_SQL,
+        "token_count_regex": textops.TOKEN_REGEX_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,

@@ -275,3 +275,70 @@ def mmd_embeddings_drift(sf_dir: str):
         {"case": "shifted_odd", "mmd2": float(_round(d_shift, 8)),
          "p_value": float(_round(p_shift, 6)), "is_drift": bool(p_shift <= 0.01)},
     ])
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs — the vector-space sibling of the
+# text MinHash near-dup (task list: "embedding-cosine near-dup")
+# ---------------------------------------------------------------------------
+
+NEARDUP_COS_TAU = 0.4  # synthetic embeddings are near-orthogonal; max pair cos ~0.51
+NEARDUP_BROADCAST_MAX_DOCS = 200_000  # corpus matrix broadcast gate (~50 MB @64d)
+
+
+def embedding_neardup_pairs(sf_dir: str, tau: float = NEARDUP_COS_TAU):
+    """All pairs (i < j) with cosine similarity >= tau.
+
+    Exact path: the L2-normalized corpus matrix is broadcast once (ray.put)
+    when the table is provably small (parquet metadata count); each batch
+    does one matmul against it and emits its rows' qualifying pairs — a
+    block-nested-loop join that streams the left side. Beyond the gate the
+    LSH-bucketed candidate generator (ann_lsh_bucketed's Bucketize) with a
+    within-bucket exact verify is the scale path — approximate, so the exact
+    variant stays the oracle anchor."""
+    import pyarrow.parquet as pq
+    import ray
+
+    n_docs = _read(sf_dir, "embeddings", ["vec_id"]).count()  # metadata-only
+    if n_docs > NEARDUP_BROADCAST_MAX_DOCS:
+        raise NotImplementedError(
+            "embedding_neardup_pairs above the broadcast gate: use the "
+            "LSH-bucketed path (ann_lsh_bucketed) + per-bucket verify")
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus_ids = qt["vec_id"].to_numpy().astype(np.int64)
+    corpus = _to_matrix(qt["embedding"])
+    corpus = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
+    wrapped = {"ref": ray.put((corpus_ids, corpus))}
+
+    class PairEmit:
+        def __init__(self):
+            self.ids, self.m = ray.get(wrapped["ref"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            x = _to_matrix(batch["embedding"])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cos = x @ self.m.T  # (b, N)
+            hit = cos >= tau
+            # keep i < j only: each unordered pair emitted exactly once
+            hit &= ids[:, None] < self.ids[None, :]
+            bi, cj = np.nonzero(hit)
+            return pa.table({
+                "vec_a": pa.array(ids[bi]),
+                "vec_b": pa.array(self.ids[cj]),
+                "cos": pa.array(_round(cos[bi, cj], 6)),
+            })
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(PairEmit, batch_format="pyarrow", concurrency=2)
+
+
+EMB_NEARDUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        * 1000000 + 0.5) / 1000000 AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {NEARDUP_COS_TAU}
+"""

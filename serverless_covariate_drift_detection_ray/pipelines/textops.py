@@ -581,3 +581,44 @@ def fingerprint_documents(sf_dir: str):
                          "fingerprint": pa.array(out.astype(np.int64))})
 
     return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Regex (BPE-ish) token counting — task list: "token counting (whitespace +
+# a BPE-ish regex)". The whitespace variant is token_stats_by_lang above.
+# ---------------------------------------------------------------------------
+
+# letter runs | digit runs | single non-space symbol — a simplified GPT-2-style
+# pre-tokenizer whose semantics RE2 (DuckDB) and Python `re` agree on
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+class _RegexTokenCounter:
+    """Actor-pool stage: the pattern compiles once per actor (load-once state,
+    reference singleton pattern), each batch is one vectorized pass."""
+
+    def __init__(self, pattern: str):
+        import re
+
+        self.rx = re.compile(pattern)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        n = np.fromiter(
+            (len(self.rx.findall(t or "")) for t in texts), np.int64, len(texts))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": pa.array(n)})
+
+
+def token_count_regex(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_RegexTokenCounter, fn_constructor_args=(BPE_TOKEN_PATTERN,),
+                          batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+
+TOKEN_REGEX_SQL = """
+SELECT doc_id,
+  len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+    AS n_bpe_tokens
+FROM documents
+"""

@@ -87,3 +87,62 @@ def test_phash_bands_collision_for_near_dups():
     # 2-bit difference still shares >= 1 band
     h2 = h ^ (np.int64(1) << np.int64(5)) ^ (np.int64(1) << np.int64(30))
     assert (phash_bands(np.array([h])) == phash_bands(np.array([h2]))).sum() >= 1
+
+
+def test_png_filter2_segment_decode():
+    """Foreign PNGs with Up-filtered scanlines hit the segmented-cumsum fast
+    path; mixed 0/2 and filter-2-first-row must reconstruct exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from serverless_covariate_drift_detection_ray.functions import codec
+
+    rng = np.random.Generator(np.random.PCG64(3))
+
+    def encode_up(img, first_filter):
+        h, w = img.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        rows = []
+        prev = np.zeros(w, np.int64)
+        for y in range(h):
+            if y == 0 and first_filter == 2:
+                rows.append(bytes([2]) + img[0].tobytes())
+            elif y % 3 == 0:
+                rows.append(bytes([0]) + img[y].tobytes())
+            else:
+                diff = (img[y].astype(np.int64) - prev) & 0xFF
+                rows.append(bytes([2]) + diff.astype(np.uint8).tobytes())
+            prev = img[y].astype(np.int64)
+        idat = zlib.compress(b"".join(rows))
+        return (codec.PNG_SIG + codec._chunk(b"IHDR", ihdr)
+                + codec._chunk(b"IDAT", idat) + codec._chunk(b"IEND", b""))
+
+    img = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+    assert np.array_equal(codec.decode_png(encode_up(img, 0)), img)
+    assert np.array_equal(codec.decode_png(encode_up(img, 2)), img)
+
+
+def test_resize_area_matches_cumsum_reference():
+    """The reduceat resize must be bit-identical to the exact cumsum-diff
+    definition, including out-dim > in-dim (empty bins)."""
+    import numpy as np
+
+    from serverless_covariate_drift_detection_ray.functions.phash import _resize_area
+
+    def resize_ref(img, out_h, out_w):
+        h, w = img.shape[:2]
+        ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+        xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+        csum = np.zeros((h + 1, w + 1), dtype=np.float64)
+        csum[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+        area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+        s = (csum[np.ix_(ys[1:], xs[1:])] - csum[np.ix_(ys[:-1], xs[1:])]
+             - csum[np.ix_(ys[1:], xs[:-1])] + csum[np.ix_(ys[:-1], xs[:-1])])
+        return s / np.maximum(area, 1)
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    for shape in [(28, 28), (16, 16), (128, 128), (160, 96), (31, 47), (7, 200)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(_resize_area(img, 32, 32), resize_ref(img, 32, 32)), shape

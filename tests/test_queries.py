@@ -41,7 +41,7 @@ def _to_df(res):
     "ks_purchase_click", "dedup_exact_documents", "jaccard_neardup_pairs",
     "ann_topk_cosine", "classify_accuracy_embeddings",
     "split_proportions_orders", "sample_random_orders",
-    "ks_purchase_click_hist",
+    "ks_purchase_click_hist", "token_count_regex", "embedding_neardup_pairs",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
