@@ -36,6 +36,31 @@ from .fit import merge_partials_table
 
 CONSTRAINT_CHECKS = ("unique_image_id", "neardup_phash")
 
+
+def _warm_fsspec_http() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem``
+    deterministic before dataset executions run on two driver threads.
+
+    In this sandbox aiohttp is absent, so the import fails — Ray's
+    path-resolution catches only ModuleNotFoundError, and a second thread
+    racing the failing import sees a half-initialized module and gets a plain
+    ImportError instead (uncaught). Installing a complete stub module (the
+    class is only ever used in isinstance checks against non-HTTP
+    filesystems) removes the race."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # stub: aiohttp absent in-sandbox
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
 # partial-state rows above which the per-partition merge runs as a distributed
 # groupby instead of on the driver (~100 KB per partial row)
 DRIVER_MERGE_MAX_PARTIALS = 20_000
@@ -132,10 +157,45 @@ def validate(
         # hash + sort once on the driver; ship the sorted uint64 probe array
         broadcast = {"ref": ray.put(np.sort(hash64(ids.astype(object))))}
 
+    # ---- constraint pipelines kick off CONCURRENTLY with featurize ----
+    # the pruned id/phash re-read + the driver-side near-dup candidate pass
+    # are independent of the featurize output, so a helper thread builds and
+    # (partially) executes them while the bytes-heavy pass owns the CPUs —
+    # their fixed driver cost would otherwise serialize after featurize and
+    # cap scaling efficiency at high parallelism
+    from concurrent.futures import ThreadPoolExecutor
+
+    _warm_fsspec_http()
+
+    stage_t = {}
+    constraint_t = {}
+
+    def build_constraints():
+        # bg_* times are thread-side wall — they OVERLAP the featurize stage
+        # and are excluded from the main-thread residual accounting
+        t = time.time()
+        ids_ds = read_images(
+            manifest, columns=["image_id", "phash", "partition_id"]
+        ).materialize()
+        constraint_t["bg_ids_read"] = time.time() - t
+        # setup only: the screens' driver-side collects and numpy passes are
+        # free to overlap featurize (they use no cluster CPU); the final
+        # shuffle datasets execute later — overlapping them would just
+        # time-slice a featurize stage that already saturates every core
+        t = time.time()
+        uniq = check_uniqueness(ids_ds)
+        constraint_t["bg_uniq_setup"] = time.time() - t
+        t = time.time()
+        neardup = check_neardup(ids_ds, cfg)
+        constraint_t["bg_neardup_setup"] = time.time() - t
+        return uniq, neardup
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    constraints_fut = pool.submit(build_constraints)
+
     # ---- pass 1: bytes-heavy featurize + sketch partials ----
     # actor pool must leave CPU slots for the read stage, or the pipeline
     # deadlocks (pool reserves every CPU and ReadParquet never schedules)
-    stage_t = {}
     # ~3/4 of CPUs for the featurize pool, the rest for the parquet read —
     # an actor pool that reserves every CPU starves (or deadlocks) the read
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -222,20 +282,15 @@ def validate(
         concurrency=min(cfg.drift_concurrency, max(1, ncpu - 2)),
     )
 
-    # ---- global constraint shuffles over ONE column-pruned re-read ----
-    # the pruned id/phash projection is small (≈30 B/row) — materialize once
-    # and feed both constraint checks instead of re-reading parquet per check
+    # ---- join the concurrently-built constraint pipelines ----
     t1 = time.time()
-    ids_ds = read_images(
-        manifest, columns=["image_id", "phash", "partition_id"]
-    ).materialize()
-    stage_t["ids_read"] = time.time() - t1
-    t1 = time.time()
-    uniq_viol = check_uniqueness(ids_ds)
-    stage_t["uniq_setup"] = time.time() - t1
-    t1 = time.time()
-    neardup_viol = check_neardup(ids_ds, cfg)
-    stage_t["neardup_setup"] = time.time() - t1
+    try:
+        uniq_viol, neardup_viol = constraints_fut.result()
+    except Exception:
+        # thread-side failure (e.g. a racy lazy import): rebuild sequentially
+        uniq_viol, neardup_viol = build_constraints()
+    pool.shutdown(wait=False)
+    stage_t["constraints_join"] = time.time() - t1  # ~0 when hidden by featurize
 
     # ---- assembly: verdicts are tiny (per partition × check) and always
     # collect driver-side; violations collect only below VIOLATIONS_DRIVER_MAX,
@@ -377,6 +432,7 @@ def validate(
     stage_t["commit_io"] = time.time() - t1
 
     stage_t["commit"] = time.time() - t0 - sum(stage_t.values())
+    stage_t.update(constraint_t)  # overlapped thread-side walls, reported only
     summary["stages"] = {k: round(v, 2) for k, v in stage_t.items()}
     summary.update({
         "wall_s": wall,
