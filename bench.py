@@ -107,17 +107,24 @@ def main() -> None:
         # which caps 8→32 efficiency at ~0.77 regardless of the engine.
         lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(
             os.environ.get("GRAFT_SCALE_HI", "16"))
-        results = {}
-        for ncpu in (lo, hi):
-            env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
-            )
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout
-            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
+        # this host has noisy external neighbors whose load varies on the
+        # minute scale; interleaving lo/hi rounds and taking the best run per
+        # level compares both levels under their best (≈unloaded) conditions
+        results: dict[int, dict] = {}
+        for _ in range(rounds):
+            for ncpu in (lo, hi):
+                env = dict(
+                    os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
+                )
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                ).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                if ncpu not in results or r["images_per_sec"] > results[ncpu]["images_per_sec"]:
+                    results[ncpu] = r
         thr_lo = results[lo]["images_per_sec"]
         thr_hi = results[hi]["images_per_sec"]
         print(json.dumps({
@@ -127,6 +134,7 @@ def main() -> None:
             f"sec_{lo}": results[lo]["value"],
             f"sec_{hi}": results[hi]["value"],
             "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+            "rounds_best_of": rounds,
             "rows": results[hi].get("rows"),
             "stages_lo": results[lo].get("stages", {}),
             "stages_hi": results[hi].get("stages", {}),

@@ -53,15 +53,16 @@ def q1_pricing_summary(sf_dir: str):
                 "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["disc_price"] = df.l_extendedprice * (1.0 - df.l_discount)
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        g = batch.append_column("disc_price", disc).group_by(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate([("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                     ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns([
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "count_order",
+        ])
 
     from ray.data.aggregate import Sum
 
@@ -543,10 +544,10 @@ def chi2_event_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
 
     def counts(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["side"] = np.where(df.event_id.to_numpy() < half, "a", "b")
-        g = df.groupby(["event_type", "side"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        side = pa.array(np.where(batch["event_id"].to_numpy() < half, "a", "b"))
+        g = batch.append_column("side", side).group_by(
+            ["event_type", "side"]).aggregate([("event_id", "count")])
+        return g.rename_columns(["event_type", "side", "n"])
 
     from ray.data.aggregate import Sum
 

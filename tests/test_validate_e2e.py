@@ -201,3 +201,20 @@ class TestStreamedViolations:
         a = load(run["out_dir"], "verdicts")
         b = load(out2, "verdicts")
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestReportSink:
+    def test_report_json_summarizes_run(self, run):
+        import json
+
+        from serverless_covariate_drift_detection_ray.pipelines.report import write_report
+
+        path = write_report(run["out_dir"])
+        with open(path) as fh:
+            rep = json.load(fh)
+        assert rep["partitions"] == run["summary"]["partitions_total"]
+        assert rep["violations"]["total"] == len(run["violations"])
+        assert rep["verdicts"]["total"] == len(run["verdicts"])
+        drift_kinds = {pid for pid, k in run["kinds"].items() if k.startswith("drift")}
+        assert drift_kinds <= set(rep["verdicts"]["drift_flagged_partitions"])
+        assert rep["columns"]["w"]["rows"] > 0
