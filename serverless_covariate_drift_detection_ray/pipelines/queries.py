@@ -303,6 +303,8 @@ def window_tumbling_events(sf_dir: str):
         ["hour", "event_type"]
     ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     df = _round_cols(out.to_pandas(), {"sum_value": 2})
+    # floor_temporal coarsens the unit to [s]; the oracle keeps [us]
+    df["hour"] = df["hour"].astype("datetime64[us]")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
