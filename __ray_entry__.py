@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle anchors)
         "ks_purchase_click_hist": relq.ks_purchase_click_hist,
         "quantiles_extendedprice_tdigest": relq.quantiles_extendedprice_tdigest,
+        "divergence_purchase_click": relq.divergence_purchase_click,
         # dedup / text analysis
         "dedup_exact_documents": textops.dedup_exact_documents,
         "dedup_report_documents": textops.dedup_report_documents,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_purchase_click": relq.KS_SQL,
         "quantiles_extendedprice": relq.QUANTILES_SQL,
         "ks_purchase_click_hist": relq.KS_HIST_SQL,
+        "divergence_purchase_click": relq.DIVERGENCE_SQL,
         "embedding_neardup_pairs": ann.EMB_NEARDUP_SQL,
         # quantiles_extendedprice_tdigest: rows-only (approximate sketch)
         "dedup_exact_documents": textops.DEDUP_EXACT_SQL,

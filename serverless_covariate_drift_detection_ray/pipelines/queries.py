@@ -829,3 +829,86 @@ def quantiles_extendedprice_tdigest(sf_dir: str):
         "q": pa.array(qs, pa.float64()),
         "value": pa.array(_round(merged.quantile(qs), 4), pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Histogram-divergence drift statistics (functions/divergence.py): PSI / JS /
+# Hellinger / Wasserstein-1 between two event-type value distributions, all
+# from ONE fixed-bin histogram pass — per-block (bin, r, t) count partials ->
+# tiny groupby -> 25-cell driver math. The same statistics back the "psi",
+# "js", "hellinger", "wasserstein" Check plugins in the image pipeline.
+# ---------------------------------------------------------------------------
+
+DIVERGENCE_BINS = 25
+DIVERGENCE_WIDTH = 20.0  # value domain [0, 500) in the events fixture
+
+
+def divergence_purchase_click(sf_dir: str):
+    """All four bin divergences (ref=purchase, test=click) over a fixed
+    binning of `value` — sketch-state-only drift scoring, SQL-oracled."""
+    from ..functions import divergence as dv
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy()
+        out = []
+        for name, col in (("purchase", "r"), ("click", "t")):
+            sel = et == name
+            bins = np.clip(np.floor(v[sel] / DIVERGENCE_WIDTH).astype(np.int64),
+                           0, DIVERGENCE_BINS - 1)
+            idx, cnt = np.unique(bins, return_counts=True)
+            t = pd.DataFrame({"bin": idx, "r": 0, "t": 0})
+            t[col] = cnt
+            out.append(t)
+        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("bin").aggregate(
+        Sum("r", alias_name="r"), Sum("t", alias_name="t")).to_pandas()
+    full = np.zeros((DIVERGENCE_BINS, 2), dtype=np.int64)
+    full[hist.bin.to_numpy(), 0] = hist.r.to_numpy()
+    full[hist.bin.to_numpy(), 1] = hist.t.to_numpy()
+    r, t = full[:, 0], full[:, 1]
+    return pa.Table.from_pylist([{
+        "column": "value",
+        "psi": float(_round(dv.psi(r, t), 6)),
+        "js": float(_round(dv.js_divergence(r, t), 6)),
+        "hellinger": float(_round(dv.hellinger(r, t), 6)),
+        "w1": float(_round(dv.wasserstein1_binned(r, t, DIVERGENCE_WIDTH), 6)),
+        "n_ref": int(r.sum()), "n_test": int(t.sum()),
+    }])
+
+
+DIVERGENCE_SQL = f"""
+WITH binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(value / {DIVERGENCE_WIDTH}) AS BIGINT), 0),
+               {DIVERGENCE_BINS - 1}) AS bin,
+    CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS r,
+    CASE WHEN event_type='click' THEN 1 ELSE 0 END AS t
+  FROM events WHERE event_type IN ('purchase', 'click')),
+grid AS (SELECT UNNEST(range({DIVERGENCE_BINS})) AS bin),
+hist AS (
+  SELECT g.bin, COALESCE(SUM(b.r), 0)::DOUBLE AS r, COALESCE(SUM(b.t), 0)::DOUBLE AS t
+  FROM grid g LEFT JOIN binned b ON b.bin = g.bin GROUP BY g.bin),
+tot AS (SELECT SUM(r) AS nr, SUM(t) AS nt FROM hist),
+p AS (
+  SELECT bin,
+    (r + 0.5) / ((SELECT nr FROM tot) + {DIVERGENCE_BINS} * 0.5) AS pr,
+    (t + 0.5) / ((SELECT nt FROM tot) + {DIVERGENCE_BINS} * 0.5) AS pt,
+    r / (SELECT nr FROM tot) AS ur, t / (SELECT nt FROM tot) AS ut
+  FROM hist),
+cum AS (
+  SELECT SUM(ur) OVER (ORDER BY bin) - SUM(ut) OVER (ORDER BY bin) AS cd FROM p)
+SELECT 'value' AS column,
+  FLOOR((SELECT SUM((pr - pt) * LN(pr / pt)) FROM p) * 1000000 + 0.5) / 1000000 AS psi,
+  FLOOR((SELECT SUM(0.5 * pr * LN(pr / ((pr + pt) / 2)) + 0.5 * pt * LN(pt / ((pr + pt) / 2))) FROM p)
+        * 1000000 + 0.5) / 1000000 AS js,
+  FLOOR(SQRT(0.5 * (SELECT SUM(POWER(SQRT(pr) - SQRT(pt), 2)) FROM p))
+        * 1000000 + 0.5) / 1000000 AS hellinger,
+  FLOOR((SELECT {DIVERGENCE_WIDTH} * SUM(ABS(cd)) FROM cum) * 1000000 + 0.5) / 1000000 AS w1,
+  (SELECT nr FROM tot)::BIGINT AS n_ref, (SELECT nt FROM tot)::BIGINT AS n_test
+"""

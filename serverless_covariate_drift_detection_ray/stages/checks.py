@@ -14,8 +14,10 @@ importable there).
 
 from __future__ import annotations
 
+import zlib
 from typing import Protocol, runtime_checkable
 
+from ..functions import divergence as dv
 from ..functions.phash import phash_to_embedding
 from ..functions.stats import chi2_test_counts, ks_pvalue_from_d, mmd_permutation_test
 from ..pipelines.config import EngineConfig
@@ -97,6 +99,69 @@ class Chi2FmtCheck:
         return [make_verdict(pid, "chi2", "fmt", stat, p, cfg,
                              int(ref.state.fmt_counts.sum()),
                              int(ps.fmt_counts.sum()), ts)]
+
+
+class _HistDivergenceCheck:
+    """Shared shape for bin-divergence checks over the numeric marginals:
+    statistic from the two ``FixedHistogram`` count vectors, p-value from a
+    seeded multinomial bootstrap (functions/divergence.py). Subclasses set
+    ``name`` via the registry and implement ``stat_fn(hist)``; everything runs
+    on sketch state only — no raw samples reach the check."""
+
+    def stat_fn(self, hist):
+        raise NotImplementedError
+
+    def compare(self, pid, ref, ps, cfg, ts):
+        out = []
+        for col in cfg.marginals:
+            rh, th = ref.state.hists[col], ps.hists[col]
+            n_ref, n_test = rh.total, th.total
+            if n_ref == 0 or n_test == 0:
+                out.append(make_verdict(pid, self.name, col, 0.0, 1.0, cfg,
+                                        n_ref, n_test, ts))
+                continue
+            stat, p = dv.multinomial_bootstrap_pvalue(
+                rh.counts, th.counts, self.stat_fn(rh),
+                n_boot=cfg.num_permutations,
+                seed=cfg.seed ^ ((pid + 1) * 0x9E3779B1) ^ zlib.crc32(col.encode()),
+            )
+            out.append(make_verdict(pid, self.name, col, stat, p, cfg,
+                                    n_ref, n_test, ts))
+        return out
+
+
+@register_check("psi")
+class PSIMarginalsCheck(_HistDivergenceCheck):
+    """Population Stability Index on each numeric marginal."""
+
+    def stat_fn(self, hist):
+        return dv.psi
+
+
+@register_check("js")
+class JSMarginalsCheck(_HistDivergenceCheck):
+    """Jensen-Shannon divergence on each numeric marginal."""
+
+    def stat_fn(self, hist):
+        return dv.js_divergence
+
+
+@register_check("hellinger")
+class HellingerMarginalsCheck(_HistDivergenceCheck):
+    """Hellinger distance on each numeric marginal."""
+
+    def stat_fn(self, hist):
+        return dv.hellinger
+
+
+@register_check("wasserstein")
+class Wasserstein1MarginalsCheck(_HistDivergenceCheck):
+    """Wasserstein-1 (earth mover) on each numeric marginal; bin width from
+    the histogram's own [lo, hi] / bins so the statistic is in column units."""
+
+    def stat_fn(self, hist):
+        width = (hist.hi - hist.lo) / hist.bins
+        return lambda r, t: dv.wasserstein1_binned(r, t, width)
 
 
 @register_check("mmd")
