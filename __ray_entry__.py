@@ -79,8 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": relq.heavy_hitter_users,
         # windows / stream-shaped
         "window_tumbling_events": relq.window_tumbling_events,
+        "window_hopping_events": relq.window_hopping_events,
         "sessionize_events": relq.sessionize_events,
         "running_sum_events": relq.running_sum_events,
+        "asof_join_purchase_click": relq.asof_join_purchase_click,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "uniqueness_pk": relq.uniqueness_pk,
@@ -129,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_flag_status": relq.DISTINCT_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,
+        "window_hopping_events": relq.WINDOW_HOP_SQL,
+        "asof_join_purchase_click": relq.ASOF_SQL,
         "sessionize_events": relq.SESSIONIZE_SQL,
         "running_sum_events": relq.RUNNING_SUM_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,

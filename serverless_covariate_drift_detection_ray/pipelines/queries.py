@@ -912,3 +912,90 @@ SELECT 'value' AS column,
   FLOOR((SELECT {DIVERGENCE_WIDTH} * SUM(ABS(cd)) FROM cum) * 1000000 + 0.5) / 1000000 AS w1,
   (SELECT nr FROM tot)::BIGINT AS n_ref, (SELECT nt FROM tot)::BIGINT AS n_test
 """
+
+
+# ---------------------------------------------------------------------------
+# Custom operators Ray Data lacks natively: as-of join + hopping windows
+# (SURVEY.md §2.9 engine-new stream shapes).
+# ---------------------------------------------------------------------------
+
+
+def asof_join_purchase_click(sf_dir: str):
+    """As-of join: for each 'purchase' event, the most recent 'click' by the
+    same user at or before its timestamp.
+
+    The Ray Data shape: filter inside map_batches (no raw-row shuffle of other
+    event types) -> hash-partition by the join key (groupby user_id) -> sort
+    within group -> one vectorized searchsorted merge per group. Partitioning
+    assumption: one key's history fits in a worker; salt hot keys by
+    time-range when a single key's volume breaks that."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"])))
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        is_click = (df.event_type == "click").to_numpy()
+        clicks, purch = df[is_click], df[~is_click]
+        idx = np.searchsorted(clicks.ts.to_numpy(), purch.ts.to_numpy(),
+                              side="right") - 1
+        sel = idx >= 0
+        p, c = purch[sel], clicks.iloc[idx[sel]]
+        return pd.DataFrame({
+            "event_id": p.event_id.to_numpy(),
+            "user_id": p.user_id.to_numpy(),
+            "click_event_id": c.event_id.to_numpy(),
+            "gap_us": (p.ts.to_numpy() - c.ts.to_numpy()).astype(np.int64),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def window_hopping_events(sf_dir: str):
+    """Hopping (sliding) 2-hour windows advancing 1 hour: each event belongs
+    to exactly two windows, assigned by DUPLICATION inside map_batches (no
+    self-join, no shuffle amplification beyond the 2x row fan-out), then the
+    same partial-groupby as the tumbling path."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    hop = pa.scalar(3_600_000_000, pa.duration("us"))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
+        halves = [
+            pa.table({"window_start": ws, "event_type": batch["event_type"],
+                      "value": batch["value"]})
+            for ws in (hour, pc.subtract(hour, hop))
+        ]
+        return pa.concat_tables(halves)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby(["window_start", "event_type"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    df = _round_cols(out.to_pandas(), {"sum_value": 2})
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+WINDOW_HOP_SQL = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events)
+SELECT window_start, event_type, COUNT(*) AS n,
+  FLOOR(SUM(value)*100+0.5)/100 AS sum_value
+FROM x GROUP BY 1, 2
+"""

@@ -42,6 +42,8 @@ def _to_df(res):
     "ann_topk_cosine", "classify_accuracy_embeddings",
     "split_proportions_orders", "sample_random_orders",
     "ks_purchase_click_hist", "token_count_regex", "embedding_neardup_pairs",
+    "divergence_purchase_click", "asof_join_purchase_click",
+    "window_hopping_events",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
