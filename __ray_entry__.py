@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding drift
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
+        "ann_ivf_cosine": ann.ann_ivf_cosine,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
         # flagship image validation (rows-only: non-SQL-expressible)

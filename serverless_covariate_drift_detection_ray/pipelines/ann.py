@@ -342,3 +342,142 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {NEARDUP_COS_TAU}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-partitioned scale path: train k-means
+# cells on a bounded deterministic sample, assign each corpus vector to ONE
+# cell (single shuffle key), probe only nprobe cells per query.
+# ---------------------------------------------------------------------------
+
+IVF_N_CELLS = 32
+IVF_NPROBE = 6
+IVF_TRAIN_CAP = 4096     # k-means training sample bound (smallest-hash keys)
+IVF_KMEANS_ITERS = 10
+
+
+def _spherical_kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded spherical k-means on L2-normalized rows; returns (k, d)
+    normalized centroids. Deterministic: init = k distinct rows by index."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    init = rng.choice(x.shape[0], size=min(k, x.shape[0]), replace=False)
+    c = x[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(c.shape[0]):
+            members = x[assign == j]
+            if members.shape[0]:
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
+                   nprobe: int = IVF_NPROBE):
+    """IVF ANN over the embeddings table.
+
+    Train: per-block deterministic smallest-hash sample partials -> driver
+    k-means over <= IVF_TRAIN_CAP rows (bounded regardless of table size).
+    Index: broadcast centroids; one actor-pool pass assigns each corpus row to
+    its nearest cell (1 row through the shuffle) and each query to its nprobe
+    nearest cells (nprobe rows). Search: exact cosine only within (cell)
+    groups, then the per-query dedup merge. Recall vs the exact baseline is
+    pinned in tests; exact top-k stays the oracle anchor."""
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    cap = IVF_TRAIN_CAP
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def train_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        keys = splitmix64(ids.astype(np.uint64))
+        order = np.argsort(keys, kind="stable")[:cap]
+        sub = batch.take(pa.array(order))
+        return pa.table({"key": pa.array(keys[order].astype(np.int64)),
+                         "embedding": sub["embedding"]})
+
+    sampled = ds.map_batches(train_sample, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    order = np.argsort(sampled.key.to_numpy().astype(np.uint64), kind="stable")[:cap]
+    train = np.stack(sampled.embedding.to_numpy()[order]).astype(np.float64)
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    centroids = _spherical_kmeans(train, n_cells, IVF_KMEANS_ITERS, seed=11)
+    wrapped = {"ref": ray.put(centroids)}
+
+    class AssignCells:
+        def __init__(self):
+            self.c = ray.get(wrapped["ref"])  # (k, d) normalized
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            x = _to_matrix(batch["embedding"])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sim = x @ self.c.T  # (n, k)
+            is_q = ids < N_QUERIES
+            outs = []
+            if (~is_q).any():
+                sub = pa.array(np.flatnonzero(~is_q))
+                outs.append(pa.table({
+                    "cell": pa.array(np.argmax(sim[~is_q], axis=1).astype(np.int64)),
+                    "vec_id": batch["vec_id"].take(sub),
+                    "embedding": batch["embedding"].take(sub),
+                }))
+            if is_q.any():
+                qrows = np.flatnonzero(is_q)
+                p = min(nprobe, sim.shape[1])
+                probes = np.argpartition(-sim[is_q], p - 1, axis=1)[:, :p]  # (nq, p)
+                rep = np.repeat(qrows, p)
+                outs.append(pa.table({
+                    "cell": pa.array(probes.ravel().astype(np.int64)),
+                    "vec_id": batch["vec_id"].take(pa.array(rep)),
+                    "embedding": batch["embedding"].take(pa.array(rep)),
+                }))
+            if not outs:
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "vec_id": batch["vec_id"].slice(0, 0),
+                                 "embedding": batch["embedding"].slice(0, 0)})
+            return pa.concat_tables(outs)
+
+    assigned = ds.map_batches(AssignCells, batch_format="pyarrow", concurrency=2)
+
+    def within_cell_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                              "neighbor_id": pd.array([], dtype="int64"),
+                              "cos": pd.array([], dtype="float64")})
+        ids = df.vec_id.to_numpy()
+        qsel = ids < N_QUERIES
+        if not qsel.any() or qsel.all():
+            return empty
+        x = np.stack(df.embedding.to_numpy())
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        corpus = np.flatnonzero(~qsel)
+        cos = x[qsel] @ x[corpus].T
+        k = min(TOP_K, corpus.size)
+        cids, qids = ids[corpus], ids[qsel]
+        out_q, out_n, out_c = [], [], []
+        for qi in range(qids.size):
+            top = np.argpartition(-cos[qi], k - 1)[:k]
+            out_q.append(np.full(k, qids[qi], dtype=np.int64))
+            out_n.append(cids[top].astype(np.int64))
+            out_c.append(cos[qi][top])
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "cos": np.concatenate(out_c),
+        })
+
+    partials = assigned.groupby("cell").map_groups(
+        within_cell_topk, batch_format="pandas")
+
+    def merge_cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("neighbor_id")
+        df = df.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        return pd.DataFrame({
+            "query_id": df.query_id.to_numpy(),
+            "neighbor_id": df.neighbor_id.to_numpy(),
+            "cos": _round(df.cos.to_numpy(), 6),
+        })
+
+    return partials.groupby("query_id").map_groups(merge_cells, batch_format="pandas")

@@ -96,6 +96,23 @@ def test_ann_lsh_recall_vs_exact(ray_session):
     assert (lsh.neighbor_id >= 10).all()
 
 
+def test_ann_ivf_recall_vs_exact(ray_session):
+    import __ray_entry__ as e
+
+    exact = _to_df(e.queries()["ann_topk_cosine"](SF))
+    ivf = _to_df(e.queries()["ann_ivf_cosine"](SF))
+    epairs = set(zip(exact.query_id, exact.neighbor_id))
+    ipairs = set(zip(ivf.query_id, ivf.neighbor_id))
+    # nprobe/n_cells = 6/32 of the corpus scanned; near-orthogonal synthetic
+    # vectors put a floor, not a ceiling, on cell recall
+    assert len(ipairs & epairs) >= len(epairs) * 0.1
+    assert (ivf.neighbor_id >= 10).all()
+    assert set(ivf.query_id) == set(exact.query_id)
+    # reported cosines must be the true similarities (exact within-cell math)
+    merged = ivf.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_e"))
+    assert np.allclose(merged.cos_i, merged.cos_e, atol=1e-9)
+
+
 def test_minhash_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
     """The at-scale bucketed-join verify (no broadcast) must produce the same
     pairs as the gated broadcast path."""
