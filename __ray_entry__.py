@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping_events": relq.window_hopping_events,
         "sessionize_events": relq.sessionize_events,
         "running_sum_events": relq.running_sum_events,
+        "rolling_1h_events": relq.rolling_1h_events,
+        "topn_orders_per_priority": relq.topn_orders_per_priority,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
@@ -136,6 +138,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_purchase_click": relq.ASOF_SQL,
         "sessionize_events": relq.SESSIONIZE_SQL,
         "running_sum_events": relq.RUNNING_SUM_SQL,
+        "rolling_1h_events": relq.ROLLING_SQL,
+        "topn_orders_per_priority": relq.TOPN_PER_KEY_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,
         "uniqueness_pk": relq.UNIQUENESS_SQL,
         "referential_orphans": relq.REFERENTIAL_SQL,

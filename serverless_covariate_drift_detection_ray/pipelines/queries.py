@@ -999,3 +999,63 @@ SELECT window_start, event_type, COUNT(*) AS n,
   FLOOR(SUM(value)*100+0.5)/100 AS sum_value
 FROM x GROUP BY 1, 2
 """
+
+
+def rolling_1h_events(sf_dir: str):
+    """Per-user rolling 1-hour window (count + sum of value over [ts-1h, ts]):
+    groupby(user) -> sort within group -> vectorized two-pointer via
+    searchsorted + cumsum — O(n log n) per group, no per-row Python loop."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    hour = np.timedelta64(3_600_000_000, "us")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        ts = df.ts.to_numpy()
+        lo = np.searchsorted(ts, ts - hour, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        cs = np.concatenate([[0.0], np.cumsum(df.value.to_numpy())])
+        return pd.DataFrame({
+            "event_id": df.event_id.to_numpy(),
+            "user_id": df.user_id.to_numpy(),
+            "n_1h": (hi - lo).astype(np.int64),
+            "sum_1h": _round(cs[hi] - cs[lo], 2),
+        })
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+
+
+ROLLING_SQL = """
+SELECT event_id, user_id, COUNT(*) OVER w AS n_1h,
+  FLOOR(SUM(value) OVER w * 100 + 0.5) / 100 AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def topn_orders_per_priority(sf_dir: str, n: int = 3):
+    """Grouped top-N (window ROW_NUMBER shape): per-block partial top-N per
+    key inside map_batches, then a tiny per-key final merge — the partial
+    top-k-before-shuffle pattern, so only n x n_blocks x n_keys rows move."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("o_orderpriority").head(n),
+                                    preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return df.head(n)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("o_orderpriority").map_groups(
+        final, batch_format="pandas")
+
+
+TOPN_PER_KEY_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""

@@ -43,7 +43,7 @@ def _to_df(res):
     "split_proportions_orders", "sample_random_orders",
     "ks_purchase_click_hist", "token_count_regex", "embedding_neardup_pairs",
     "divergence_purchase_click", "asof_join_purchase_click",
-    "window_hopping_events",
+    "window_hopping_events", "rolling_1h_events", "topn_orders_per_priority",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
