@@ -38,8 +38,11 @@ def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w = img.shape[:2]
     ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
     xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
-    f = img.astype(np.float64)
-    rows = np.add.reduceat(f, ys[:-1], axis=0)
+    # accumulate uint8 rows straight into float64 (dtype=) — bit-identical to
+    # the astype(float64)-then-reduceat sums (uint8 sums are exact integers in
+    # float64) without materializing a full-image float copy (first-touch page
+    # faults on fresh allocations dominate this kernel on this host)
+    rows = np.add.reduceat(img, ys[:-1], axis=0, dtype=np.float64)
     s = np.add.reduceat(rows, xs[:-1], axis=1)
     hgt = ys[1:] - ys[:-1]
     wid = xs[1:] - xs[:-1]
@@ -54,19 +57,46 @@ def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def phash64(img: np.ndarray) -> int:
-    """64-bit DCT perceptual hash of a uint8 image (grayscale or RGB)."""
+    """64-bit DCT perceptual hash of a uint8 image (grayscale or RGB).
+
+    Every step is bit-exact vs the original formulation (float64 channel
+    mean == exact-integer sum / 3.0; median of 63 values == partition[31];
+    MSB-first shift-accumulate == packbits) — required because stored phash
+    columns are verified against recomputation at Hamming tolerance 0."""
     if img.ndim == 3:
-        img = img.astype(np.float64).mean(axis=2)
+        img = np.add.reduce(img, axis=2, dtype=np.float64) / 3.0
     small = _resize_area(img, _DCT_N, _DCT_N)
     coeffs = _DCT @ small @ _DCT.T
-    block = coeffs[:8, :8].copy()
-    flat = block.ravel()
-    med = np.median(np.concatenate([flat[1:8], block[1:].ravel()]))  # exclude DC
-    bits = (flat > med).astype(np.uint64)
-    out = np.uint64(0)
-    for b in bits:
-        out = (out << np.uint64(1)) | b
-    return int(out.view(np.int64))
+    flat = coeffs[:8, :8].ravel()
+    sel = np.concatenate([flat[1:8], coeffs[1:8, :8].ravel()])  # exclude DC row 0
+    med = np.partition(sel, 31)[31]  # exact median of 63 values
+    out = int.from_bytes(np.packbits(flat > med).tobytes(), "big")
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_gray_small(img: np.ndarray) -> np.ndarray:
+    """Per-image half of phash64: channel-mean + area resize to (32, 32).
+    Split out so the fixed-size tail (DCT/median/packbits) can run batched."""
+    if img.ndim == 3:
+        img = np.add.reduce(img, axis=2, dtype=np.float64) / 3.0
+    return _resize_area(img, _DCT_N, _DCT_N)
+
+
+def phash64_batch(smalls: np.ndarray) -> np.ndarray:
+    """(n, 32, 32) stacked ``phash_gray_small`` outputs -> (n,) int64 hashes.
+
+    One broadcast matmul pair instead of 2n BLAS calls; bit-identical to
+    ``phash64`` per slice (stacked matmul runs the same (32,32) dgemm per
+    image; median/packbits are exact)."""
+    n = smalls.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    coeffs = _DCT @ smalls @ _DCT.T  # (n, 32, 32)
+    flat = coeffs[:, :8, :8].reshape(n, 64)
+    sel = np.concatenate([flat[:, 1:8], coeffs[:, 1:8, :8].reshape(n, 56)], axis=1)
+    med = np.partition(sel, 31, axis=1)[:, 31]
+    packed = np.packbits(flat > med[:, None], axis=1)  # (n, 8) MSB-first
+    return np.ascontiguousarray(packed).view(">u8").ravel().astype(np.uint64).view(np.int64)
 
 
 def phash_to_embedding(phash: np.ndarray) -> np.ndarray:

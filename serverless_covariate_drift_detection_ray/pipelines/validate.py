@@ -296,21 +296,30 @@ def validate(
     # collect driver-side; violations collect only below VIOLATIONS_DRIVER_MAX,
     # else a distributed per-partition writer streams them into the store
     # layout (sorted within partition — the byte-stable contract) ----
-    t1 = time.time()
-    verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)
-    stage_t["drift"] = time.time() - t1
-
     def conform(t: pa.Table) -> pa.Table:
         return pa.table({f.name: t[f.name].cast(f.type) for f in VIOLATION_SCHEMA},
                         schema=VIOLATION_SCHEMA)
 
+    # the drift actor pool (few CPUs) and the constraint shuffles are
+    # independent consumers — execute them CONCURRENTLY (drift on the main
+    # thread, constraints on a helper) instead of back-to-back
+    def exec_constraints():
+        v = domain_viol_ds.union(
+            uniq_viol.map_batches(conform, batch_format="pyarrow"),
+            neardup_viol.map_batches(conform, batch_format="pyarrow"),
+        ).materialize()
+        return v, v.count()
+
+    cpool = ThreadPoolExecutor(max_workers=1)
+    viol_fut = cpool.submit(exec_constraints)
     t1 = time.time()
-    viol_ds = domain_viol_ds.union(
-        uniq_viol.map_batches(conform, batch_format="pyarrow"),
-        neardup_viol.map_batches(conform, batch_format="pyarrow"),
-    ).materialize()
-    n_viol = viol_ds.count()
-    stage_t["constraints"] = time.time() - t1
+    verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)
+    stage_t["drift"] = time.time() - t1
+
+    t1 = time.time()
+    viol_ds, n_viol = viol_fut.result()
+    cpool.shutdown(wait=False)
+    stage_t["constraints"] = time.time() - t1  # residual beyond the drift overlap
 
     ts = cfg.freeze_time or time.strftime("%d/%m/%Y %H:%M:%S.000000", time.gmtime())
     assert TS_FORMAT  # format documented in stages.drift

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 from ..functions.codec import LOSSY_FMTS, decode_image, image_dims
 from ..functions.hashing import hash64
-from ..functions.phash import phash64, phash_hamming
+from ..functions.phash import phash64_batch, phash_gray_small, phash_hamming
 from ..pipelines.config import EngineConfig
 from ..state.partials import PartialState
 
@@ -173,13 +173,15 @@ class FeaturizeAndSketch:
             ps_val.append(float(np.sqrt(max(s2 / flat.size - m * m, 0.0))))
             if cfg.phash_verify:
                 ver_idx.append(i)
-                ver_ph.append(phash64(img))
+                ver_ph.append(phash_gray_small(img))
         if ver_idx:
             # per-row fidelity, batched: the phash column must match the
             # decoded pixels (BASELINE.json input_hint invariant); lossy
-            # codecs get a small Hamming allowance for quantization
+            # codecs get a small Hamming allowance for quantization. The
+            # fixed-size DCT/median/packbits tail runs as ONE batched kernel
+            # over the stacked (n, 32, 32) resize outputs.
             vi = np.asarray(ver_idx, dtype=np.int64)
-            dist = phash_hamming(np.asarray(ver_ph, dtype=np.int64), phash[vi])
+            dist = phash_hamming(phash64_batch(np.stack(ver_ph)), phash[vi])
             tols = np.where(np.isin(fmt[vi], LOSSY_FMTS),
                             cfg.phash_tol_lossy, cfg.phash_tol_lossless)
             for k in np.nonzero(dist > tols)[0]:
