@@ -135,32 +135,37 @@ class FeaturizeAndSketch:
                      lambda i: str(ids[i]), "in manifest")
 
         # --- sampled per-image checks (codecs are inherently per-image) ---
+        # ONE loop over the union of the dims- and decode-sampled rows so each
+        # image's bytes materialize from Arrow exactly once (the two separate
+        # loops paid two per-row binary copies when both fractions are 1.0)
         decodable = ~empty_bytes & fmt_known
-        dims_rows = np.nonzero(decodable & (id_hash < self.dims_thresh))[0]
-        decode_rows = np.nonzero(decodable & (id_hash < self.decode_thresh))[0]
+        dims_mask = decodable & (id_hash < self.dims_thresh)
+        decode_mask = decodable & (id_hash < self.decode_thresh)
         bytes_col = batch["bytes"]
-
-        for i in dims_rows:
-            i = int(i)
-            try:
-                dw, dh, _ = image_dims(bytes_col[i].as_py(), str(fmt[i]))
-            except Exception as exc:  # struct.error / zlib.error / ValueError
-                add_one(i, "decodable", "bytes", type(exc).__name__, "decodable header")
-                continue
-            if dw != int(w[i]) or dh != int(h[i]):
-                add_one(i, "dims_match_decoded", "w,h",
-                        f"{dw}x{dh}", f"{int(w[i])}x{int(h[i])}")
 
         pm_part: list[int] = []
         pm_val: list[float] = []
         ps_val: list[float] = []
         ver_idx: list[int] = []
         ver_ph: list[int] = []
-        for i in decode_rows:
+        for i in np.nonzero(dims_mask | decode_mask)[0]:
             i = int(i)
             f = str(fmt[i])
+            data = bytes_col[i].as_py()
+            if dims_mask[i]:
+                try:
+                    dw, dh, _ = image_dims(data, f)
+                except Exception as exc:  # struct.error / zlib.error / ValueError
+                    add_one(i, "decodable", "bytes", type(exc).__name__,
+                            "decodable header")
+                    continue
+                if dw != int(w[i]) or dh != int(h[i]):
+                    add_one(i, "dims_match_decoded", "w,h",
+                            f"{dw}x{dh}", f"{int(w[i])}x{int(h[i])}")
+            if not decode_mask[i]:
+                continue
             try:
-                img = decode_image(bytes_col[i].as_py(), f)
+                img = decode_image(data, f)
             except Exception as exc:
                 add_one(i, "decode_ok", "bytes", type(exc).__name__, "decodable")
                 continue
