@@ -237,9 +237,21 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
-def topk_orders(sf_dir: str):
+def topk_orders(sf_dir: str, k: int = 10):
+    """Global top-k: per-block partial top-k first, so the all-to-all sort
+    sees only blocks*k rows instead of the whole table."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy()
+        if len(p) > k:
+            idx = np.lexsort((batch["o_orderkey"].to_numpy(), -p))[:k]
+            batch = batch.take(pa.array(idx))
+        return batch
+
+    out = ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True
+                         ).sort(["o_totalprice", "o_orderkey"],
+                                descending=[True, False]).limit(k)
     df = _round_cols(out.to_pandas(), {"o_totalprice": 2})
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -710,8 +722,12 @@ def sample_random_orders(sf_dir: str, k: int = 100):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def add_key(batch: pa.Table) -> pa.Table:
-        r = ((batch["o_orderkey"].to_numpy().astype(np.int64) % 4096)
-             * 2654435761) % 4294967296
+        keys = batch["o_orderkey"].to_numpy()
+        r = ((keys.astype(np.int64) % 4096) * 2654435761) % 4294967296
+        if len(r) > k:  # per-block partial top-k: the sort sees blocks*k rows
+            idx = np.lexsort((keys, r))[:k]
+            batch = batch.take(pa.array(idx))
+            r = r[idx]
         return batch.append_column("r", pa.array(r))
 
     out = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True
