@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_random_orders": relq.sample_random_orders,
         "distinct_flag_status": relq.distinct_flag_status,
         "heavy_hitter_users": relq.heavy_hitter_users,
+        "heavy_hitters_screened": relq.heavy_hitters_screened,
         # windows / stream-shaped
         "window_tumbling_events": relq.window_tumbling_events,
         "window_hopping_events": relq.window_hopping_events,
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_random_orders": relq.SAMPLE_SQL,
         "distinct_flag_status": relq.DISTINCT_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
+        "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,
         "window_hopping_events": relq.WINDOW_HOP_SQL,
         "asof_join_purchase_click": relq.ASOF_SQL,

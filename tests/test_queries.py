@@ -44,6 +44,7 @@ def _to_df(res):
     "ks_purchase_click_hist", "token_count_regex", "embedding_neardup_pairs",
     "divergence_purchase_click", "asof_join_purchase_click",
     "window_hopping_events", "rolling_1h_events", "topn_orders_per_priority",
+    "heavy_hitters_screened",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
@@ -133,3 +134,14 @@ def test_tdigest_quantiles_close_to_exact(ray_session):
     ex = _to_df(e.queries()["quantiles_extendedprice"](SF))
     rel = np.abs(td.value.to_numpy() - ex.value.to_numpy()) / ex.value.to_numpy()
     assert (rel < 0.005).all(), rel
+
+
+def test_heavy_hitter_screen_fallback_matches_exact(ray_session):
+    """With m=1 the screen certificate must fail on flat counts and the
+    fallback must still return the exact answer."""
+    import __ray_entry__ as e
+    from serverless_covariate_drift_detection_ray.pipelines import queries as q
+
+    exact = _canon(_to_df(q.heavy_hitter_users(SF)))
+    screened = _canon(_to_df(q.heavy_hitters_screened(SF, m=1)))
+    pd.testing.assert_frame_equal(screened, exact, check_dtype=False)
