@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relq.topk_orders,
         "split_proportions_orders": relq.split_proportions_orders,
         "sample_random_orders": relq.sample_random_orders,
+        "shuffle_orders": relq.shuffle_orders,
         "distinct_flag_status": relq.distinct_flag_status,
         "heavy_hitter_users": relq.heavy_hitter_users,
         "heavy_hitters_screened": relq.heavy_hitters_screened,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": relq.TOPK_SQL,
         "split_proportions_orders": relq.SPLIT_SQL,
         "sample_random_orders": relq.SAMPLE_SQL,
+        "shuffle_orders": relq.SHUFFLE_SQL,
         "distinct_flag_status": relq.DISTINCT_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,

@@ -821,6 +821,33 @@ LIMIT 100
 """
 
 
+def shuffle_orders(sf_dir: str, seed: int = 42):
+    """Seeded global ``random_shuffle`` (the reference's loader shuffling,
+    ml/training.py:272-283; SURVEY.md §2.6). A shuffle is a permutation, so
+    the oracle checks content preservation (count + key checksum); fixed-seed
+    order determinism is pinned by a test, not SQL (the permutation itself is
+    executor-defined)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).random_shuffle(seed=seed)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        return pa.table({"n": pa.array([len(k)], pa.int64()),
+                         "key_sum": pa.array([int(k.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).aggregate(Sum("n", alias_name="n"),
+                                     Sum("key_sum", alias_name="key_sum"))
+    return pa.Table.from_pylist([{"n": int(out["n"]),
+                                  "key_sum": int(out["key_sum"])}])
+
+
+SHUFFLE_SQL = """
+SELECT COUNT(*)::BIGINT AS n, SUM(o_orderkey)::BIGINT AS key_sum FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sketch-default variants of KS / quantiles (the at-scale paths; VERDICT r1).
 # The exact-sample versions above stay as the oracle anchors; these stream

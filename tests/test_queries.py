@@ -145,3 +145,16 @@ def test_heavy_hitter_screen_fallback_matches_exact(ray_session):
     exact = _canon(_to_df(q.heavy_hitter_users(SF)))
     screened = _canon(_to_df(q.heavy_hitters_screened(SF, m=1)))
     pd.testing.assert_frame_equal(screened, exact, check_dtype=False)
+
+
+def test_shuffle_orders_seed_determinism(ray_session):
+    """Same seed -> same permutation; different seed -> different one.
+    Content preservation is the SQL oracle's job."""
+    from serverless_covariate_drift_detection_ray.pipelines.queries import _read
+
+    a = _read(SF, "orders", ["o_orderkey"]).random_shuffle(seed=7).take(50)
+    b = _read(SF, "orders", ["o_orderkey"]).random_shuffle(seed=7).take(50)
+    c = _read(SF, "orders", ["o_orderkey"]).random_shuffle(seed=8).take(50)
+    ka = [r["o_orderkey"] for r in a]
+    assert ka == [r["o_orderkey"] for r in b]
+    assert ka != [r["o_orderkey"] for r in c]
