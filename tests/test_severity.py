@@ -57,3 +57,29 @@ def test_clean_below_every_severity(distances):
     for kind, dist in distances.items():
         if kind.startswith("drift-"):
             assert clean < dist, (kind, clean, dist)
+
+
+def test_ks_pixel_mean_monotone_in_jitter(ray_session=None):
+    """ColorJitter analogue (reference ml/utils/drift.py ColorJitter tiers):
+    phash is jitter-invariant by design, so the engine catches jitter on the
+    decoded pixel-intensity marginal — KS distance on per-image pixel means
+    must grow with the jitter tier."""
+    from serverless_covariate_drift_detection_ray.functions.codec import decode_image
+    from serverless_covariate_drift_detection_ray.functions.stats import ks_2samp
+
+    rows = 400
+
+    def pixel_means(kind, fid):
+        table, _ = generate_fragment(fid, 0, kind, rows)
+        fmts = table["fmt"].to_pylist()
+        out = np.empty(table.num_rows)
+        for i, (b, f) in enumerate(zip(table["bytes"].to_pylist(), fmts)):
+            out[i] = float(np.mean(decode_image(b, f)))
+        return out
+
+    ref = pixel_means("reference", 0)
+    ds = [ks_2samp(ref, pixel_means(f"drift-jitter-{t}", 20 + i))[0]
+          for i, t in enumerate(("0.3", "0.6", "1.2"))]
+    clean = ks_2samp(ref, pixel_means("clean", 30))[0]
+    assert all(b > a for a, b in zip(ds, ds[1:])), ds
+    assert clean < ds[0], (clean, ds)
