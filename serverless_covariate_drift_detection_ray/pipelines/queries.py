@@ -201,8 +201,14 @@ def join_large_priority_revenue(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(batch: pa.Table) -> pa.Table:
+        # per-block combiner: lineitem is clustered by orderkey, so summing
+        # revenue per key inside the block shrinks the join input ~4× before
+        # the hash shuffle (sum is reassociable across blocks post-join)
         r = batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
-        return pa.table({"l_orderkey": batch["l_orderkey"], "revenue": pa.array(r)})
+        keys = batch["l_orderkey"].to_numpy()
+        uk, inv = np.unique(keys, return_inverse=True)
+        partial = np.bincount(inv, weights=r, minlength=uk.size)
+        return pa.table({"l_orderkey": pa.array(uk), "revenue": pa.array(partial)})
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -523,32 +529,47 @@ def uniqueness_pk(sf_dir: str):
     the engine's unique_image_id check generalized (SURVEY.md §2.7 item 2)."""
     import ray.data
 
-    from ray.data.aggregate import Sum
+    from ..functions.hashing import hash64
 
     specs = [("orders", "o_orderkey"), ("part", "p_partkey"),
              ("documents", "doc_id"), ("events", "event_id")]
-    rows = []
-    for table, key in specs:
+    n_buckets = 32
+
+    def build_table(table: str, key: str):
         ds = _read(sf_dir, table, [key])
 
         def precount(batch: pa.Table, key=key) -> pa.Table:
+            # per-block combiner: (key, count) partials + hash bucket so the
+            # shuffle groups by a fixed small key instead of per-row keys
             v, c = np.unique(batch[key].to_numpy(), return_counts=True)
-            return pa.table({"k": pa.array(v), "c": pa.array(c.astype(np.int64))})
+            b = (hash64(v) % n_buckets).astype(np.int32)
+            return pa.table({"k": pa.array(v), "c": pa.array(c.astype(np.int64)),
+                             "b": pa.array(b)})
 
-        agg = ds.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True
-                             ).groupby("k").aggregate(Sum("c", alias_name="n"))
+        def bucket_sum(group):
+            import pandas as pd
+            v, inv = np.unique(group["k"].to_numpy(), return_inverse=True)
+            tot = np.bincount(inv, weights=group["c"].to_numpy(), minlength=v.size)
+            return pd.DataFrame({"rows": [int(tot.sum())], "keys": [int(v.size)],
+                                 "dup_keys": [int((tot > 1).sum())]})
 
-        def summarize(batch: pa.Table) -> pa.Table:
-            n = batch["n"].to_numpy()
-            return pa.table({
-                "rows": pa.array([int(n.sum())], pa.int64()),
-                "keys": pa.array([int(n.size)], pa.int64()),
-                "dup_keys": pa.array([int((n > 1).sum())], pa.int64()),
-            })
+        return ds.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True
+                              ).groupby("b").map_groups(bucket_sum)
 
-        parts = agg.map_batches(summarize, batch_format="pyarrow").to_pandas().sum()
-        rows.append({"table_name": table, "n_rows": int(parts["rows"]),
-                     "n_keys": int(parts["keys"]), "n_dup_keys": int(parts["dup_keys"])})
+    def finish(table: str, summarized) -> dict:
+        parts = summarized.to_pandas().sum()
+        return {"table_name": table, "n_rows": int(parts["rows"]),
+                "n_keys": int(parts["keys"]), "n_dup_keys": int(parts["dup_keys"])}
+
+    # the four tables are independent pipelines — build the lazy plans
+    # serially (fsspec/pyarrow lazy imports are not thread-safe on first
+    # touch) but overlap EXECUTION from driver threads instead of paying
+    # 4× the fixed shuffle latency serially
+    built = [(t, build_table(t, k)) for t, k in specs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(built)) as pool:
+        rows = list(pool.map(lambda s: finish(*s), built))
     return pa.Table.from_pylist(rows)
 
 
@@ -579,8 +600,7 @@ def referential_orphans(sf_dir: str):
         ("lineitem_to_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem_to_part", "lineitem", "l_partkey", "part", "p_partkey"),
     ]
-    rows = []
-    for name, fact, fk, dim, pk in specs:
+    def build_relation(name, fact, fk, dim, pk):
         keys = pq.read_table(f"{sf_dir}/{dim}.parquet", columns=[pk])[pk].to_numpy()
         probe = np.sort(hash64(keys))
         wrapped = {"ref": ray.put(probe)}
@@ -597,9 +617,20 @@ def referential_orphans(sf_dir: str):
                 return pa.table({"orphans": pa.array([miss], pa.int64())})
 
         ds = _read(sf_dir, fact, [fk])
-        total = ds.map_batches(AntiJoin, batch_format="pyarrow", zero_copy_batch=True,
-                               concurrency=2).to_pandas()["orphans"].sum()
-        rows.append({"relation": name, "n_orphans": int(total)})
+        return ds.map_batches(AntiJoin, batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=2)
+
+    def finish(name, counted) -> dict:
+        total = counted.to_pandas()["orphans"].sum()
+        return {"relation": name, "n_orphans": int(total)}
+
+    # independent broadcast probes — build plans serially (lazy-import
+    # safety), overlap execution from driver threads
+    built = [(s[0], build_relation(*s)) for s in specs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(built)) as pool:
+        rows = list(pool.map(lambda s: finish(*s), built))
     return pa.Table.from_pylist(rows)
 
 
