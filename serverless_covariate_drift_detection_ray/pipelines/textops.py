@@ -310,20 +310,23 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", zero_copy_batch=True)
 
     def add_bucket_key(batch: pa.Table) -> pa.Table:
-        # composite single int64 key: multi-column groupby costs ~2 ms/group
+        # composite single int64 key; a coarse salt bucket (gbkt) is the
+        # actual shuffle key — Ray 2.49 charges ~2 ms per group, so grouping
+        # by the ~thousands of distinct band hashes directly dominates the
+        # query. All rows of one bkey land in one gbkt, so pair emission
+        # inside the coarse group is still exact per band bucket.
         bh = batch["band_hash"].to_numpy().astype(np.uint64)
         b = batch["band"].to_numpy().astype(np.uint64)
         key = splitmix64(bh ^ (b << np.uint64(56))).astype(np.int64)
-        return pa.table({"doc_id": batch["doc_id"], "bkey": pa.array(key)})
+        gbkt = (splitmix64(key.astype(np.uint64)) % np.uint64(N_DEDUP_BUCKETS)
+                ).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "bkey": pa.array(key),
+                         "gbkt": pa.array(gbkt)})
 
     keyed = sigs.map_batches(add_bucket_key, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Candidate pairs as one composite int64 key (a<<32|b)."""
-        ids = np.sort(df.doc_id.unique())
-        if ids.size < 2:
-            return pd.DataFrame({"pair": pd.array([], dtype="int64"),
-                                 "bkt": pd.array([], dtype="int64")})
+    def _emit_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All-pairs (capped + star-linked) over one band bucket's doc ids."""
         if ids.size > HOT_BAND_CAP:
             import logging
 
@@ -332,16 +335,36 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
                 ids.size, HOT_BAND_CAP)
             head = ids[:HOT_BAND_CAP]
             ai, bi = np.triu_indices(head.size, k=1)
-            a = np.concatenate([head[ai], np.full(ids.size - HOT_BAND_CAP, ids[0])])
-            b = np.concatenate([head[bi], ids[HOT_BAND_CAP:]])
-        else:
-            ai, bi = np.triu_indices(ids.size, k=1)
-            a, b = ids[ai], ids[bi]
-        pair = (a.astype(np.int64) << 32) | b.astype(np.int64)
+            return (np.concatenate([head[ai], np.full(ids.size - HOT_BAND_CAP, ids[0])]),
+                    np.concatenate([head[bi], ids[HOT_BAND_CAP:]]))
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return ids[ai], ids[bi]
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs as one composite int64 key (a<<32|b), emitted
+        segment-wise per bkey inside the coarse salt group."""
+        d = df.drop_duplicates(["bkey", "doc_id"]).sort_values(["bkey", "doc_id"])
+        bk = d.bkey.to_numpy()
+        ids = d.doc_id.to_numpy()
+        # segment boundaries per bkey; skip singleton segments outright
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], bk.size]
+        outs_a, outs_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                a, b = _emit_pairs(ids[s:e])
+                outs_a.append(a)
+                outs_b.append(b)
+        if not outs_a:
+            return pd.DataFrame({"pair": pd.array([], dtype="int64"),
+                                 "bkt": pd.array([], dtype="int64")})
+        a = np.concatenate(outs_a).astype(np.int64)
+        b = np.concatenate(outs_b).astype(np.int64)
+        pair = (a << 32) | b
         bkt = (splitmix64(pair.astype(np.uint64)) % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
         return pd.DataFrame({"pair": pair, "bkt": bkt})
 
-    candidates = keyed.groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
+    candidates = keyed.groupby("gbkt").map_groups(bucket_pairs, batch_format="pandas")
 
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         pair = np.unique(df.pair.to_numpy())
