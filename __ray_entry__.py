@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_random_orders": relq.sample_random_orders,
         "shuffle_orders": relq.shuffle_orders,
         "distinct_flag_status": relq.distinct_flag_status,
+        "setops_customer_orders": relq.setops_customer_orders,
         "heavy_hitter_users": relq.heavy_hitter_users,
         "heavy_hitters_screened": relq.heavy_hitters_screened,
         # windows / stream-shaped
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_1h_events": relq.rolling_1h_events,
         "topn_orders_per_priority": relq.topn_orders_per_priority,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
+        "range_join_price_bands": relq.range_join_price_bands,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "uniqueness_pk": relq.uniqueness_pk,
@@ -135,6 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_random_orders": relq.SAMPLE_SQL,
         "shuffle_orders": relq.SHUFFLE_SQL,
         "distinct_flag_status": relq.DISTINCT_SQL,
+        "setops_customer_orders": relq.SETOPS_SQL,
+        "range_join_price_bands": relq.RANGE_JOIN_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

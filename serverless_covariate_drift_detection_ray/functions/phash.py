@@ -25,33 +25,40 @@ def _dct_matrix(n: int = _DCT_N) -> np.ndarray:
 _DCT = _dct_matrix()
 
 
+_BIN_CACHE: dict = {}
+
+
+def _bin_matrix(n_in: int, n_out: int, channels: int = 1):
+    """Cached (n_out, n_in*channels) 0/1 binning matrix + per-bin widths.
+
+    ``B @ x`` sums each output bin's input rows; with ``channels > 1`` the
+    matrix spans the row-major flattened (col, channel) axis so one matmul
+    folds the channel sum into the column binning. Image dims repeat heavily
+    across a corpus, so the cache stays tiny and hot."""
+    key = (n_in, n_out, channels)
+    hit = _BIN_CACHE.get(key)
+    if hit is None:
+        edges = (np.arange(n_out + 1) * n_in // n_out).astype(np.int64)
+        m = np.zeros((n_out, n_in * channels))
+        for j in range(n_out):
+            m[j, edges[j] * channels:edges[j + 1] * channels] = 1.0
+        hit = (m, np.maximum(edges[1:] - edges[:-1], 0))
+        _BIN_CACHE[key] = hit
+    return hit
+
+
 def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-average resize via bin means (deterministic, no interpolation lib).
 
-    Two ``np.add.reduceat`` passes (rows, then cols of the 32xw intermediate)
-    instead of a full-image 2-D cumsum — bin sums of uint8 pixels are exact
-    integers in float64 either way, so results are bit-identical, at ~1/3 the
-    cost. Empty bins (out dim > in dim) duplicate the previous boundary index;
-    reduceat then yields that single row/col, which the old cumsum-diff gave 0
-    — but area 0 bins were clamped to mean 0 there and are divided by
-    max(area,1) here too, so only bins with area >= 1 (identical sums) matter."""
-    h, w = img.shape[:2]
-    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
-    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
-    # accumulate uint8 rows straight into float64 (dtype=) — bit-identical to
-    # the astype(float64)-then-reduceat sums (uint8 sums are exact integers in
-    # float64) without materializing a full-image float copy (first-touch page
-    # faults on fresh allocations dominate this kernel on this host)
-    rows = np.add.reduceat(img, ys[:-1], axis=0, dtype=np.float64)
-    s = np.add.reduceat(rows, xs[:-1], axis=1)
-    hgt = ys[1:] - ys[:-1]
-    wid = xs[1:] - xs[:-1]
-    # reduceat returns the single element at a repeated index (empty bin) —
-    # zero those to match the exact-sum semantics of the cumsum version
-    if (hgt == 0).any():
-        s[hgt == 0, :] = 0.0
-    if (wid == 0).any():
-        s[:, wid == 0] = 0.0
+    Two small BLAS matmuls against cached 0/1 binning matrices — bin sums of
+    uint8 pixels are exact integers in float64 in any summation order, so the
+    result is bit-identical to the cumsum-diff definition, at ~1/3 the cost of
+    the reduceat formulation (whose per-call index setup dominated). Empty
+    bins (out dim > in dim) have all-zero matrix rows -> sum 0, divided by
+    max(area, 1) -> mean 0, matching the reference."""
+    Bh, hgt = _bin_matrix(img.shape[0], out_h)
+    Bw, wid = _bin_matrix(img.shape[1], out_w)
+    s = Bh @ (img.astype(np.float64) @ Bw.T)
     area = hgt[:, None] * wid[None, :]
     return s / np.maximum(area, 1)
 
@@ -59,13 +66,12 @@ def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 def phash64(img: np.ndarray) -> int:
     """64-bit DCT perceptual hash of a uint8 image (grayscale or RGB).
 
-    Every step is bit-exact vs the original formulation (float64 channel
-    mean == exact-integer sum / 3.0; median of 63 values == partition[31];
+    Deterministic in every step (channel+area sums are exact integers in
+    float64 with ONE final division; median of 63 values == partition[31];
     MSB-first shift-accumulate == packbits) — required because stored phash
-    columns are verified against recomputation at Hamming tolerance 0."""
-    if img.ndim == 3:
-        img = np.add.reduce(img, axis=2, dtype=np.float64) / 3.0
-    small = _resize_area(img, _DCT_N, _DCT_N)
+    columns are verified against recomputation at Hamming tolerance 0, so
+    generator and verifier must share this exact formulation."""
+    small = phash_gray_small(img)
     coeffs = _DCT @ small @ _DCT.T
     flat = coeffs[:8, :8].ravel()
     sel = np.concatenate([flat[1:8], coeffs[1:8, :8].ravel()])  # exclude DC row 0
@@ -76,9 +82,19 @@ def phash64(img: np.ndarray) -> int:
 
 def phash_gray_small(img: np.ndarray) -> np.ndarray:
     """Per-image half of phash64: channel-mean + area resize to (32, 32).
-    Split out so the fixed-size tail (DCT/median/packbits) can run batched."""
+    Split out so the fixed-size tail (DCT/median/packbits) can run batched.
+
+    RGB folds the channel sum into the column binning matmul (one pass over
+    the image instead of a strided axis-2 reduce + resize); the division by
+    bin_area*channels happens once at the end, so every intermediate is an
+    exact integer in float64."""
     if img.ndim == 3:
-        img = np.add.reduce(img, axis=2, dtype=np.float64) / 3.0
+        h, w, c = img.shape
+        Bh, hgt = _bin_matrix(h, _DCT_N)
+        Bwc, wid = _bin_matrix(w, _DCT_N, c)
+        s = Bh @ (img.reshape(h, w * c).astype(np.float64) @ Bwc.T)
+        area = hgt[:, None] * wid[None, :] * c
+        return s / np.maximum(area, 1)
     return _resize_area(img, _DCT_N, _DCT_N)
 
 

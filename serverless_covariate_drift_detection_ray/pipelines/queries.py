@@ -1204,3 +1204,124 @@ SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
 QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                            ORDER BY o_totalprice DESC, o_orderkey) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Set operations over key sets — SURVEY.md §2.6 (engine-new: distinct /
+# union / intersect / except as one distributed pass)
+# ---------------------------------------------------------------------------
+
+
+def setops_customer_orders(sf_dir: str):
+    """UNION / INTERSECT / EXCEPT cardinalities of {c_custkey} vs
+    {distinct o_custkey} in one shuffle: per-block unique partials tagged by
+    side, salted-bucket groupby (all copies of one key land in one bucket),
+    vectorized per-bucket set algebra, tiny final sum. No driver-side key
+    materialization — the at-scale shape for DISTINCT-based set ops."""
+    from ..functions.hashing import hash64
+
+    n_buckets = 64
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch.column_names[0]
+            k = np.unique(batch[col].to_numpy())
+            b = (hash64(k) % n_buckets).astype(np.int64)
+            return pa.table({"k": pa.array(k.astype(np.int64)),
+                             "side": pa.array(np.full(k.size, side, np.int64)),
+                             "bkt": pa.array(b)})
+        return fn
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_setops(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.unique(df.k.to_numpy()[df.side.to_numpy() == 0])
+        b = np.unique(df.k.to_numpy()[df.side.to_numpy() == 1])
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        return pd.DataFrame({
+            "n_customers": [int(a.size)],
+            "n_order_custkeys": [int(b.size)],
+            "n_union": [int(a.size + b.size - inter)],
+            "n_intersect": [int(inter)],
+            "n_cust_only": [int(a.size - inter)],
+            "n_orders_only": [int(b.size - inter)],
+        })
+
+    out = cust.union(orders).groupby("bkt").map_groups(
+        bucket_setops, batch_format="pandas").to_pandas().sum()
+    return pa.Table.from_pylist([{c: int(out[c]) for c in out.index}])
+
+
+SETOPS_SQL = """
+SELECT
+  (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS n_customers,
+  (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_order_custkeys,
+  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+                         UNION SELECT o_custkey FROM orders)) AS n_union,
+  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+                         INTERSECT SELECT DISTINCT o_custkey FROM orders)) AS n_intersect,
+  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+                         EXCEPT SELECT o_custkey FROM orders)) AS n_cust_only,
+  (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+                         EXCEPT SELECT c_custkey FROM customer)) AS n_orders_only
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — SURVEY.md §2 custom operators: small interval
+# table broadcast, probe side streams (non-overlapping intervals)
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS = [  # (band, lo incl, hi excl) — non-overlapping, sorted
+    ("budget", 900.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("upper", 950.0, 975.0),
+    ("premium", 975.0, 1000.0),
+]
+
+
+def range_join_price_bands(sf_dir: str):
+    """Interval join part→price band: the band table is broadcast (it is
+    small by construction) and each batch probes it with one searchsorted
+    against the sorted interval edges — the canonical Ray shape for a
+    range join with a small build side. Rows outside every band drop out
+    (inner join semantics)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    lows = np.array([b[1] for b in PRICE_BANDS])
+    highs = np.array([b[2] for b in PRICE_BANDS])
+    names = np.array([b[0] for b in PRICE_BANDS])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        p = batch["p_retailprice"].to_numpy()
+        idx = np.searchsorted(lows, p, side="right") - 1
+        ok = (idx >= 0) & (p < highs[np.clip(idx, 0, len(PRICE_BANDS) - 1)])
+        idx = idx[ok]
+        return pa.table({
+            "band": pa.array(names[idx]),
+            "price_sum": pa.array(p[ok]),
+            "n": pa.array(np.ones(idx.size, np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("band").aggregate(
+        Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
+    df = out.to_pandas()
+    df["avg_price"] = _round(df.pop("price_sum") / df["n"], 2)
+    return pa.Table.from_pandas(df[["band", "n", "avg_price"]], preserve_index=False)
+
+
+RANGE_JOIN_SQL = """
+SELECT band, COUNT(*) AS n,
+  FLOOR(AVG(p_retailprice)*100+0.5)/100 AS avg_price
+FROM part
+JOIN (VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 950.0),
+             ('upper', 950.0, 975.0), ('premium', 975.0, 1000.0))
+     AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""

@@ -44,7 +44,8 @@ def _to_df(res):
     "ks_purchase_click_hist", "token_count_regex", "embedding_neardup_pairs",
     "divergence_purchase_click", "asof_join_purchase_click",
     "window_hopping_events", "rolling_1h_events", "topn_orders_per_priority",
-    "heavy_hitters_screened",
+    "heavy_hitters_screened", "setops_customer_orders",
+    "range_join_price_bands",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
