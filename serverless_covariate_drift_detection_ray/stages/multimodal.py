@@ -139,4 +139,173 @@ def dump_images(ds, out_dir: str, fmt: str = "png", limit_per_partition: int = 1
     return out.count()
 
 
-__all__ = ["DecodeFeatures", "read_image_dir", "dump_images", "EXTERNAL_FMTS"]
+VIDEO_FMTS = frozenset({"mp4", "webm", "mkv"})
+AUDIO_FMTS = frozenset({"wav", "flac", "ogg", "mp3"})
+
+
+def decode_video_external(data: bytes, fmt: str):
+    """STUB: real video decode needs ffmpeg/pyav (not in this container).
+
+    Raises ``NotImplementedError`` for known video containers so callers fail
+    loudly instead of silently producing fakes; on a cluster with the codec
+    libs baked in, swap this for the real frame decoder (same signature:
+    bytes -> (n_frames, h, w[, c]) uint8 array)."""
+    if fmt not in VIDEO_FMTS:
+        raise ValueError(f"not a known video format: {fmt!r}")
+    raise NotImplementedError(
+        f"video decode for {fmt!r} requires an external codec library")
+
+
+def decode_audio_external(data: bytes, fmt: str):
+    """STUB: real audio decode needs libsndfile/ffmpeg (not in this container).
+
+    Same contract as :func:`decode_video_external`; the real decoder returns
+    (n_samples,) float32 PCM."""
+    if fmt not in AUDIO_FMTS:
+        raise ValueError(f"not a known audio format: {fmt!r}")
+    raise NotImplementedError(
+        f"audio decode for {fmt!r} requires an external codec library")
+
+
+def _fake_frame(payload_hash: int, index: int, shape=(16, 16)) -> np.ndarray:
+    """Deterministic fake frame/window content derived from (payload, index) —
+    keeps the Ray-side plumbing (row expansion, schema, batching) real and
+    byte-reproducible without external codecs."""
+    seed = (payload_hash ^ (index * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+class FrameSample:
+    """Actor-pool stage: video ``bytes`` -> uniformly sampled frame rows.
+
+    Input rows carry (video_id, bytes, fmt, n_frames) — ``n_frames`` is typed
+    metadata, the at-scale contract for opaque media columns (decode never
+    runs just to count frames). Emits up to ``max_frames`` rows per video
+    (one per sampled frame) with per-frame features — a flat_map expressed as
+    ``map_batches`` so the expansion stays vectorized per batch and the
+    decoder loads once per actor.
+
+    ``use_external=True`` routes through :func:`decode_video_external` (real
+    decode, stubbed in-sandbox); the default uses the deterministic fake so
+    schema/batching/output layout are testable. Large payloads want small
+    ``batch_size`` (bytes x batch x concurrency bounds worker heap).
+    """
+
+    def __init__(self, max_frames: int = 8, use_external: bool = False):
+        from ..functions.hashing import hash64  # once per actor
+
+        self.max_frames = max_frames
+        self.use_external = use_external
+        self._hash64 = hash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, mean_out, std_out, ok_out = [], [], [], [], []
+        vids = batch.column("video_id").to_pylist()
+        data = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        n_frames = batch.column("n_frames").to_pylist()
+        for vid, payload, fmt, nf in zip(vids, data, fmts, n_frames):
+            nf = int(nf or 0)
+            if nf <= 0:
+                continue
+            k = min(self.max_frames, nf)
+            sample = np.unique(np.linspace(0, nf - 1, k).astype(np.int64))
+            if self.use_external:
+                try:
+                    frames = decode_video_external(payload, fmt)[sample]
+                except Exception:
+                    ids_out.append(vid)
+                    idx_out.append(-1)
+                    mean_out.append(np.nan)
+                    std_out.append(np.nan)
+                    ok_out.append(False)
+                    continue
+            else:
+                h = int(self._hash64(np.array([payload or b""], object))[0])
+                frames = np.stack([_fake_frame(h, int(i)) for i in sample])
+            flat = frames.reshape(len(sample), -1).astype(np.float64)
+            ids_out.extend([vid] * len(sample))
+            idx_out.extend(int(i) for i in sample)
+            mean_out.extend(flat.mean(axis=1))
+            std_out.extend(flat.std(axis=1))
+            ok_out.extend([True] * len(sample))
+        return pa.table({
+            "video_id": pa.array(ids_out, pa.string()),
+            "frame_index": pa.array(idx_out, pa.int64()),
+            "frame_mean": pa.array(mean_out, pa.float64()),
+            "frame_std": pa.array(std_out, pa.float64()),
+            "decode_ok": pa.array(ok_out),
+        })
+
+
+class AudioWindows:
+    """Actor-pool stage: audio ``bytes`` -> fixed-length window feature rows.
+
+    Input rows carry (audio_id, bytes, fmt, sample_rate, n_samples) typed
+    metadata; output is one row per ``window_s``-second window with RMS and
+    zero-crossing features. Same stub contract as :class:`FrameSample`:
+    ``use_external=True`` calls the (in-sandbox stubbed) real decoder, the
+    default synthesizes a deterministic fake waveform per row.
+    """
+
+    def __init__(self, window_s: float = 1.0, max_windows: int = 16,
+                 use_external: bool = False):
+        from ..functions.hashing import hash64
+
+        self.window_s = window_s
+        self.max_windows = max_windows
+        self.use_external = use_external
+        self._hash64 = hash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, rms_out, zc_out, ok_out = [], [], [], [], []
+        aids = batch.column("audio_id").to_pylist()
+        data = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        rates = batch.column("sample_rate").to_pylist()
+        counts = batch.column("n_samples").to_pylist()
+        for aid, payload, fmt, rate, n in zip(aids, data, fmts, rates, counts):
+            n = int(n or 0)
+            rate = int(rate or 0)
+            if n <= 0 or rate <= 0:
+                continue
+            if self.use_external:
+                try:
+                    pcm = np.asarray(decode_audio_external(payload, fmt),
+                                     dtype=np.float64)
+                except Exception:
+                    ids_out.append(aid)
+                    idx_out.append(-1)
+                    rms_out.append(np.nan)
+                    zc_out.append(-1)
+                    ok_out.append(False)
+                    continue
+            else:
+                h = int(self._hash64(np.array([payload or b""], object))[0])
+                rng = np.random.Generator(np.random.PCG64(h & 0xFFFFFFFFFFFFFFFF))
+                pcm = rng.standard_normal(min(n, rate * self.max_windows))
+            win = max(1, int(rate * self.window_s))
+            n_win = min(self.max_windows, max(1, len(pcm) // win))
+            for wdx in range(n_win):
+                seg = pcm[wdx * win:(wdx + 1) * win]
+                if seg.size == 0:
+                    break
+                ids_out.append(aid)
+                idx_out.append(wdx)
+                rms_out.append(float(np.sqrt(np.mean(seg * seg))))
+                zc_out.append(int(np.count_nonzero(np.signbit(seg[1:])
+                                                   != np.signbit(seg[:-1]))))
+                ok_out.append(True)
+        return pa.table({
+            "audio_id": pa.array(ids_out, pa.string()),
+            "window_index": pa.array(idx_out, pa.int64()),
+            "rms": pa.array(rms_out, pa.float64()),
+            "zero_crossings": pa.array(zc_out, pa.int64()),
+            "decode_ok": pa.array(ok_out),
+        })
+
+
+__all__ = ["DecodeFeatures", "FrameSample", "AudioWindows", "read_image_dir",
+           "dump_images", "decode_video_external", "decode_audio_external",
+           "EXTERNAL_FMTS", "VIDEO_FMTS", "AUDIO_FMTS"]

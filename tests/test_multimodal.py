@@ -80,3 +80,65 @@ def test_dump_images_sink(ray_session, tmp_path):
     assert n == len(files) and 0 < n <= 8 * 4  # bounded by limit x tasks
     img = decode_image(open(files[0], "rb").read(), "png")
     assert img.shape == (16, 16)
+
+
+def test_video_audio_external_stubs_raise():
+    from serverless_covariate_drift_detection_ray.stages.multimodal import (
+        decode_audio_external, decode_video_external)
+
+    with pytest.raises(NotImplementedError):
+        decode_video_external(b"\x00", "mp4")
+    with pytest.raises(ValueError):
+        decode_video_external(b"\x00", "txt")
+    with pytest.raises(NotImplementedError):
+        decode_audio_external(b"\x00", "wav")
+    with pytest.raises(ValueError):
+        decode_audio_external(b"\x00", "exe")
+
+
+def test_frame_sample_actor_pool(ray_session):
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.stages.multimodal import FrameSample
+
+    rows = [{"video_id": f"v-{i}", "bytes": bytes([i]) * 64, "fmt": "mp4",
+             "n_frames": nf} for i, nf in enumerate([0, 1, 5, 100, 1000])]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(FrameSample, fn_constructor_kwargs={"max_frames": 8},
+                         batch_format="pyarrow", batch_size=2,
+                         concurrency=2).to_pandas()
+    # n_frames=0 emits nothing; others emit min(max_frames, n_frames) rows
+    counts = out.groupby("video_id").size().to_dict()
+    assert "v-0" not in counts
+    assert counts == {"v-1": 1, "v-2": 5, "v-3": 8, "v-4": 8}
+    assert out.decode_ok.all()
+    assert out.frame_mean.between(0, 255).all()
+    # frame indices are a uniform stride over [0, n_frames)
+    v4 = out[out.video_id == "v-4"].frame_index.tolist()
+    assert v4 == sorted(v4) and v4[0] == 0 and v4[-1] == 999
+    # deterministic across runs
+    out2 = ds.map_batches(FrameSample, fn_constructor_kwargs={"max_frames": 8},
+                          batch_format="pyarrow", batch_size=2,
+                          concurrency=2).to_pandas()
+    a = out.sort_values(["video_id", "frame_index"]).reset_index(drop=True)
+    b = out2.sort_values(["video_id", "frame_index"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_audio_windows_actor_pool(ray_session):
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.stages.multimodal import AudioWindows
+
+    rows = [{"audio_id": f"a-{i}", "bytes": bytes([i]) * 32, "fmt": "wav",
+             "sample_rate": 8000, "n_samples": ns}
+            for i, ns in enumerate([0, 8000, 40000])]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(AudioWindows,
+                         fn_constructor_kwargs={"window_s": 1.0, "max_windows": 4},
+                         batch_format="pyarrow", concurrency=2).to_pandas()
+    counts = out.groupby("audio_id").size().to_dict()
+    assert "a-0" not in counts
+    assert counts == {"a-1": 1, "a-2": 4}  # capped at max_windows
+    assert out.decode_ok.all()
+    assert (out.rms > 0).all() and (out.zero_crossings >= 0).all()
