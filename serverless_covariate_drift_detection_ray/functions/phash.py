@@ -28,39 +28,53 @@ _DCT = _dct_matrix()
 _BIN_CACHE: dict = {}
 
 
-def _bin_matrix(n_in: int, n_out: int, channels: int = 1):
-    """Cached (n_out, n_in*channels) 0/1 binning matrix + per-bin widths.
+def _bin_starts(n_in: int, n_out: int, channels: int = 1):
+    """Cached reduceat bin-start indices + per-bin widths + empty-bin mask.
 
-    ``B @ x`` sums each output bin's input rows; with ``channels > 1`` the
-    matrix spans the row-major flattened (col, channel) axis so one matmul
-    folds the channel sum into the column binning. Image dims repeat heavily
-    across a corpus, so the cache stays tiny and hot."""
+    Starts are scaled by ``channels`` so one reduceat over the row-major
+    flattened (col, channel) axis folds the channel sum into the column
+    binning. Image dims repeat heavily across a corpus, so the cache stays
+    tiny and hot (per-call np.arange setup dominated the old formulation)."""
     key = (n_in, n_out, channels)
     hit = _BIN_CACHE.get(key)
     if hit is None:
         edges = (np.arange(n_out + 1) * n_in // n_out).astype(np.int64)
-        m = np.zeros((n_out, n_in * channels))
-        for j in range(n_out):
-            m[j, edges[j] * channels:edges[j + 1] * channels] = 1.0
-        hit = (m, np.maximum(edges[1:] - edges[:-1], 0))
+        widths = edges[1:] - edges[:-1]
+        empty = widths == 0
+        hit = (edges[:-1] * channels, np.maximum(widths, 0),
+               empty if empty.any() else None)
         _BIN_CACHE[key] = hit
     return hit
 
 
+def _resize_sums(img2d: np.ndarray, out_h: int, out_w: int, channels: int = 1):
+    """Bin sums + (hgt, wid) for an area resize of a 2-D view.
+
+    Two ``np.add.reduceat`` passes, COLUMNS FIRST: the axis-1 pass walks the
+    C-contiguous uint8 rows (cache-friendly, ~3x faster than axis-0 first)
+    and shrinks the width to ``out_w`` before the row pass touches float64.
+    uint8 accumulates straight into float64 (``dtype=``) — no full-image
+    float copy — and bin sums of uint8 pixels are exact integers in float64
+    in any summation order, so results are bit-identical to the cumsum-diff
+    definition. Empty bins (out dim > in dim) get the reduceat
+    repeated-index artifact zeroed explicitly (after both passes: the
+    artifact only ever lives in a fully-zeroed row/column)."""
+    ys, hgt, hempty = _bin_starts(img2d.shape[0], out_h)
+    xs, wid, wempty = _bin_starts(img2d.shape[1] // channels, out_w, channels)
+    cols = np.add.reduceat(img2d, xs, axis=1, dtype=np.float64)
+    s = np.add.reduceat(cols, ys, axis=0)
+    if hempty is not None:
+        s[hempty, :] = 0.0
+    if wempty is not None:
+        s[:, wempty] = 0.0
+    return s, hgt, wid
+
+
 def _resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-average resize via bin means (deterministic, no interpolation lib).
-
-    Two small BLAS matmuls against cached 0/1 binning matrices — bin sums of
-    uint8 pixels are exact integers in float64 in any summation order, so the
-    result is bit-identical to the cumsum-diff definition, at ~1/3 the cost of
-    the reduceat formulation (whose per-call index setup dominated). Empty
-    bins (out dim > in dim) have all-zero matrix rows -> sum 0, divided by
-    max(area, 1) -> mean 0, matching the reference."""
-    Bh, hgt = _bin_matrix(img.shape[0], out_h)
-    Bw, wid = _bin_matrix(img.shape[1], out_w)
-    s = Bh @ (img.astype(np.float64) @ Bw.T)
-    area = hgt[:, None] * wid[None, :]
-    return s / np.maximum(area, 1)
+    Exact: integer bin sums in float64, one final division."""
+    s, hgt, wid = _resize_sums(img, out_h, out_w)
+    return s / np.maximum(hgt[:, None] * wid[None, :], 1)
 
 
 def phash64(img: np.ndarray) -> int:
@@ -84,17 +98,14 @@ def phash_gray_small(img: np.ndarray) -> np.ndarray:
     """Per-image half of phash64: channel-mean + area resize to (32, 32).
     Split out so the fixed-size tail (DCT/median/packbits) can run batched.
 
-    RGB folds the channel sum into the column binning matmul (one pass over
-    the image instead of a strided axis-2 reduce + resize); the division by
-    bin_area*channels happens once at the end, so every intermediate is an
-    exact integer in float64."""
+    RGB folds the channel sum into the column reduceat (one pass over the
+    row-major flattened (col, channel) axis instead of a strided axis-2
+    reduce + resize); the division by bin_area*channels happens once at the
+    end, so every intermediate is an exact integer in float64."""
     if img.ndim == 3:
         h, w, c = img.shape
-        Bh, hgt = _bin_matrix(h, _DCT_N)
-        Bwc, wid = _bin_matrix(w, _DCT_N, c)
-        s = Bh @ (img.reshape(h, w * c).astype(np.float64) @ Bwc.T)
-        area = hgt[:, None] * wid[None, :] * c
-        return s / np.maximum(area, 1)
+        s, hgt, wid = _resize_sums(img.reshape(h, w * c), _DCT_N, _DCT_N, c)
+        return s / np.maximum(hgt[:, None] * wid[None, :] * c, 1)
     return _resize_area(img, _DCT_N, _DCT_N)
 
 
