@@ -33,6 +33,9 @@ from ..functions.phash import phash64_batch, phash_gray_small, phash_hamming
 from ..pipelines.config import EngineConfig
 from ..state.partials import PartialState
 
+_LEVELS = np.arange(256, dtype=np.float64)
+_LEVELS_SQ = _LEVELS * _LEVELS
+
 OUT_SCHEMA = pa.schema(
     [
         ("kind", pa.string()),          # 'violation' | 'partial'
@@ -169,13 +172,17 @@ class FeaturizeAndSketch:
             except Exception as exc:
                 add_one(i, "decode_ok", "bytes", type(exc).__name__, "decodable")
                 continue
-            flat = np.ascontiguousarray(img, dtype=np.float64).ravel()
-            s1 = float(flat.sum())
-            s2 = float(np.dot(flat, flat))  # one BLAS pass instead of mean+std
-            m = s1 / flat.size
+            # intensity histogram instead of a float64 image copy: s1/s2 are
+            # the same exact integers either way (hist @ levels sums integer
+            # products < 2^53), so mean/std are bit-identical — without the
+            # per-image ascontiguousarray(float64) allocation
+            hist = np.bincount(img.reshape(-1), minlength=256).astype(np.float64)
+            s1 = float(hist @ _LEVELS)
+            s2 = float(hist @ _LEVELS_SQ)
+            m = s1 / img.size
             pm_part.append(int(part_ids[i]))
             pm_val.append(m)
-            ps_val.append(float(np.sqrt(max(s2 / flat.size - m * m, 0.0))))
+            ps_val.append(float(np.sqrt(max(s2 / img.size - m * m, 0.0))))
             if cfg.phash_verify:
                 ver_idx.append(i)
                 ver_ph.append(phash_gray_small(img))
