@@ -233,6 +233,7 @@ def validate(
 
     VIOL_COLS = ["partition_id", "image_id", "check", "column", "observed", "expected"]
     n_reduced = reduced.count()
+    partials_tbl = None
     if n_reduced <= REDUCED_DRIVER_MAX:
         reduced_tbl = pa.concat_tables(
             list(reduced.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
@@ -244,6 +245,51 @@ def validate(
         partials_tbl = reduced_tbl.filter(pc.equal(reduced_tbl["kind"], "partial")).select(
             ["partition_id", "state", "n_rows"]
         )
+    else:
+        def keep(kind: str, cols: list[str]):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.equal(batch["kind"], kind)).select(cols)
+            return fn
+
+        domain_viol_ds = reduced.map_batches(
+            keep("violation", VIOL_COLS), batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(lambda t: t.cast(VIOLATION_SCHEMA), batch_format="pyarrow")
+        partials_src = reduced.map_batches(
+            keep("partial", ["partition_id", "state", "n_rows"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    stage_t["split"] = time.time() - t1
+
+    # ---- join the concurrently-built constraint pipelines, and launch
+    # their union/materialize IMMEDIATELY so the constraint shuffles run
+    # while the driver merges sketch partials and the drift pool starts ----
+    t1 = time.time()
+    try:
+        uniq_viol, neardup_viol = constraints_fut.result()
+    except Exception:
+        # thread-side failure (e.g. a racy lazy import): rebuild sequentially
+        uniq_viol, neardup_viol = build_constraints()
+    pool.shutdown(wait=False)
+    stage_t["constraints_join"] = time.time() - t1  # ~0 when hidden by featurize
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({f.name: t[f.name].cast(f.type) for f in VIOLATION_SCHEMA},
+                        schema=VIOLATION_SCHEMA)
+
+    def exec_constraints():
+        v = domain_viol_ds.union(
+            uniq_viol.map_batches(conform, batch_format="pyarrow"),
+            neardup_viol.map_batches(conform, batch_format="pyarrow"),
+        ).materialize()
+        return v, v.count()
+
+    cpool = ThreadPoolExecutor(max_workers=1)
+    viol_fut = cpool.submit(exec_constraints)
+
+    # ---- merge sketch partials per partition (driver when tiny, else a
+    # distributed groupby — same commutative merge) ----
+    t1 = time.time()
+    if partials_tbl is not None:
         if partials_tbl.num_rows <= DRIVER_MERGE_MAX_PARTIALS:
             part_tables = []
             pids_present = np.unique(partials_tbl["partition_id"].to_numpy())
@@ -257,23 +303,15 @@ def validate(
                 merge_group, batch_format="pyarrow"
             ).materialize()
     else:
-        def keep(kind: str, cols: list[str]):
-            def fn(batch: pa.Table) -> pa.Table:
-                return batch.filter(pc.equal(batch["kind"], kind)).select(cols)
-            return fn
-
-        domain_viol_ds = reduced.map_batches(
-            keep("violation", VIOL_COLS), batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(lambda t: t.cast(VIOLATION_SCHEMA), batch_format="pyarrow")
-        per_part = reduced.map_batches(
-            keep("partial", ["partition_id", "state", "n_rows"]),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ).groupby("partition_id").map_groups(
+        per_part = partials_src.groupby("partition_id").map_groups(
             merge_group, batch_format="pyarrow"
         ).materialize()
     stage_t["merge_partials"] = time.time() - t1
 
     # ---- drift verdicts: stateful actor pool vs frozen reference ----
+    # verdicts are tiny (per partition × check) and always collect driver-
+    # side; the constraint union is already executing on the helper thread,
+    # so drift (few CPUs) and the constraint shuffles run CONCURRENTLY
     verdicts_ds = per_part.map_batches(
         DriftTestActor,
         fn_constructor_args=(cfg, ref_state_dir),
@@ -281,37 +319,6 @@ def validate(
         batch_size=None,
         concurrency=min(cfg.drift_concurrency, max(1, ncpu - 2)),
     )
-
-    # ---- join the concurrently-built constraint pipelines ----
-    t1 = time.time()
-    try:
-        uniq_viol, neardup_viol = constraints_fut.result()
-    except Exception:
-        # thread-side failure (e.g. a racy lazy import): rebuild sequentially
-        uniq_viol, neardup_viol = build_constraints()
-    pool.shutdown(wait=False)
-    stage_t["constraints_join"] = time.time() - t1  # ~0 when hidden by featurize
-
-    # ---- assembly: verdicts are tiny (per partition × check) and always
-    # collect driver-side; violations collect only below VIOLATIONS_DRIVER_MAX,
-    # else a distributed per-partition writer streams them into the store
-    # layout (sorted within partition — the byte-stable contract) ----
-    def conform(t: pa.Table) -> pa.Table:
-        return pa.table({f.name: t[f.name].cast(f.type) for f in VIOLATION_SCHEMA},
-                        schema=VIOLATION_SCHEMA)
-
-    # the drift actor pool (few CPUs) and the constraint shuffles are
-    # independent consumers — execute them CONCURRENTLY (drift on the main
-    # thread, constraints on a helper) instead of back-to-back
-    def exec_constraints():
-        v = domain_viol_ds.union(
-            uniq_viol.map_batches(conform, batch_format="pyarrow"),
-            neardup_viol.map_batches(conform, batch_format="pyarrow"),
-        ).materialize()
-        return v, v.count()
-
-    cpool = ThreadPoolExecutor(max_workers=1)
-    viol_fut = cpool.submit(exec_constraints)
     t1 = time.time()
     verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)
     stage_t["drift"] = time.time() - t1
