@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": relq.sessionize_events,
         "running_sum_events": relq.running_sum_events,
         "rolling_1h_events": relq.rolling_1h_events,
+        "event_gaps_per_user": relq.event_gaps_per_user,
         "topn_orders_per_priority": relq.topn_orders_per_priority,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
         "range_join_price_bands": relq.range_join_price_bands,
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_event_type": relq.chi2_event_type,
         "ks_purchase_click": relq.ks_purchase_click,
         "quantiles_extendedprice": relq.quantiles_extendedprice,
+        "grouped_quantiles_flag": relq.grouped_quantiles_flag,
         # sketch-default variants (the at-scale paths; exact ones stay as
         # oracle anchors)
         "ks_purchase_click_hist": relq.ks_purchase_click_hist,
@@ -147,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": relq.SESSIONIZE_SQL,
         "running_sum_events": relq.RUNNING_SUM_SQL,
         "rolling_1h_events": relq.ROLLING_SQL,
+        "event_gaps_per_user": relq.EVENT_GAPS_SQL,
+        "grouped_quantiles_flag": relq.GROUPED_QUANTILES_SQL,
         "topn_orders_per_priority": relq.TOPN_PER_KEY_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,
         "uniqueness_pk": relq.UNIQUENESS_SQL,

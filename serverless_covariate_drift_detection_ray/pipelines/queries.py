@@ -1325,3 +1325,92 @@ JOIN (VALUES ('budget', 900.0, 925.0), ('mid', 925.0, 950.0),
   ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band
 """
+
+
+# ---------------------------------------------------------------------------
+# LAG/LEAD window shape: per-user event time deltas — SURVEY.md §2.9
+# ---------------------------------------------------------------------------
+
+
+def event_gaps_per_user(sf_dir: str):
+    """Per-user inter-event gap stats (the LAG() window shape). Users are
+    salt-bucketed (hash(user_id) % 256) so the shuffle has a fixed group
+    count; within a bucket the per-user sort + diff is one vectorized pandas
+    pass — never one Ray group per user (2 ms/group kills high-cardinality
+    keys, see uniqueness_pk)."""
+    from ..functions.hashing import hash64
+
+    n_buckets = 256
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        b = (hash64(u) % n_buckets).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "bkt": pa.array(b)})
+
+    def bucket_gaps(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = d.ts.diff().dt.total_seconds()
+        gap[d.user_id.ne(d.user_id.shift())] = np.nan  # first event per user
+        d = d.assign(gap=gap)
+        g = d.groupby("user_id", sort=False)
+        out = pd.DataFrame({
+            "n_events": g.size(),
+            "avg_gap_s": _round(g.gap.mean().to_numpy(), 2),
+            "max_gap_s": _round(g.gap.max().to_numpy(), 2),
+        }).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[out.n_events > 1]
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("bkt").map_groups(bucket_gaps,
+                                                      batch_format="pandas")
+
+
+EVENT_GAPS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  FLOOR(AVG(gap)*100+0.5)/100 AS avg_gap_s,
+  FLOOR(MAX(gap)*100+0.5)/100 AS max_gap_s
+FROM (
+  SELECT user_id,
+    EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+  FROM events
+)
+GROUP BY user_id HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles (PERCENTILE_DISC shape) — SURVEY.md §2.7.5
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles_flag(sf_dir: str):
+    """Exact discrete per-group quantiles of l_extendedprice by returnflag:
+    few groups -> plain groupby().map_groups with one np.partition pass per
+    group (the t-digest sketch path is the at-scale default; this is the
+    oracle-exact variant, same split as quantiles_extendedprice)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def qtiles(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df.l_extendedprice.to_numpy())
+        # PERCENTILE_DISC: smallest value with cume_dist >= q
+        idx = [int(np.ceil(q * v.size)) - 1 for q in (0.25, 0.5, 0.75)]
+        return pd.DataFrame({
+            "l_returnflag": [df.l_returnflag.iloc[0]],
+            "p25": [v[max(idx[0], 0)]],
+            "p50": [v[max(idx[1], 0)]],
+            "p75": [v[max(idx[2], 0)]],
+        })
+
+    return ds.groupby("l_returnflag").map_groups(qtiles, batch_format="pandas")
+
+
+GROUPED_QUANTILES_SQL = """
+SELECT l_returnflag,
+  QUANTILE_DISC(l_extendedprice, 0.25) AS p25,
+  QUANTILE_DISC(l_extendedprice, 0.50) AS p50,
+  QUANTILE_DISC(l_extendedprice, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
