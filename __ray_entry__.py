@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": textops.dedup_exact_documents,
         "dedup_report_documents": textops.dedup_report_documents,
         "jaccard_neardup_pairs": textops.jaccard_neardup_pairs,
+        "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "minhash_neardup_documents": textops.minhash_neardup_documents,
         "simhash_documents": textops.simhash_documents,
         "fingerprint_documents": textops.fingerprint_documents,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": textops.DEDUP_EXACT_SQL,
         "dedup_report_documents": textops.DEDUP_REPORT_SQL,
         "jaccard_neardup_pairs": textops.JACCARD_SQL,
+        "ngram_jaccard_pairs": textops.NGRAM_JACCARD_SQL,
         "token_stats_by_lang": textops.TOKEN_STATS_SQL,
         "token_count_regex": textops.TOKEN_REGEX_SQL,
         "quality_scores": textops.QUALITY_SQL,

@@ -645,3 +645,60 @@ SELECT doc_id,
     AS n_bpe_tokens
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard near-dup — the shingle-level dedup variant
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8):
+    """All-pairs character n-gram (shingle) Jaccard inside (lang, source)
+    buckets — the n-gram-level sibling of word-set ``jaccard_neardup_pairs``
+    (at scale the MinHash banding replaces the all-pairs step; this is the
+    oracle-exact variant). Gram sets are hashed to int64 so the per-pair
+    intersect is a sorted-array op, not Python string sets."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        ids = df.doc_id.to_numpy()
+        grams = []
+        for t in df.text.to_numpy():
+            t = t or ""
+            gs = {t[i:i + n] for i in range(len(t) - n + 1)}
+            grams.append(np.unique(hash64(np.asarray(sorted(gs), dtype=object)))
+                         if gs else np.empty(0, np.uint64))
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = np.intersect1d(grams[i], grams[j], assume_unique=True).size
+                union = grams[i].size + grams[j].size - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), float(_round(jac, 4))))
+        if not rows:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "jaccard": pd.array([], dtype="float64")})
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return ds.groupby(["lang", "source"]).map_groups(pairs, batch_format="pandas")
+
+
+NGRAM_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+    list_distinct(list_transform(range(1, length(text)-1),
+                                 i -> substr(text, i::INT, 3))) AS grams
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  FLOOR(len(list_intersect(a.grams,b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams,b.grams)))*10000+0.5)/10000 AS jaccard
+FROM d a JOIN d b
+  ON a.lang=b.lang AND a.source=b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams,b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams,b.grams))) >= 0.8
+"""

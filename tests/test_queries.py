@@ -46,6 +46,7 @@ def _to_df(res):
     "window_hopping_events", "rolling_1h_events", "topn_orders_per_priority",
     "heavy_hitters_screened", "setops_customer_orders",
     "range_join_price_bands", "event_gaps_per_user", "grouped_quantiles_flag",
+    "ngram_jaccard_pairs",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
