@@ -27,7 +27,8 @@ import pyarrow.parquet as pq
 
 from ..sources.fragmented import TableManifest, read_images
 from ..stages.constraints import VIOLATION_SCHEMA, check_neardup, check_uniqueness
-from ..stages.drift import TS_FORMAT, VERDICT_SCHEMA, DriftTestActor
+from ..stages.drift import (TS_FORMAT, VERDICT_SCHEMA, DriftTestActor,  # noqa: F401
+                            drift_verdicts_batch)
 from ..stages.featurize import FeaturizeAndSketch
 from ..state.checkpoint import CheckpointStore
 from ..state.partials import PartialState
@@ -291,12 +292,14 @@ def validate(
     t1 = time.time()
     if partials_tbl is not None:
         if partials_tbl.num_rows <= DRIVER_MERGE_MAX_PARTIALS:
+            # serial on purpose: the sketch merge is GIL-bound Python (measured
+            # 1.5s serial vs 3.1s under an 8-thread pool on the bench fixture)
             part_tables = []
             pids_present = np.unique(partials_tbl["partition_id"].to_numpy())
             for pid in pids_present:
                 sub = partials_tbl.filter(pc.equal(partials_tbl["partition_id"], int(pid)))
                 part_tables.append(merge_group(sub))
-            # one single-row block per partition so the drift actor pool fans out
+            # one single-row block per partition so the drift stage fans out
             per_part = ray.data.from_arrow(part_tables)
         else:
             per_part = ray.data.from_arrow(partials_tbl).groupby("partition_id").map_groups(
@@ -308,16 +311,19 @@ def validate(
         ).materialize()
     stage_t["merge_partials"] = time.time() - t1
 
-    # ---- drift verdicts: stateful actor pool vs frozen reference ----
-    # verdicts are tiny (per partition × check) and always collect driver-
-    # side; the constraint union is already executing on the helper thread,
-    # so drift (few CPUs) and the constraint shuffles run CONCURRENTLY
+    # ---- drift verdicts vs frozen reference: stateless tasks over the
+    # WARM featurize worker processes, with the reference window loaded
+    # once per worker via the module cache in stages.drift (the reference's
+    # SingletonMeta contract) — fresh actor spawns cost more than this whole
+    # stage. Verdicts are tiny (per partition × check) and always collect
+    # driver-side; the constraint union is already executing on the helper
+    # thread, so drift and the constraint shuffles run CONCURRENTLY ----
+    from functools import partial as _partial
+
     verdicts_ds = per_part.map_batches(
-        DriftTestActor,
-        fn_constructor_args=(cfg, ref_state_dir),
+        _partial(drift_verdicts_batch, cfg=cfg, ref_state_dir=ref_state_dir),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=min(cfg.drift_concurrency, max(1, ncpu - 2)),
     )
     t1 = time.time()
     verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)

@@ -78,3 +78,32 @@ class DriftTestActor:
         if not rows:
             return VERDICT_SCHEMA.empty_table()
         return pa.Table.from_pylist(rows, schema=VERDICT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Task-pool variant: same load-once-per-process contract, but via a module-
+# level cache so the drift pass reuses the WARM worker processes left over
+# from the featurize stage instead of paying fresh actor spawns for a
+# seconds-long stage. This is the closest Ray analogue of the reference's
+# SingletonMeta per-process model cache
+# (/root/reference/detector_api/app/utils.py:4-14): any task landing on a
+# worker loads the frozen reference state at most once.
+# ---------------------------------------------------------------------------
+
+_WORKER_CACHE: dict = {}
+
+
+def drift_verdicts_batch(batch: pa.Table, *, cfg: EngineConfig,
+                         ref_state_dir: str) -> pa.Table:
+    """Stateless-task drift stage: ``map_batches(partial(drift_verdicts_batch,
+    cfg=..., ref_state_dir=...))``. State loads once per (worker process,
+    ref_state_dir, cfg) via the module cache."""
+    tester = _WORKER_CACHE.get(ref_state_dir)
+    # dataclass equality re-validates the config per task (unpickled copies
+    # compare by value; custom Check instances without __eq__ force a rebuild
+    # — correct, just slower for that exotic path)
+    if tester is None or tester.cfg != cfg:
+        tester = DriftTestActor(cfg, ref_state_dir)
+        _WORKER_CACHE.clear()  # one live ref window per worker — bound memory
+        _WORKER_CACHE[ref_state_dir] = tester
+    return tester(batch)
