@@ -129,23 +129,21 @@ class TDigest:
         order = np.argsort(m, kind="stable")
         m, w = m[order], w[order]
         total = w.sum()
-        out_m, out_w = [], []
-        cur_m, cur_w, cum = m[0], w[0], 0.0
-        for i in range(1, m.size):
-            q = (cum + cur_w / 2.0) / total
-            limit = 4.0 * total * q * (1.0 - q) / self.delta
-            if cur_w + w[i] <= max(limit, 1.0):
-                cur_m += (m[i] - cur_m) * (w[i] / (cur_w + w[i]))
-                cur_w += w[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                cum += cur_w
-                cur_m, cur_w = m[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        # k1 scale-function clustering, fully vectorized: each sorted point
+        # gets the cluster index floor(k(q_mid)) with k(q) = δ/(2π)·asin(2q−1),
+        # and points sharing an index merge into one weighted centroid. The
+        # asin scale packs clusters tightly at the tails (extreme points stay
+        # singletons — the t-digest accuracy property) and bounds interior
+        # cluster weight by the same O(total·q(1−q)/δ) envelope the greedy
+        # loop enforced, at numpy speed instead of a per-centroid Python loop
+        # (the loop dominated the per-partition merge stage driver-side).
+        q = (np.cumsum(w) - w / 2.0) / total
+        k = (self.delta / np.pi) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+        idx = np.floor(k).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        sums_w = np.add.reduceat(w, starts)
+        self.means = np.add.reduceat(m * w, starts) / sums_w
+        self.weights = sums_w
 
     @property
     def count(self) -> float:
