@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topn_orders_per_priority": relq.topn_orders_per_priority,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
         "range_join_price_bands": relq.range_join_price_bands,
+        "semijoin_orders_build_nation": relq.semijoin_orders_build_nation,
+        "pivot_status_by_priority": relq.pivot_status_by_priority,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "uniqueness_pk": relq.uniqueness_pk,
@@ -142,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_flag_status": relq.DISTINCT_SQL,
         "setops_customer_orders": relq.SETOPS_SQL,
         "range_join_price_bands": relq.RANGE_JOIN_SQL,
+        "semijoin_orders_build_nation": relq.SEMIJOIN_SQL,
+        "pivot_status_by_priority": relq.PIVOT_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

@@ -1414,3 +1414,96 @@ SELECT l_returnflag,
   QUANTILE_DISC(l_extendedprice, 0.75) AS p75
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide categorical aggregate) — SURVEY.md §2.3
+# ---------------------------------------------------------------------------
+
+
+def pivot_status_by_priority(sf_dir: str):
+    """Orders count pivoted to one column per o_orderstatus, rows keyed by
+    priority: a narrow groupby on the pair then a tiny driver-side pivot —
+    the wide step never exceeds n_priorities x n_statuses rows."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    agg = ds.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
+        Count(alias_name="n")).to_pandas()
+    piv = agg.pivot_table(index="o_orderpriority", columns="o_orderstatus",
+                          values="n", fill_value=0, aggfunc="sum").reset_index()
+    piv.columns.name = None
+    piv = piv.rename(columns={c: f"n_{c}" for c in piv.columns
+                              if c != "o_orderpriority"})
+    for c in piv.columns:
+        if c != "o_orderpriority":
+            piv[c] = piv[c].astype(np.int64)
+    return pa.Table.from_pandas(piv, preserve_index=False)
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (o_orderstatus = 'F') AS "n_F",
+  COUNT(*) FILTER (o_orderstatus = 'O') AS "n_O",
+  COUNT(*) FILTER (o_orderstatus = 'P') AS "n_P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast semi-join — SURVEY.md §2.5 (the anti-join's sibling)
+# ---------------------------------------------------------------------------
+
+
+def semijoin_orders_build_nation(sf_dir: str, nation: str = "NATION_7"):
+    """Orders whose customer is in one nation: the small side (custkeys of
+    that nation) broadcasts as a sorted hash probe; the fact table streams
+    through a membership filter — no shuffle (same probe as
+    referential_orphans, semi instead of anti)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.hashing import hash64
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nkey = nat.filter(pa.compute.equal(nat["n_name"], nation))["n_nationkey"]
+    nk = nkey[0].as_py() if len(nkey) else -1
+    keys = cust.filter(pa.compute.equal(cust["c_nationkey"], nk))["c_custkey"]
+    probe = np.sort(hash64(keys.to_numpy()))
+    wrapped = {"ref": ray.put(probe)}
+
+    class SemiJoin:
+        def __init__(self):
+            self.probe = ray.get(wrapped["ref"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = hash64(batch["o_custkey"].to_numpy())
+            pos = np.minimum(np.searchsorted(self.probe, h),
+                             max(self.probe.size - 1, 0))
+            mask = (self.probe[pos] == h) if self.probe.size else np.zeros(len(h), bool)
+            hit = batch.filter(pa.array(mask))
+            return pa.table({
+                "n": pa.array([hit.num_rows], pa.int64()),
+                "total": pa.array([float(pa.compute.sum(hit["o_totalprice"]).as_py()
+                                         or 0.0)]),
+            })
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    parts = ds.map_batches(SemiJoin, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=2).to_pandas()
+    return pa.Table.from_pylist([{
+        "n_orders": int(parts["n"].sum()),
+        "total_price": float(_round(parts["total"].sum(), 2)),
+    }])
+
+
+SEMIJOIN_SQL = """
+SELECT COUNT(*) AS n_orders,
+  FLOOR(SUM(o_totalprice)*100+0.5)/100 AS total_price
+FROM orders WHERE o_custkey IN (
+  SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7')
+"""

@@ -46,7 +46,8 @@ def _to_df(res):
     "window_hopping_events", "rolling_1h_events", "topn_orders_per_priority",
     "heavy_hitters_screened", "setops_customer_orders",
     "range_join_price_bands", "event_gaps_per_user", "grouped_quantiles_flag",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs", "pivot_status_by_priority",
+    "semijoin_orders_build_nation",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
