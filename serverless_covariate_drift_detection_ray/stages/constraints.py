@@ -111,11 +111,21 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
         dup_rows = ds.map_batches(collect_dups, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-        # one violation row per duplicated KEY (min partition as the locus)
-        def dedupe_key(df: pd.DataFrame) -> pd.DataFrame:
-            return df.sort_values("partition_id").head(1)
+        # one violation row per duplicated KEY (min partition as the locus);
+        # salt-bucketed so the shuffle has a fixed group count (Ray charges
+        # ~2 ms per map_groups group) with a vectorized within-bucket head-1
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = (hash64(batch["image_id"].to_numpy(zero_copy_only=False))
+                 % np.uint64(64)).astype(np.int64)
+            return batch.append_column("dbkt", pa.array(b))
 
-        return dup_rows.groupby("image_id").map_groups(dedupe_key, batch_format="pandas")
+        def dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.sort_values(["image_id", "partition_id"], kind="mergesort")
+            return d[d.image_id.ne(d.image_id.shift())].drop(columns=["dbkt"])
+
+        return dup_rows.map_batches(add_bucket, batch_format="pyarrow"
+                                    ).groupby("dbkt").map_groups(
+            dedupe_bucket, batch_format="pandas")
 
     from ray.data.aggregate import Min, Sum
 
@@ -262,30 +272,30 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
     fv, fr = flag_vals[order2], rep_str[order2]
     wrapped = {"ref": ray.put((fv, fr))}
 
-    class EmitViolations:
-        def __init__(self):
-            self.fv, self.fr = ray.get(wrapped["ref"])
+    def emit_violations(batch: pa.Table) -> pa.Table:
+        # stateless task: the broadcast probe is a shared-memory zero-copy
+        # ray.get per call (no actor spawn, scales with free CPUs and reuses
+        # warm workers — a 2-actor pool ceiling cost ~2s of the commit tail)
+        fv, fr = ray.get(wrapped["ref"])
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(fv, ph), fv.size - 1)
+        mask = fv[pos] == ph
+        hit = batch.filter(pa.array(mask))
+        n = hit.num_rows
+        if n == 0:
+            return VIOLATION_SCHEMA.empty_table()
+        reps = fr[pos[mask]]
+        return pa.table({
+            "partition_id": hit["partition_id"].cast(pa.int32()),
+            "image_id": hit["image_id"],
+            "check": pa.array(["neardup_phash"] * n),
+            "column": pa.array(["phash"] * n),
+            "observed": pa.array(reps.astype(str)),
+            "expected": pa.array([f"hamming>{hmax}"] * n),
+        }, schema=VIOLATION_SCHEMA)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ph = batch["phash"].to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(self.fv, ph), self.fv.size - 1)
-            mask = self.fv[pos] == ph
-            hit = batch.filter(pa.array(mask))
-            n = hit.num_rows
-            if n == 0:
-                return VIOLATION_SCHEMA.empty_table()
-            reps = self.fr[pos[mask]]
-            return pa.table({
-                "partition_id": hit["partition_id"].cast(pa.int32()),
-                "image_id": hit["image_id"],
-                "check": pa.array(["neardup_phash"] * n),
-                "column": pa.array(["phash"] * n),
-                "observed": pa.array(reps.astype(str)),
-                "expected": pa.array([f"hamming>{hmax}"] * n),
-            }, schema=VIOLATION_SCHEMA)
-
-    return ds.map_batches(EmitViolations, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=2)
+    return ds.map_batches(emit_violations, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
