@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.hashing import hash64
 from ..functions.phash import hamming_leq_pairs, phash_bands, phash_hamming
 from ..pipelines.config import EngineConfig
 
@@ -120,8 +121,12 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
             return batch.append_column("dbkt", pa.array(b))
 
         def dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            # numpy first-per-key mask — .ne(.shift()) silently drops every
+            # first row under pandas nullable string dtype (<NA> filter)
             d = df.sort_values(["image_id", "partition_id"], kind="mergesort")
-            return d[d.image_id.ne(d.image_id.shift())].drop(columns=["dbkt"])
+            ids = d.image_id.to_numpy()
+            first = np.r_[True, ids[1:] != ids[:-1]] if len(ids) else np.empty(0, bool)
+            return d[first].drop(columns=["dbkt"])
 
         return dup_rows.map_batches(add_bucket, batch_format="pyarrow"
                                     ).groupby("dbkt").map_groups(
@@ -347,6 +352,18 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
         out = pd.DataFrame(rows, columns=["partition_id", "image_id", "rep"])
         return out.astype({"partition_id": "int64", "image_id": "string", "rep": "string"})
 
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one salt bucket holds every row of its band keys — verify each band
+        # segment in turn (bounded segment count per bucket; Ray charges
+        # ~2 ms per map_groups GROUP, so the shuffle key is the fixed salt,
+        # never the band key itself)
+        outs = [
+            verify_group(seg)
+            for _, seg in df.groupby("band_key", sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else _empty()
+
     # Hot-band prefilter: almost every band bucket holds < min_cluster images,
     # so counting first and shuffling ONLY members of candidate buckets turns
     # the groupby from per-image-size to per-candidate-size. Counts stream to
@@ -362,17 +379,15 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
         v, c = np.unique(batch["band_key"].to_numpy(), return_counts=True)
         return pa.table({"band_key": pa.array(v), "n": pa.array(c.astype(np.int64))})
 
-    keys_list, counts_list = [], []
-    for b in exploded.map_batches(
-        band_counts, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        keys_list.append(b["band_key"].to_numpy())
-        counts_list.append(b["n"].to_numpy())
-    if not keys_list:
+    # one bulk to_pandas transfer — iter_batches pays ~10x per-batch driver
+    # overhead at this partial count (verify-skill note, measured round 2)
+    part = exploded.map_batches(
+        band_counts, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if not len(part):
         return ds.map_batches(lambda t: VIOLATION_SCHEMA.empty_table(),
                               batch_format="pyarrow")
-    all_keys = np.concatenate(keys_list)
-    all_counts = np.concatenate(counts_list)
+    all_keys = part["band_key"].to_numpy()
+    all_counts = part["n"].to_numpy()
     uniq_keys, inv = np.unique(all_keys, return_inverse=True)
     totals = np.zeros(uniq_keys.size, dtype=np.int64)
     np.add.at(totals, inv, all_counts)
@@ -381,25 +396,45 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
     import ray
 
     hot_wrapped = {"ref": ray.put(hot)}
+    n_salt = 256
 
-    class HotFilter:
-        def __init__(self):
-            self.hot = ray.get(hot_wrapped["ref"])
+    def hot_filter(batch: pa.Table) -> pa.Table:
+        # stateless task: shared-memory zero-copy ray.get of the hot-key
+        # probe per call — no actor spawn, scales with free CPUs. Surviving
+        # rows get a salt bucket of their band key so the verify shuffle has
+        # a fixed group count.
+        hotk = ray.get(hot_wrapped["ref"])
+        k = batch["band_key"].to_numpy()
+        pos = np.minimum(np.searchsorted(hotk, k), max(hotk.size - 1, 0))
+        mask = hotk[pos] == k if hotk.size else np.zeros(k.size, bool)
+        kept = batch.filter(pa.array(mask))
+        salt = (hash64(kept["band_key"].to_numpy()) % n_salt).astype(np.int64)
+        return kept.append_column("vbkt", pa.array(salt))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch["band_key"].to_numpy()
-            pos = np.minimum(np.searchsorted(self.hot, k), max(self.hot.size - 1, 0))
-            mask = self.hot[pos] == k if self.hot.size else np.zeros(k.size, bool)
-            return batch.filter(pa.array(mask))
+    hot_rows = exploded.map_batches(hot_filter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    candidates = hot_rows.groupby("vbkt").map_groups(verify_bucket,
+                                                     batch_format="pandas")
 
-    hot_rows = exploded.map_batches(HotFilter, batch_format="pyarrow",
-                                    zero_copy_batch=True, concurrency=2)
-    candidates = hot_rows.groupby("band_key").map_groups(verify_group, batch_format="pandas")
+    def dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized first-per-image within the salt bucket (an image can be
+        # flagged via several bands; keep the smallest cluster rep). numpy
+        # mask, NOT .ne(.shift()): with pandas nullable string dtype the
+        # first row's comparison is <NA>, which the boolean filter DROPS —
+        # silently emptying the output
+        d = df.sort_values(["image_id", "rep"], kind="mergesort")
+        ids = d.image_id.to_numpy()
+        first = np.r_[True, ids[1:] != ids[:-1]] if len(ids) else np.empty(0, bool)
+        return d[first].drop(columns=["ibkt"])
 
-    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("rep").head(1)
+    def add_id_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch["image_id"].to_numpy(zero_copy_only=False))
+             % np.uint64(n_salt)).astype(np.int64)
+        return batch.append_column("ibkt", pa.array(b))
 
-    uniq = candidates.groupby("image_id").map_groups(dedupe, batch_format="pandas")
+    uniq = candidates.map_batches(add_id_bucket, batch_format="pyarrow"
+                                  ).groupby("ibkt").map_groups(
+        dedupe_bucket, batch_format="pandas")
 
     def to_violations(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -218,3 +218,30 @@ class TestReportSink:
         drift_kinds = {pid for pid, k in run["kinds"].items() if k.startswith("drift")}
         assert drift_kinds <= set(rep["verdicts"]["drift_flagged_partitions"])
         assert rep["columns"]["w"]["rows"] > 0
+
+
+class TestNeardupDistributedParity:
+    def test_distributed_path_matches_driver_path(self, ray_session):
+        """The at-scale near-dup path (salted band-bucket shuffles) must flag
+        the same (image_id, cluster-size) facts as the driver-coordinated
+        path on the same input — forced via the row-count gate."""
+        import pandas as pd
+
+        from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+        from serverless_covariate_drift_detection_ray.sources.fragmented import read_images
+        from serverless_covariate_drift_detection_ray.stages import constraints as C
+
+        fix = ensure_fixture("tiny")
+        manifest = TableManifest.load(fix)
+        ds = read_images(manifest, columns=["image_id", "phash", "partition_id"]
+                         ).materialize()
+        cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000")
+        driver = C.check_neardup(ds, cfg).to_pandas()
+        dist = C.check_neardup_distributed(ds, cfg).to_pandas()
+        assert len(driver) > 0  # the fixture seeds near-dup clusters
+        # same flagged images; cluster REPs may differ (driver path labels by
+        # phash-cluster rep, distributed by lexicographically-min image id)
+        assert set(driver.image_id) == set(dist.image_id)
+        a = driver.groupby("observed").size().sort_values().to_numpy()
+        b = dist.groupby("observed").size().sort_values().to_numpy()
+        assert list(a) == list(b)  # same cluster-size multiset
