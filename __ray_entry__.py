@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregation / maps / filters (SURVEY §2.2-2.3)
         "q1_pricing_summary": relq.q1_pricing_summary,
         "filter_project_revenue": relq.filter_project_revenue,
+        "corr_price_quantity_by_flag": relq.corr_price_quantity_by_flag,
         # joins (SURVEY §2.5)
         "join_broadcast_nation_revenue": relq.join_broadcast_nation_revenue,
         "join_large_priority_revenue": relq.join_large_priority_revenue,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": relq.Q1_SQL,
         "filter_project_revenue": relq.FILTER_PROJECT_SQL,
+        "corr_price_quantity_by_flag": relq.CORR_SQL,
         "join_broadcast_nation_revenue": relq.JOIN_BROADCAST_SQL,
         "join_large_priority_revenue": relq.JOIN_LARGE_SQL,
         "topk_orders": relq.TOPK_SQL,

@@ -605,20 +605,17 @@ def referential_orphans(sf_dir: str):
         probe = np.sort(hash64(keys))
         wrapped = {"ref": ray.put(probe)}
 
-        class AntiJoin:
-            def __init__(self, wrapped=wrapped, fk=fk):
-                self.probe = ray.get(wrapped["ref"])
-                self.fk = fk
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                h = hash64(batch[self.fk].to_numpy())
-                pos = np.minimum(np.searchsorted(self.probe, h), self.probe.size - 1)
-                miss = int((self.probe[pos] != h).sum())
-                return pa.table({"orphans": pa.array([miss], pa.int64())})
+        def anti_join(batch: pa.Table, fk=fk) -> pa.Table:
+            # stateless task: shared-memory zero-copy ray.get of the probe
+            # per call — no actor spawn, scales with free CPUs
+            probe = ray.get(wrapped["ref"])
+            h = hash64(batch[fk].to_numpy())
+            pos = np.minimum(np.searchsorted(probe, h), probe.size - 1)
+            miss = int((probe[pos] != h).sum())
+            return pa.table({"orphans": pa.array([miss], pa.int64())})
 
         ds = _read(sf_dir, fact, [fk])
-        return ds.map_batches(AntiJoin, batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=2)
+        return ds.map_batches(anti_join, batch_format="pyarrow", zero_copy_batch=True)
 
     def finish(name, counted) -> dict:
         total = counted.to_pandas()["orphans"].sum()
@@ -1475,25 +1472,22 @@ def semijoin_orders_build_nation(sf_dir: str, nation: str = "NATION_7"):
     probe = np.sort(hash64(keys.to_numpy()))
     wrapped = {"ref": ray.put(probe)}
 
-    class SemiJoin:
-        def __init__(self):
-            self.probe = ray.get(wrapped["ref"])
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            h = hash64(batch["o_custkey"].to_numpy())
-            pos = np.minimum(np.searchsorted(self.probe, h),
-                             max(self.probe.size - 1, 0))
-            mask = (self.probe[pos] == h) if self.probe.size else np.zeros(len(h), bool)
-            hit = batch.filter(pa.array(mask))
-            return pa.table({
-                "n": pa.array([hit.num_rows], pa.int64()),
-                "total": pa.array([float(pa.compute.sum(hit["o_totalprice"]).as_py()
-                                         or 0.0)]),
-            })
+    def semi_join(batch: pa.Table) -> pa.Table:
+        # stateless task; probe read zero-copy from the object store per call
+        probe = ray.get(wrapped["ref"])
+        h = hash64(batch["o_custkey"].to_numpy())
+        pos = np.minimum(np.searchsorted(probe, h), max(probe.size - 1, 0))
+        mask = (probe[pos] == h) if probe.size else np.zeros(len(h), bool)
+        hit = batch.filter(pa.array(mask))
+        return pa.table({
+            "n": pa.array([hit.num_rows], pa.int64()),
+            "total": pa.array([float(pa.compute.sum(hit["o_totalprice"]).as_py()
+                                     or 0.0)]),
+        })
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    parts = ds.map_batches(SemiJoin, batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=2).to_pandas()
+    parts = ds.map_batches(semi_join, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
     return pa.Table.from_pylist([{
         "n_orders": int(parts["n"].sum()),
         "total_price": float(_round(parts["total"].sum(), 2)),
@@ -1506,4 +1500,55 @@ SELECT COUNT(*) AS n_orders,
 FROM orders WHERE o_custkey IN (
   SELECT c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey
   WHERE n_name = 'NATION_7')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped Pearson correlation — SURVEY.md §2.3 (pure partial+combiner)
+# ---------------------------------------------------------------------------
+
+
+def corr_price_quantity_by_flag(sf_dir: str):
+    """corr(l_extendedprice, l_quantity) per returnflag from per-block moment
+    partials (n, Σx, Σy, Σxx, Σyy, Σxy) — nothing but 6 numbers per (block,
+    group) ever shuffles; the classic mergeable-moments shape."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "g": batch["l_returnflag"],
+            "x": batch["l_extendedprice"],
+            "y": batch["l_quantity"],
+        }).to_pandas()
+        x, y = df.x.to_numpy(), df.y.to_numpy()
+        agg = df.assign(n=1, sx=x, sy=y, sxx=x * x, syy=y * y, sxy=x * y
+                        ).groupby("g", sort=False)[
+            ["n", "sx", "sy", "sxx", "syy", "sxy"]].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("g").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    df = agg.to_pandas()
+    n = df.n.to_numpy().astype(np.float64)
+    cov = df.sxy.to_numpy() - df.sx.to_numpy() * df.sy.to_numpy() / n
+    vx = df.sxx.to_numpy() - df.sx.to_numpy() ** 2 / n
+    vy = df.syy.to_numpy() - df.sy.to_numpy() ** 2 / n
+    out = pd.DataFrame({
+        "l_returnflag": df.g,
+        "n": df.n.astype(np.int64),
+        "corr_xy": _round(cov / np.sqrt(vx * vy), 6),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CORR_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+  FLOOR(CORR(l_extendedprice, l_quantity)*1000000+0.5)/1000000 AS corr_xy
+FROM lineitem GROUP BY l_returnflag
 """

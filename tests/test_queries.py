@@ -47,7 +47,7 @@ def _to_df(res):
     "heavy_hitters_screened", "setops_customer_orders",
     "range_join_price_bands", "event_gaps_per_user", "grouped_quantiles_flag",
     "ngram_jaccard_pairs", "pivot_status_by_priority",
-    "semijoin_orders_build_nation",
+    "semijoin_orders_build_nation", "corr_price_quantity_by_flag",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     import __ray_entry__ as e
