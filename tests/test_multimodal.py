@@ -142,3 +142,20 @@ def test_audio_windows_actor_pool(ray_session):
     assert counts == {"a-1": 1, "a-2": 4}  # capped at max_windows
     assert out.decode_ok.all()
     assert (out.rms > 0).all() and (out.zero_crossings >= 0).all()
+
+
+def test_frame_sample_external_stub_routes_errors(ray_session):
+    """With use_external=True the (stubbed) real decoder raises per row; the
+    stage must route that into decode_ok=False rows, not fail the batch."""
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.stages.multimodal import FrameSample
+
+    rows = [{"video_id": f"v-{i}", "bytes": b"\x00" * 16, "fmt": "mp4",
+             "n_frames": 10} for i in range(4)]
+    out = ray.data.from_items(rows).map_batches(
+        FrameSample, fn_constructor_kwargs={"use_external": True},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    assert len(out) == 4
+    assert (~out.decode_ok).all()
+    assert (out.frame_index == -1).all()
