@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_purchase_click_hist": relq.ks_purchase_click_hist,
         "quantiles_extendedprice_tdigest": relq.quantiles_extendedprice_tdigest,
         "divergence_purchase_click": relq.divergence_purchase_click,
+        "approx_distinct_users_by_type": relq.approx_distinct_users_by_type,
         # dedup / text analysis
         "dedup_exact_documents": textops.dedup_exact_documents,
         "dedup_report_documents": textops.dedup_report_documents,

@@ -1552,3 +1552,51 @@ SELECT l_returnflag, COUNT(*) AS n,
   FLOOR(CORR(l_extendedprice, l_quantity)*1000000+0.5)/1000000 AS corr_xy
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped approximate distinct (HLL) — SURVEY.md §2.7.5, the sketch-default
+# path for COUNT(DISTINCT) per group (rows-only: approximate by design; the
+# accuracy bound is pinned by a test against the exact answer)
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_users_by_type(sf_dir: str):
+    """Distinct user_id per event_type via mergeable HyperLogLog partials:
+    each block emits one serialized HLL per group (4 KB regardless of group
+    size), the groupby merges registers — the only shape that survives
+    10^12 rows of high-cardinality COUNT(DISTINCT)."""
+    from ..state.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        types, blobs = [], []
+        for t, g in df.groupby("event_type", sort=False):
+            h = HyperLogLog()
+            h.update(g.user_id.to_numpy())
+            types.append(t)
+            blobs.append(h.to_bytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "hll": pa.array(blobs, pa.binary())})
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        from functools import reduce
+
+        hlls = [HyperLogLog.from_bytes(b) for b in df.hll]
+        merged = reduce(lambda a, b: a.merge(b), hlls)
+        return pd.DataFrame({"event_type": [df.event_type.iloc[0]],
+                             "approx_users": [int(round(merged.estimate()))]})
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("event_type").map_groups(
+        merge_group, batch_format="pandas").to_pandas()
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+APPROX_DISTINCT_EXACT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""

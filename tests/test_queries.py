@@ -161,3 +161,18 @@ def test_shuffle_orders_seed_determinism(ray_session):
     ka = [r["o_orderkey"] for r in a]
     assert ka == [r["o_orderkey"] for r in b]
     assert ka != [r["o_orderkey"] for r in c]
+
+
+def test_approx_distinct_hll_within_error_bound(ray_session, oracle):
+    """Grouped HLL estimate must be within 5% of the exact per-group
+    COUNT(DISTINCT) (p=12 ⇒ ~1.6% standard error)."""
+    import __ray_entry__ as e
+
+    approx = _to_df(e.queries()["approx_distinct_users_by_type"](SF))
+    exact = oracle.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users "
+        "FROM events GROUP BY event_type ORDER BY event_type").fetchdf()
+    m = approx.merge(exact, on="event_type")
+    assert len(m) == len(exact) > 0
+    rel = abs(m.approx_users - m.exact_users) / m.exact_users.clip(lower=1)
+    assert (rel < 0.05).all(), m
