@@ -360,6 +360,11 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
                                  "bkt": pd.array([], dtype="int64")})
         a = np.concatenate(outs_a).astype(np.int64)
         b = np.concatenate(outs_b).astype(np.int64)
+        if b.size and int(max(a.max(), b.max())) >= (1 << 32):
+            # the composite pair key packs two ids into one int64; a corpus
+            # with >2^32 doc ids needs a (a, b) two-column dedupe instead —
+            # fail loudly rather than silently alias pairs
+            raise ValueError("doc_id >= 2^32: composite pair key would alias")
         pair = (a << 32) | b
         bkt = (splitmix64(pair.astype(np.uint64)) % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
         return pd.DataFrame({"pair": pair, "bkt": bkt})
