@@ -53,8 +53,21 @@ def fit(manifest_dir: str, out_state_dir: str, cfg: EngineConfig | None = None,
         ),
         batch_format="pyarrow",
     )
-    # small: one row per (block × partition); merge on the driver
-    merged = merge_partials_table(pa.Table.from_pylist(partials.take_all()), cfg)
+    # tree reduction: pre-merge per partition in tasks so the driver only
+    # collects ONE state row per reference partition (bounded by partition
+    # count), never one row per block — at 100 TB the block-level partials
+    # would be GBs of sketch blobs
+    def merge_group(batch: pa.Table) -> pa.Table:
+        ps = merge_partials_table(batch, cfg)
+        return pa.table({
+            "partition_id": batch["partition_id"].slice(0, 1),
+            "state": pa.array([ps.to_bytes()], pa.binary()),
+            "n_rows": pa.array([ps.n_rows], pa.int64()),
+        })
+
+    per_part = partials.groupby("partition_id").map_groups(
+        merge_group, batch_format="pyarrow")
+    merged = merge_partials_table(pa.Table.from_pylist(per_part.take_all()), cfg)
     ref = ReferenceState.fit(
         merged,
         meta={"reference_partitions": sorted(ref_pids), "source": manifest_dir,
