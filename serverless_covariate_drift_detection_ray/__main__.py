@@ -1,0 +1,113 @@
+"""CLI entry points — the engine analogue of the reference's command-line
+pipelines (`python ml/training.py -d MNIST` fit, `python ml/testing.py -d
+MNIST` eval; /root/reference/ml/training.py:463-539, ml/testing.py:153-201).
+
+    python -m serverless_covariate_drift_detection_ray gen-fixture --scale small --dest /tmp/tbl
+    python -m serverless_covariate_drift_detection_ray fit --manifest /tmp/tbl --state /tmp/ref
+    python -m serverless_covariate_drift_detection_ray validate --manifest /tmp/tbl \
+        --state /tmp/ref --out /tmp/run1
+    python -m serverless_covariate_drift_detection_ray report --out /tmp/run1
+
+The CLI owns its Ray session (guarded init — the driver contract in
+``__ray_entry__`` never calls ray.init, but a standalone command must).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="serverless_covariate_drift_detection_ray")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="ray.init num_cpus (default: all)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-fixture", help="synthesize a deterministic input table")
+    g.add_argument("--scale", default="small", choices=["tiny", "small", "bench"])
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--dest", required=True)
+
+    f = sub.add_parser("fit", help="freeze reference-window state")
+    f.add_argument("--manifest", required=True, help="input table dir (manifest.json)")
+    f.add_argument("--state", required=True, help="output reference_state dir")
+    f.add_argument("--kinds", default="reference",
+                   help="comma-separated partition kinds to fit on")
+
+    v = sub.add_parser("validate", help="full stats + drift + constraint pass")
+    v.add_argument("--manifest", required=True)
+    v.add_argument("--state", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--no-resume", action="store_true",
+                   help="recompute finished partitions instead of skipping")
+    v.add_argument("--decode-fraction", type=float, default=None)
+
+    r = sub.add_parser("report", help="summarize a validate output dir to JSON")
+    r.add_argument("--out", required=True)
+    r.add_argument("--path", default=None, help="write JSON here (default: stdout)")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen-fixture":
+        from .fixtures.gen import generate
+
+        manifest = generate(args.dest, scale=args.scale, seed=args.seed,
+                            parallel=True)
+        print(json.dumps({"dest": args.dest, "scale": args.scale,
+                          "partitions": len(manifest.partition_ids()),
+                          "rows": sum(fr.rows for fr in manifest.fragments)}))
+        return 0
+
+    if args.cmd == "report":
+        from .pipelines.report import build_report, write_report
+
+        if args.path:
+            print(write_report(args.out, args.path))
+        else:
+            print(json.dumps(build_report(args.out), indent=2))
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        from .pipelines.config import EngineConfig
+
+        if args.cmd == "fit":
+            from .pipelines.fit import fit
+
+            ref = fit(args.manifest, args.state, EngineConfig(),
+                      reference_kinds=tuple(args.kinds.split(",")))
+            print(json.dumps({"state": args.state,
+                              "meta": {k: v for k, v in ref.meta.items()
+                                       if not isinstance(v, (bytes, bytearray))}},
+                             default=str))
+            return 0
+
+        if args.cmd == "validate":
+            from .pipelines.validate import validate
+
+            cfg = EngineConfig() if args.decode_fraction is None else EngineConfig(
+                decode_fraction=args.decode_fraction)
+            summary = validate(args.manifest, args.state, args.out, cfg,
+                               resume=not args.no_resume)
+            print(json.dumps(summary, default=str))
+            return 0
+    finally:
+        ray.shutdown()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,35 @@
+"""CLI surface: the engine analogue of the reference's command-line pipelines
+(ml/training.py / ml/testing.py CLIs). fit/validate internals are covered by
+the e2e suite; here the argument surface and the session-free commands run
+in-process, and fit/validate run against the shared Ray session via a
+no-shutdown stub."""
+
+import json
+
+import serverless_covariate_drift_detection_ray.__main__ as cli
+
+
+def test_gen_fixture_and_report_roundtrip(tmp_path, capsys, monkeypatch, ray_session):
+    dest = str(tmp_path / "tbl")
+    assert cli.main(["gen-fixture", "--scale", "tiny", "--dest", dest]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions"] == 11 and out["rows"] == 2750
+
+    class _NoShutdown:
+        @staticmethod
+        def shutdown():
+            pass  # keep the session fixture alive
+
+    monkeypatch.setattr(cli, "_ray_session", lambda n: _NoShutdown)
+    state = str(tmp_path / "ref")
+    run = str(tmp_path / "run")
+    assert cli.main(["fit", "--manifest", dest, "--state", state]) == 0
+    assert cli.main(["validate", "--manifest", dest, "--state", state,
+                     "--out", run]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["partitions_processed"] == 11
+
+    assert cli.main(["report", "--out", run]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["partitions"] == 11
+    assert rep["verdicts"]["total"] > 0
