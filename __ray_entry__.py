@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_purchase_click": relq.ks_purchase_click,
         "quantiles_extendedprice": relq.quantiles_extendedprice,
         "grouped_quantiles_flag": relq.grouped_quantiles_flag,
+        "outlier_counts_lineitem": relq.outlier_counts_lineitem,
         # sketch-default variants (the at-scale paths; exact ones stay as
         # oracle anchors)
         "ks_purchase_click_hist": relq.ks_purchase_click_hist,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h_events": relq.ROLLING_SQL,
         "event_gaps_per_user": relq.EVENT_GAPS_SQL,
         "grouped_quantiles_flag": relq.GROUPED_QUANTILES_SQL,
+        "outlier_counts_lineitem": relq.OUTLIER_SQL,
         "topn_orders_per_priority": relq.TOPN_PER_KEY_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,
         "uniqueness_pk": relq.UNIQUENESS_SQL,

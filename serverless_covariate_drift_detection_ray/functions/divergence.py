@@ -62,6 +62,22 @@ def wasserstein1_binned(ref_counts: np.ndarray, test_counts: np.ndarray,
     return float(bin_width) * np.abs(diff).sum(axis=-1)
 
 
+def cvm_binned(ref_counts: np.ndarray, test_counts: np.ndarray) -> np.ndarray:
+    """Two-sample Cramér-von Mises statistic from shared-bin histograms:
+    T = (n*m/(n+m)) * sum_b w_b (F_ref(b) - F_test(b))^2 with pooled bin
+    weights w_b — the binned analogue of summing over pooled sample points.
+    Scale-free in bin width; 0 iff the binned distributions agree."""
+    r = np.asarray(ref_counts, dtype=np.float64)
+    t = np.asarray(test_counts, dtype=np.float64)
+    n = np.maximum(r.sum(axis=-1, keepdims=True), 1.0)
+    m = np.maximum(t.sum(axis=-1, keepdims=True), 1.0)
+    f1 = np.cumsum(r, axis=-1) / n
+    f2 = np.cumsum(t, axis=-1) / m
+    w = (r + t) / (n + m)
+    tstat = (n * m / (n + m)).squeeze(-1) * ((f1 - f2) ** 2 * w).sum(axis=-1)
+    return tstat
+
+
 def multinomial_bootstrap_pvalue(
     ref_counts: np.ndarray,
     test_counts: np.ndarray,

@@ -1600,3 +1600,67 @@ APPROX_DISTINCT_EXACT_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier counts — SURVEY.md §2.7.5 (two-pass validation check: exact
+# quartiles, then a streamed fence count)
+# ---------------------------------------------------------------------------
+
+
+def outlier_counts_lineitem(sf_dir: str):
+    """Tukey-fence outlier counts per numeric column: pass 1 computes exact
+    Q1/Q3 (driver-side partition of one pruned column — the oracle-exact
+    variant; the t-digest sketch is the at-scale path), pass 2 streams a
+    per-block fence count. Nothing but two scalars per column crosses
+    stages."""
+    from ray.data.aggregate import Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    rows = []
+    for col in cols:
+        ds = _read(sf_dir, "lineitem", [col])
+        v = ds.to_pandas()[col].to_numpy()
+        v = np.sort(v)
+        # PERCENTILE_DISC semantics to match QUANTILE_DISC in the oracle
+        q1 = v[max(int(np.ceil(0.25 * v.size)) - 1, 0)]
+        q3 = v[max(int(np.ceil(0.75 * v.size)) - 1, 0)]
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+
+        def fence(batch: pa.Table, col=col, lo=lo, hi=hi) -> pa.Table:
+            x = batch[col].to_numpy()
+            return pa.table({"n_out": pa.array(
+                [int(((x < lo) | (x > hi)).sum())], pa.int64())})
+
+        n_out = int(_read(sf_dir, "lineitem", [col]).map_batches(
+            fence, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(Sum("n_out", alias_name="n"))["n"])
+        rows.append({"column_name": col, "q1": float(q1), "q3": float(q3),
+                     "n_outliers": n_out})
+    return pa.Table.from_pylist(rows)
+
+
+OUTLIER_SQL = """
+WITH q AS (
+  SELECT 'l_quantity' AS column_name,
+    QUANTILE_DISC(l_quantity, 0.25) AS q1, QUANTILE_DISC(l_quantity, 0.75) AS q3
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', QUANTILE_DISC(l_extendedprice, 0.25),
+    QUANTILE_DISC(l_extendedprice, 0.75) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', QUANTILE_DISC(l_discount, 0.25),
+    QUANTILE_DISC(l_discount, 0.75) FROM lineitem
+)
+SELECT q.column_name, q.q1, q.q3,
+  CASE q.column_name
+    WHEN 'l_quantity' THEN (SELECT COUNT(*) FROM lineitem
+      WHERE l_quantity < q.q1 - 1.5*(q.q3-q.q1) OR l_quantity > q.q3 + 1.5*(q.q3-q.q1))
+    WHEN 'l_extendedprice' THEN (SELECT COUNT(*) FROM lineitem
+      WHERE l_extendedprice < q.q1 - 1.5*(q.q3-q.q1) OR l_extendedprice > q.q3 + 1.5*(q.q3-q.q1))
+    ELSE (SELECT COUNT(*) FROM lineitem
+      WHERE l_discount < q.q1 - 1.5*(q.q3-q.q1) OR l_discount > q.q3 + 1.5*(q.q3-q.q1))
+  END AS n_outliers
+FROM q
+"""

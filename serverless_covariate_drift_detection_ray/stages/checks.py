@@ -185,3 +185,12 @@ class MMDEmbeddingCheck:
             dist, p = 0.0, 1.0
         return [make_verdict(pid, "mmd", "phash_embedding", dist, p, cfg,
                              x.shape[0], y.shape[0], ts)]
+
+
+@register_check("cvm")
+class CvMMarginalsCheck(_HistDivergenceCheck):
+    """Two-sample Cramér-von Mises on each numeric marginal (binned; more
+    weight on the distribution body than KS's single-supremum statistic)."""
+
+    def stat_fn(self, hist):
+        return dv.cvm_binned

@@ -105,3 +105,48 @@ def test_divergence_checks_through_pipeline(ray_session, tmp_path):
         elif kind == "drift-dims":
             w = d[d.column == "w"]
             assert (~w.passed).all(), w
+
+
+def test_cvm_binned_zero_iff_equal_and_monotone_in_shift():
+    import numpy as np
+
+    from serverless_covariate_drift_detection_ray.functions.divergence import cvm_binned
+
+    rng = np.random.default_rng(3)
+    base = rng.multinomial(20_000, np.ones(32) / 32).astype(float)
+    assert cvm_binned(base, base) == 0.0
+    prev = 0.0
+    probs = np.ones(32) / 32
+    for shift in (0.1, 0.3, 0.6):
+        p = probs + shift * np.linspace(-1, 1, 32) / 32
+        p = np.clip(p, 1e-6, None)
+        shifted = rng.multinomial(20_000, p / p.sum()).astype(float)
+        t = float(cvm_binned(base, shifted))
+        assert t > prev
+        prev = t
+
+
+def test_cvm_check_registered_and_runs(ray_session, tmp_path):
+    from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
+    from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+    from serverless_covariate_drift_detection_ray.pipelines.fit import fit
+    from serverless_covariate_drift_detection_ray.pipelines.validate import validate
+
+    fix = ensure_fixture("tiny")
+    cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                       drift_checks=("ks", "cvm"))
+    ref = str(tmp_path / "ref")
+    out = str(tmp_path / "out")
+    fit(fix, ref, cfg)
+    validate(fix, ref, out, cfg, resume=False)
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    vs = pd.concat([pq.read_table(f).to_pandas()
+                    for f in glob.glob(f"{out}/verdicts/*/*.parquet")])
+    assert (vs.check == "cvm").any()
+    # structurally-drifted partitions flag, reference partition passes
+    cvm = vs[vs.check == "cvm"]
+    assert cvm[cvm.partition_id == 0].passed.all()
