@@ -97,7 +97,9 @@ def test_ann_lsh_recall_vs_exact(ray_session):
     # a meaningful share of true neighbors and only true corpus ids
     epairs = set(zip(exact.query_id, exact.neighbor_id))
     lpairs = set(zip(lsh.query_id, lsh.neighbor_id))
-    assert len(lpairs & epairs) >= len(epairs) * 0.1
+    # measured recall 0.26-0.35 at sf0.001-0.01 (near-orthogonal synthetic
+    # embeddings bound bucket coherence); 0.2 pins it without flaking
+    assert len(lpairs & epairs) >= len(epairs) * 0.2
     assert (lsh.neighbor_id >= 10).all()
 
 
@@ -108,9 +110,10 @@ def test_ann_ivf_recall_vs_exact(ray_session):
     ivf = _to_df(e.queries()["ann_ivf_cosine"](SF))
     epairs = set(zip(exact.query_id, exact.neighbor_id))
     ipairs = set(zip(ivf.query_id, ivf.neighbor_id))
-    # nprobe/n_cells = 6/32 of the corpus scanned; near-orthogonal synthetic
-    # vectors put a floor, not a ceiling, on cell recall
-    assert len(ipairs & epairs) >= len(epairs) * 0.1
+    # nprobe/n_cells = 6/32 of the corpus scanned; measured recall 0.52-0.55
+    # at sf0.001-0.01 (near-orthogonal synthetic vectors bound cell
+    # coherence); 0.4 pins it without flaking
+    assert len(ipairs & epairs) >= len(epairs) * 0.4
     assert (ivf.neighbor_id >= 10).all()
     assert set(ivf.query_id) == set(exact.query_id)
     # reported cosines must be the true similarities (exact within-cell math)
