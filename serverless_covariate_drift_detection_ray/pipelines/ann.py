@@ -112,6 +112,9 @@ QUALIFY ROW_NUMBER() OVER (
 LSH_TABLES = 3  # independent hash tables (banding): recall 1-(1-p^planes)^tables
 LSH_PLANES = 4  # 16 buckets per table; ~3/16 of the corpus scanned per query
 LSH_BUCKET_CAP = 4096  # max corpus rows scored per bucket (deterministic subset)
+LSH_PROBES = 2  # multi-probe: per table, queries also probe the buckets with
+#                 the 2 weakest-margin plane bits flipped (query-side only —
+#                 corpus storage stays one row per table)
 
 
 def _embedding_dim(sf_dir: str) -> int:
@@ -148,17 +151,34 @@ def ann_lsh_bucketed(sf_dir: str, n_tables: int = LSH_TABLES,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             x = _to_matrix(batch["embedding"])
-            n = x.shape[0]
+            ids = batch["vec_id"].to_numpy()
+            qmask = ids < N_QUERIES
             outs = []
             for t in range(n_tables):
-                bits = (x @ self.planes[t].T) > 0  # (n, p)
-                bucket = bits @ (1 << np.arange(n_planes))
-                key = (np.int64(t) << np.int64(n_planes)) | bucket.astype(np.int64)
+                marg = x @ self.planes[t].T  # (n, p) signed margins
+                bucket = ((marg > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+                tshift = np.int64(t) << np.int64(n_planes)
                 outs.append(pa.table({
                     "vec_id": batch["vec_id"],
-                    "tbucket": pa.array(key),
+                    "tbucket": pa.array(tshift | bucket),
                     "embedding": batch["embedding"],
                 }))
+                # multi-probe, query side only: also emit the query into the
+                # buckets reached by flipping its weakest-|margin| planes —
+                # the true neighbor most often sits just across the closest
+                # hyperplane. Corpus rows stay single-bucket per table, so
+                # storage/shuffle volume is unchanged at corpus scale.
+                if qmask.any() and LSH_PROBES:
+                    qb = bucket[qmask]
+                    order = np.argsort(np.abs(marg[qmask]), axis=1)[:, :LSH_PROBES]
+                    qtab = batch.filter(pa.array(qmask))
+                    for j in range(min(LSH_PROBES, n_planes)):
+                        flipped = qb ^ (np.int64(1) << order[:, j].astype(np.int64))
+                        outs.append(pa.table({
+                            "vec_id": qtab["vec_id"],
+                            "tbucket": pa.array(tshift | flipped),
+                            "embedding": qtab["embedding"],
+                        }))
             return pa.concat_tables(outs)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

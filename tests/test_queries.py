@@ -97,9 +97,9 @@ def test_ann_lsh_recall_vs_exact(ray_session):
     # a meaningful share of true neighbors and only true corpus ids
     epairs = set(zip(exact.query_id, exact.neighbor_id))
     lpairs = set(zip(lsh.query_id, lsh.neighbor_id))
-    # measured recall 0.26-0.35 at sf0.001-0.01 (near-orthogonal synthetic
-    # embeddings bound bucket coherence); 0.2 pins it without flaking
-    assert len(lpairs & epairs) >= len(epairs) * 0.2
+    # measured recall 0.51-0.71 at sf0.01-0.001 with query-side multi-probe
+    # (2 weakest-margin flips per table); 0.4 pins it without flaking
+    assert len(lpairs & epairs) >= len(epairs) * 0.4
     assert (lsh.neighbor_id >= 10).all()
 
 
