@@ -371,7 +371,8 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 # ---------------------------------------------------------------------------
 
 IVF_N_CELLS = 32
-IVF_NPROBE = 6
+IVF_NPROBE = 8  # 25% of cells scanned; measured recall 0.61 at sf0.01
+#                 (0.52 at 6, 0.70 at 10 — the knob is the recall/cost dial)
 IVF_TRAIN_CAP = 4096     # k-means training sample bound (smallest-hash keys)
 IVF_KMEANS_ITERS = 10
 

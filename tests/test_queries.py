@@ -110,10 +110,10 @@ def test_ann_ivf_recall_vs_exact(ray_session):
     ivf = _to_df(e.queries()["ann_ivf_cosine"](SF))
     epairs = set(zip(exact.query_id, exact.neighbor_id))
     ipairs = set(zip(ivf.query_id, ivf.neighbor_id))
-    # nprobe/n_cells = 6/32 of the corpus scanned; measured recall 0.52-0.55
-    # at sf0.001-0.01 (near-orthogonal synthetic vectors bound cell
-    # coherence); 0.4 pins it without flaking
-    assert len(ipairs & epairs) >= len(epairs) * 0.4
+    # nprobe/n_cells = 8/32 of the corpus scanned; measured recall ~0.61 at
+    # sf0.01 (near-orthogonal synthetic vectors bound cell coherence);
+    # 0.5 pins it without flaking
+    assert len(ipairs & epairs) >= len(epairs) * 0.5
     assert (ivf.neighbor_id >= 10).all()
     assert set(ivf.query_id) == set(exact.query_id)
     # reported cosines must be the true similarities (exact within-cell math)
