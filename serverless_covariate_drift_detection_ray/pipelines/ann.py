@@ -145,44 +145,43 @@ def ann_lsh_bucketed(sf_dir: str, n_tables: int = LSH_TABLES,
     planes = rng.normal(size=(n_tables, n_planes, dim))
     wrapped = {"ref": ray.put(planes)}
 
-    class Bucketize:
-        def __init__(self):
-            self.planes = ray.get(wrapped["ref"])  # (t, p, d)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            x = _to_matrix(batch["embedding"])
-            ids = batch["vec_id"].to_numpy()
-            qmask = ids < N_QUERIES
-            outs = []
-            for t in range(n_tables):
-                marg = x @ self.planes[t].T  # (n, p) signed margins
-                bucket = ((marg > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
-                tshift = np.int64(t) << np.int64(n_planes)
-                outs.append(pa.table({
-                    "vec_id": batch["vec_id"],
-                    "tbucket": pa.array(tshift | bucket),
-                    "embedding": batch["embedding"],
-                }))
-                # multi-probe, query side only: also emit the query into the
-                # buckets reached by flipping its weakest-|margin| planes —
-                # the true neighbor most often sits just across the closest
-                # hyperplane. Corpus rows stay single-bucket per table, so
-                # storage/shuffle volume is unchanged at corpus scale.
-                if qmask.any() and LSH_PROBES:
-                    qb = bucket[qmask]
-                    order = np.argsort(np.abs(marg[qmask]), axis=1)[:, :LSH_PROBES]
-                    qtab = batch.filter(pa.array(qmask))
-                    for j in range(min(LSH_PROBES, n_planes)):
-                        flipped = qb ^ (np.int64(1) << order[:, j].astype(np.int64))
-                        outs.append(pa.table({
-                            "vec_id": qtab["vec_id"],
-                            "tbucket": pa.array(tshift | flipped),
-                            "embedding": qtab["embedding"],
-                        }))
-            return pa.concat_tables(outs)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # stateless task: the plane tensor reads zero-copy from the object
+        # store per call (no actor spawn, scales with free CPUs)
+        planes = ray.get(wrapped["ref"])  # (t, p, d)
+        x = _to_matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy()
+        qmask = ids < N_QUERIES
+        outs = []
+        for t in range(n_tables):
+            marg = x @ planes[t].T  # (n, p) signed margins
+            bucket = ((marg > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+            tshift = np.int64(t) << np.int64(n_planes)
+            outs.append(pa.table({
+                "vec_id": batch["vec_id"],
+                "tbucket": pa.array(tshift | bucket),
+                "embedding": batch["embedding"],
+            }))
+            # multi-probe, query side only: also emit the query into the
+            # buckets reached by flipping its weakest-|margin| planes —
+            # the true neighbor most often sits just across the closest
+            # hyperplane. Corpus rows stay single-bucket per table, so
+            # storage/shuffle volume is unchanged at corpus scale.
+            if qmask.any() and LSH_PROBES:
+                qb = bucket[qmask]
+                order = np.argsort(np.abs(marg[qmask]), axis=1)[:, :LSH_PROBES]
+                qtab = batch.filter(pa.array(qmask))
+                for j in range(min(LSH_PROBES, n_planes)):
+                    flipped = qb ^ (np.int64(1) << order[:, j].astype(np.int64))
+                    outs.append(pa.table({
+                        "vec_id": qtab["vec_id"],
+                        "tbucket": pa.array(tshift | flipped),
+                        "embedding": qtab["embedding"],
+                    }))
+        return pa.concat_tables(outs)
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    bucketed = ds.map_batches(Bucketize, batch_format="pyarrow", concurrency=2)
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def within_bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": pd.array([], dtype="int64"),
