@@ -28,33 +28,30 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
-class _TopKScorer:
-    """Actor-pool stage: query matrix fetched once per actor; per batch one
-    matmul + per-query partial top-k."""
+def _topk_score(batch: pa.Table, wrapped, k: int) -> pa.Table:
+    """Broadcast-task stage: the query matrix reads zero-copy from the
+    object store per call; per batch one matmul + per-query partial top-k.
+    (Stateless tasks instead of a capped actor pool — the scan scales with
+    free CPUs and reuses warm workers.)"""
+    import ray
 
-    def __init__(self, wrapped, k: int):
-        import ray
-
-        self.q_ids, self.q = ray.get(wrapped["ref"])  # (m,), (m, d) L2-normalized
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        x = _to_matrix(batch["embedding"])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        cos = self.q @ x.T  # (m, n)
-        k = min(self.k, cos.shape[1])
-        out_q, out_n, out_c = [], [], []
-        for qi in range(cos.shape[0]):
-            top = np.argpartition(-cos[qi], k - 1)[:k]
-            out_q.append(np.full(k, self.q_ids[qi], dtype=np.int64))
-            out_n.append(ids[top].astype(np.int64))
-            out_c.append(cos[qi][top])
-        return pa.table({
-            "query_id": pa.array(np.concatenate(out_q)),
-            "neighbor_id": pa.array(np.concatenate(out_n)),
-            "cos": pa.array(np.concatenate(out_c), pa.float64()),
-        })
+    q_ids, q = ray.get(wrapped["ref"])  # (m,), (m, d) L2-normalized
+    ids = batch["vec_id"].to_numpy()
+    x = _to_matrix(batch["embedding"])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cos = q @ x.T  # (m, n)
+    k = min(k, cos.shape[1])
+    out_q, out_n, out_c = [], [], []
+    for qi in range(cos.shape[0]):
+        top = np.argpartition(-cos[qi], k - 1)[:k]
+        out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
+        out_n.append(ids[top].astype(np.int64))
+        out_c.append(cos[qi][top])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q)),
+        "neighbor_id": pa.array(np.concatenate(out_n)),
+        "cos": pa.array(np.concatenate(out_c), pa.float64()),
+    })
 
 
 def ann_topk_cosine(sf_dir: str):
@@ -75,10 +72,11 @@ def ann_topk_cosine(sf_dir: str):
     def corpus_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
 
+    from functools import partial as _partial
+
     partials = ds.map_batches(corpus_only, batch_format="pyarrow", zero_copy_batch=True
                               ).map_batches(
-        _TopKScorer, fn_constructor_args=(wrapped, TOP_K), batch_format="pyarrow",
-        concurrency=2,
+        _partial(_topk_score, wrapped=wrapped, k=TOP_K), batch_format="pyarrow",
     )
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -330,27 +328,25 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = NEARDUP_COS_TAU):
     corpus = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
     wrapped = {"ref": ray.put((corpus_ids, corpus))}
 
-    class PairEmit:
-        def __init__(self):
-            self.ids, self.m = ray.get(wrapped["ref"])
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy().astype(np.int64)
-            x = _to_matrix(batch["embedding"])
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            cos = x @ self.m.T  # (b, N)
-            hit = cos >= tau
-            # keep i < j only: each unordered pair emitted exactly once
-            hit &= ids[:, None] < self.ids[None, :]
-            bi, cj = np.nonzero(hit)
-            return pa.table({
-                "vec_a": pa.array(ids[bi]),
-                "vec_b": pa.array(self.ids[cj]),
-                "cos": pa.array(_round(cos[bi, cj], 6)),
-            })
+    def pair_emit(batch: pa.Table) -> pa.Table:
+        # broadcast task: corpus matrix reads zero-copy per call
+        cids, m = ray.get(wrapped["ref"])
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        x = _to_matrix(batch["embedding"])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cos = x @ m.T  # (b, N)
+        hit = cos >= tau
+        # keep i < j only: each unordered pair emitted exactly once
+        hit &= ids[:, None] < cids[None, :]
+        bi, cj = np.nonzero(hit)
+        return pa.table({
+            "vec_a": pa.array(ids[bi]),
+            "vec_b": pa.array(cids[cj]),
+            "cos": pa.array(_round(cos[bi, cj], 6)),
+        })
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ds.map_batches(PairEmit, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(pair_emit, batch_format="pyarrow")
 
 
 EMB_NEARDUP_SQL = f"""
@@ -426,41 +422,39 @@ def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
     centroids = _spherical_kmeans(train, n_cells, IVF_KMEANS_ITERS, seed=11)
     wrapped = {"ref": ray.put(centroids)}
 
-    class AssignCells:
-        def __init__(self):
-            self.c = ray.get(wrapped["ref"])  # (k, d) normalized
+    def assign_cells(batch: pa.Table) -> pa.Table:
+        # broadcast task: centroid matrix reads zero-copy per call
+        c = ray.get(wrapped["ref"])  # (k, d) normalized
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        x = _to_matrix(batch["embedding"])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sim = x @ c.T  # (n, k)
+        is_q = ids < N_QUERIES
+        outs = []
+        if (~is_q).any():
+            sub = pa.array(np.flatnonzero(~is_q))
+            outs.append(pa.table({
+                "cell": pa.array(np.argmax(sim[~is_q], axis=1).astype(np.int64)),
+                "vec_id": batch["vec_id"].take(sub),
+                "embedding": batch["embedding"].take(sub),
+            }))
+        if is_q.any():
+            qrows = np.flatnonzero(is_q)
+            p = min(nprobe, sim.shape[1])
+            probes = np.argpartition(-sim[is_q], p - 1, axis=1)[:, :p]  # (nq, p)
+            rep = np.repeat(qrows, p)
+            outs.append(pa.table({
+                "cell": pa.array(probes.ravel().astype(np.int64)),
+                "vec_id": batch["vec_id"].take(pa.array(rep)),
+                "embedding": batch["embedding"].take(pa.array(rep)),
+            }))
+        if not outs:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "vec_id": batch["vec_id"].slice(0, 0),
+                             "embedding": batch["embedding"].slice(0, 0)})
+        return pa.concat_tables(outs)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy().astype(np.int64)
-            x = _to_matrix(batch["embedding"])
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sim = x @ self.c.T  # (n, k)
-            is_q = ids < N_QUERIES
-            outs = []
-            if (~is_q).any():
-                sub = pa.array(np.flatnonzero(~is_q))
-                outs.append(pa.table({
-                    "cell": pa.array(np.argmax(sim[~is_q], axis=1).astype(np.int64)),
-                    "vec_id": batch["vec_id"].take(sub),
-                    "embedding": batch["embedding"].take(sub),
-                }))
-            if is_q.any():
-                qrows = np.flatnonzero(is_q)
-                p = min(nprobe, sim.shape[1])
-                probes = np.argpartition(-sim[is_q], p - 1, axis=1)[:, :p]  # (nq, p)
-                rep = np.repeat(qrows, p)
-                outs.append(pa.table({
-                    "cell": pa.array(probes.ravel().astype(np.int64)),
-                    "vec_id": batch["vec_id"].take(pa.array(rep)),
-                    "embedding": batch["embedding"].take(pa.array(rep)),
-                }))
-            if not outs:
-                return pa.table({"cell": pa.array([], pa.int64()),
-                                 "vec_id": batch["vec_id"].slice(0, 0),
-                                 "embedding": batch["embedding"].slice(0, 0)})
-            return pa.concat_tables(outs)
-
-    assigned = ds.map_batches(AssignCells, batch_format="pyarrow", concurrency=2)
+    assigned = ds.map_batches(assign_cells, batch_format="pyarrow")
 
     def within_cell_topk(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": pd.array([], dtype="int64"),

@@ -111,7 +111,7 @@ def classify_accuracy_embeddings(sf_dir: str):
     scored = ds.map_batches(test_only, batch_format="pyarrow", zero_copy_batch=True
                             ).map_batches(
         _CentroidScorer, fn_constructor_args=(wrapped,), batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 8),
     )
 
     def acc_partial(batch: pa.Table) -> pa.Table:
