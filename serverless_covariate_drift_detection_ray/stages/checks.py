@@ -194,3 +194,29 @@ class CvMMarginalsCheck(_HistDivergenceCheck):
 
     def stat_fn(self, hist):
         return dv.cvm_binned
+
+
+@register_check("caption_cms")
+class CaptionCMSCheck:
+    """Caption CONTENT drift from the Count-Min table (no new state): each
+    CMS row is a multinomial histogram of hashed caption strings, so JS
+    divergence between the reference and test first-row distributions moves
+    when the caption text changes — even when caption LENGTHS match and the
+    caption_len KS marginal stays silent. p-value from the shared
+    multinomial bootstrap over the CMS buckets."""
+
+    def compare(self, pid, ref, ps, cfg, ts):
+        r = ref.state.caption_cms.table[0]
+        t = ps.caption_cms.table[0]
+        n_ref = int(ref.state.caption_cms.total)
+        n_test = int(ps.caption_cms.total)
+        if n_ref == 0 or n_test == 0:
+            return [make_verdict(pid, "caption_cms", "caption", 0.0, 1.0,
+                                 cfg, n_ref, n_test, ts)]
+        stat, p = dv.multinomial_bootstrap_pvalue(
+            r, t, dv.js_divergence,
+            n_boot=cfg.num_permutations,
+            seed=cfg.seed ^ ((pid + 1) * 0x85EBCA6B),
+        )
+        return [make_verdict(pid, "caption_cms", "caption", stat, p, cfg,
+                             n_ref, n_test, ts)]

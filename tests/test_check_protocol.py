@@ -58,3 +58,34 @@ def test_custom_check_instance_runs_through_pipeline(ray_session, tmp_path):
     assert len(rc) == verdicts.partition_id.nunique()
     # tiny fixture partitions all have the reference's row count -> all pass
     assert rc.passed.all()
+
+
+def test_caption_cms_check_flags_content_drift(ray_session, tmp_path):
+    """The CMS-based caption-content check must flag the drift-caption
+    partition and pass the reference partition."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
+    from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+    from serverless_covariate_drift_detection_ray.pipelines.fit import fit
+    from serverless_covariate_drift_detection_ray.pipelines.validate import validate
+    from serverless_covariate_drift_detection_ray.sources.fragmented import TableManifest
+
+    fix = ensure_fixture("tiny")
+    manifest = TableManifest.load(fix)
+    caption_pids = {pid for pid, meta in manifest.partitions.items()
+                    if meta.get("kind") == "drift-caption"}
+    assert caption_pids
+    cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                       drift_checks=("caption_cms",))
+    ref, out = str(tmp_path / "ref"), str(tmp_path / "out")
+    fit(fix, ref, cfg)
+    validate(fix, ref, out, cfg, resume=False)
+    vs = pd.concat([pq.read_table(f).to_pandas()
+                    for f in glob.glob(f"{out}/verdicts/*/*.parquet")])
+    cc = vs[vs.check == "caption_cms"].set_index("partition_id")
+    assert not cc.loc[sorted(caption_pids)].passed.any()
+    assert cc.loc[0].passed  # reference partition clean
