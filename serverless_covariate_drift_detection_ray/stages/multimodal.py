@@ -306,6 +306,58 @@ class AudioWindows:
         })
 
 
-__all__ = ["DecodeFeatures", "FrameSample", "AudioWindows", "read_image_dir",
-           "dump_images", "decode_video_external", "decode_audio_external",
-           "EXTERNAL_FMTS", "VIDEO_FMTS", "AUDIO_FMTS"]
+__all__ = ["DecodeFeatures", "FrameSample", "AudioWindows", "PreprocessImages",
+           "read_image_dir", "dump_images", "decode_video_external",
+           "decode_audio_external", "EXTERNAL_FMTS", "VIDEO_FMTS", "AUDIO_FMTS",
+           "IMAGE_SIZE"]
+
+
+IMAGE_SIZE = (28, 28)  # the reference's canonical input size
+#                        (/root/reference/ml/utils/constants.py:28)
+
+
+class PreprocessImages:
+    """Actor-pool stage: the reference's preprocess transform, literally —
+    ``[Grayscale] -> Resize((28, 28)) -> ToTensor`` (built at
+    /root/reference/ml/training.py:210-221, applied per record at
+    model_inference_api/app/model.py:147-156) as a vectorized batch op:
+    decode ``bytes`` per ``fmt``, channel-mean to grayscale, exact area
+    resize to 28x28, scale to float32 [0, 1]. Output rows carry the tensor
+    as a fixed_size_list<float>[784] column ready for any downstream scorer.
+    Decode failures route to ``decode_ok=False`` with a zero tensor."""
+
+    def __init__(self, size: tuple[int, int] = IMAGE_SIZE,
+                 use_external: bool = False):
+        from ..functions.phash import _resize_sums  # once per actor
+
+        self.size = size
+        self._decode = decode_external if use_external else decode_image
+        self._resize_sums = _resize_sums
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, w = self.size
+        n = batch.num_rows
+        out = np.zeros((n, h * w), dtype=np.float32)
+        oks = np.zeros(n, dtype=bool)
+        data = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        for i in range(n):
+            try:
+                img = self._decode(data[i], fmts[i])
+            except Exception:
+                continue
+            if img.ndim == 3:
+                ih, iw, c = img.shape
+                s, hgt, wid = self._resize_sums(img.reshape(ih, iw * c), h, w, c)
+                small = s / np.maximum(hgt[:, None] * wid[None, :] * c, 1)
+            else:
+                s, hgt, wid = self._resize_sums(img, h, w)
+                small = s / np.maximum(hgt[:, None] * wid[None, :], 1)
+            out[i] = (small / 255.0).astype(np.float32).ravel()
+            oks[i] = True
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "tensor": pa.FixedSizeListArray.from_arrays(
+                pa.array(out.ravel(), pa.float32()), h * w),
+            "decode_ok": pa.array(oks),
+        })

@@ -159,3 +159,31 @@ def test_frame_sample_external_stub_routes_errors(ray_session):
     assert len(out) == 4
     assert (~out.decode_ok).all()
     assert (out.frame_index == -1).all()
+
+
+def test_preprocess_images_stage(ray_session):
+    """The M1 preprocess analogue: decode -> grayscale -> 28x28 area resize
+    -> float32 [0,1] tensors, with decode failures routed not raised."""
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.stages.multimodal import (
+        IMAGE_SIZE, PreprocessImages)
+
+    rows = _image_rows(n=24, seed=13)
+    rows.append({"image_id": "bad", "bytes": b"junk", "fmt": "png"})
+    out = ray.data.from_items(rows).map_batches(
+        PreprocessImages, batch_format="pyarrow", batch_size=8,
+        concurrency=2).to_pandas()
+    assert len(out) == 25
+    ok = out[out.image_id != "bad"]
+    assert ok.decode_ok.all()
+    import numpy as np
+
+    mats = np.stack(ok.tensor.to_numpy())
+    assert mats.shape == (24, IMAGE_SIZE[0] * IMAGE_SIZE[1])
+    assert mats.dtype == np.float32
+    assert (mats >= 0).all() and (mats <= 1).all()
+    assert mats.std() > 0  # real content, not zeros
+    bad = out[out.image_id == "bad"]
+    assert not bad.decode_ok.iloc[0]
+    assert np.allclose(np.stack(bad.tensor.to_numpy()), 0.0)
