@@ -30,7 +30,7 @@ from ..stages.constraints import VIOLATION_SCHEMA, check_neardup, check_uniquene
 from ..stages.drift import (TS_FORMAT, VERDICT_SCHEMA, DriftTestActor,  # noqa: F401
                             drift_verdicts_batch)
 from ..stages.featurize import FeaturizeAndSketch
-from ..state.checkpoint import CheckpointStore
+from ..state.checkpoint import CheckpointStore, config_fingerprint
 from ..state.partials import PartialState
 from .config import EngineConfig
 from .fit import merge_partials_table
@@ -134,7 +134,8 @@ def validate(
     t0 = time.time()
     manifest = TableManifest.load(manifest_dir)
     store = CheckpointStore(out_dir)
-    finished = store.finished_partitions() if resume else set()
+    cfg_hash = config_fingerprint(cfg)
+    finished = store.finished_partitions(cfg_hash) if resume else set()
     todo = [p for p in manifest.partition_ids() if p not in finished]
     summary = {
         "partitions_total": len(manifest.partition_ids()),
@@ -446,6 +447,7 @@ def validate(
             stats_blob=states.get(pid, b""),
             wall_s=wall / max(len(todo), 1),
             violation_count=vcount,
+            config_hash=cfg_hash,
         )
 
     t1 = time.time()

@@ -28,20 +28,51 @@ from .. import __version__
 LINEAGE_DIR = "lineage"
 
 
+def config_fingerprint(cfg) -> str:
+    """Stable hash of the validation config + engine version: resume must
+    NOT skip partitions committed under a different config (e.g. a changed
+    drift-check set would otherwise serve stale verdicts). Custom Check
+    INSTANCES fingerprint by class qualname only — their constructor params
+    are not inspected (re-run manually after retuning a custom check)."""
+    import dataclasses
+    import hashlib
+
+    d = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else dict(cfg)
+    d["drift_checks"] = [
+        s if isinstance(s, str) else type(s).__qualname__
+        for s in d.get("drift_checks", ())
+    ]
+    blob = json.dumps({"v": __version__, **{k: repr(v) for k, v in sorted(d.items())}},
+                      sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
 class CheckpointStore:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         os.makedirs(os.path.join(out_dir, LINEAGE_DIR), exist_ok=True)
 
-    def finished_partitions(self) -> set[int]:
+    def finished_partitions(self, config_hash: str | None = None) -> set[int]:
+        """Partitions with a lineage marker; with ``config_hash`` given, only
+        those committed under the SAME config (missing/mismatched hash =
+        stale output → the partition reruns)."""
         d = os.path.join(self.out_dir, LINEAGE_DIR)
         out = set()
         for name in os.listdir(d):
-            if name.endswith(".json"):
+            if not name.endswith(".json"):
+                continue
+            try:
+                pid = int(name[:-5])
+            except ValueError:
+                continue
+            if config_hash is not None:
                 try:
-                    out.add(int(name[:-5]))
-                except ValueError:
+                    with open(os.path.join(d, name)) as fh:
+                        if json.load(fh).get("config_hash") != config_hash:
+                            continue
+                except (OSError, json.JSONDecodeError):
                     continue
+            out.add(pid)
         return out
 
     def _write_part(self, sub: str, partition_id: int, table: pa.Table, fname: str) -> None:
@@ -61,6 +92,7 @@ class CheckpointStore:
         stats_blob: bytes,
         wall_s: float,
         violation_count: int | None = None,
+        config_hash: str | None = None,
     ) -> None:
         """``violations=None`` means the partition's violation file was already
         streamed into the layout by a distributed writer (validate.py's
@@ -85,6 +117,7 @@ class CheckpointStore:
             "violation_count": int(violation_count or 0),
             "wall_s": round(wall_s, 3),
             "engine_version": __version__,
+            "config_hash": config_hash,
             "completed_at": time.time(),
         }
         tmp = os.path.join(self.out_dir, LINEAGE_DIR, f"{partition_id}.json.tmp")

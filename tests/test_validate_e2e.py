@@ -245,3 +245,37 @@ class TestNeardupDistributedParity:
         a = driver.groupby("observed").size().sort_values().to_numpy()
         b = dist.groupby("observed").size().sort_values().to_numpy()
         assert list(a) == list(b)  # same cluster-size multiset
+
+
+class TestResumeConfigInvalidation:
+    def test_config_change_invalidates_resume(self, ray_session, tmp_path):
+        """Partitions committed under a different config must RERUN on
+        resume — a changed drift-check set would otherwise serve stale
+        verdicts (found via entry() returning pre-change check rows)."""
+        from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+        from serverless_covariate_drift_detection_ray.pipelines.fit import fit
+        from serverless_covariate_drift_detection_ray.pipelines.validate import validate
+
+        fix = ensure_fixture("tiny")
+        ref, out = str(tmp_path / "ref"), str(tmp_path / "out")
+        cfg_a = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                             drift_checks=("ks",))
+        fit(fix, ref, cfg_a)
+        s1 = validate(fix, ref, out, cfg_a, resume=True)
+        assert s1["partitions_processed"] > 0
+        # same config: everything skips
+        s2 = validate(fix, ref, out, cfg_a, resume=True)
+        assert s2["partitions_processed"] == 0
+        # changed check set: everything reruns, and the new check's rows land
+        cfg_b = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                             drift_checks=("ks", "chi2"))
+        s3 = validate(fix, ref, out, cfg_b, resume=True)
+        assert s3["partitions_processed"] == s1["partitions_processed"]
+        import glob
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        vs = pd.concat([pq.read_table(f).to_pandas()
+                        for f in glob.glob(f"{out}/verdicts/*/*.parquet")])
+        assert (vs.check == "chi2").any()
