@@ -36,21 +36,16 @@ def _to_df(res):
     return res if isinstance(res, pd.DataFrame) else res.to_pandas()
 
 
-@pytest.mark.parametrize("name", [
-    "q1_pricing_summary", "join_large_priority_revenue", "topk_orders",
-    "sessionize_events", "column_stats_lineitem", "uniqueness_pk",
-    "ks_purchase_click", "dedup_exact_documents", "jaccard_neardup_pairs",
-    "ann_topk_cosine", "classify_accuracy_embeddings",
-    "split_proportions_orders", "sample_random_orders",
-    "ks_purchase_click_hist", "token_count_regex", "embedding_neardup_pairs",
-    "divergence_purchase_click", "asof_join_purchase_click",
-    "window_hopping_events", "rolling_1h_events", "topn_orders_per_priority",
-    "heavy_hitters_screened", "setops_customer_orders",
-    "range_join_price_bands", "event_gaps_per_user", "grouped_quantiles_flag",
-    "ngram_jaccard_pairs", "pivot_status_by_priority",
-    "semijoin_orders_build_nation", "corr_price_quantity_by_flag",
-])
+def _oracled_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracled_names())
 def test_query_matches_oracle(ray_session, oracle, name):
+    """EVERY oracled query vs DuckDB at sf0.001 — parametrized off the
+    registry so a new oracle entry is covered the moment it lands."""
     import __ray_entry__ as e
 
     rdf = _canon(_to_df(e.queries()[name](SF)))
