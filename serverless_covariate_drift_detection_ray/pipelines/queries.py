@@ -1664,3 +1664,64 @@ SELECT q.column_name, q.q1, q.q3,
   END AS n_outliers
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel — SURVEY.md §2.9 (ordered multi-step per-key predicate)
+# ---------------------------------------------------------------------------
+
+
+def funnel_view_click_purchase(sf_dir: str):
+    """Per-user sequential funnel view -> click -> purchase (each later step
+    strictly after the earlier one's FIRST occurrence). Users salt-bucket
+    into 256 shuffle groups (never one Ray group per user); inside a bucket
+    the step timestamps reduce with one groupby-min pandas pass."""
+    from ..functions.hashing import hash64
+
+    n_buckets = 256
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.is_in(batch["event_type"],
+                                value_set=pa.array(["view", "click", "purchase"]))
+        b = batch.filter(keep)
+        salt = (hash64(b["user_id"].to_numpy()) % n_buckets).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "event_type": b["event_type"], "bkt": pa.array(salt)})
+
+    def bucket_funnel(df: pd.DataFrame) -> pd.DataFrame:
+        # first ts per (user, step), then ordered comparisons
+        first = df.groupby(["user_id", "event_type"], sort=False).ts.min().unstack()
+        for c in ("view", "click", "purchase"):
+            if c not in first.columns:
+                first[c] = pd.NaT
+        v = first["view"].notna()
+        c_ = v & first["click"].notna() & (first["click"] > first["view"])
+        p = c_ & first["purchase"].notna() & (first["purchase"] > first["click"])
+        return pd.DataFrame({"n_view": [int(v.sum())],
+                             "n_view_click": [int(c_.sum())],
+                             "n_view_click_purchase": [int(p.sum())]})
+
+    out = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("bkt").map_groups(
+        bucket_funnel, batch_format="pandas").to_pandas().sum()
+    return pa.Table.from_pylist([{k: int(out[k]) for k in
+                                  ("n_view", "n_view_click",
+                                   "n_view_click_purchase")}])
+
+
+FUNNEL_SQL = """
+WITH first_ts AS (
+  SELECT user_id,
+    MIN(ts) FILTER (event_type = 'view') AS t_view,
+    MIN(ts) FILTER (event_type = 'click') AS t_click,
+    MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(*) FILTER (t_view IS NOT NULL) AS n_view,
+  COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+  COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click) AS n_view_click_purchase
+FROM first_ts
+"""
