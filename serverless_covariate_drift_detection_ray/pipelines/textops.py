@@ -385,31 +385,35 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
         blobs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             _word_hash_table, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
-        # padded token matrix: docs here are short (LSH shingle sets), so a
-        # (n_docs, max_tokens) int64 matrix + batched broadcast-compare beats
-        # per-pair intersect1d ~7x; pads are distinct negatives per row so
-        # pad-vs-pad never matches across different docs
-        arrs = [np.frombuffer(w, dtype=np.int64) for w in blobs.words]
+        # padded token matrix: each row is the doc's sorted distinct word
+        # hashes padded with GLOBALLY-distinct negatives, so the per-pair
+        # intersection is |dups| in sort(concat(rowA, rowB)) — a fully
+        # vectorized (n, 2W) sort + adjacent-equal count, O(W log W) per pair
+        # vs the O(W^2) broadcast-compare it replaces
+        order = np.argsort(blobs.doc_id.to_numpy(), kind="mergesort")
+        ids_sorted = blobs.doc_id.to_numpy()[order].astype(np.int64)
+        arrs = [np.frombuffer(blobs.words.iloc[i], dtype=np.int64) for i in order]
         width = max((a.size for a in arrs), default=1) or 1
         mat = np.empty((len(arrs), width), dtype=np.int64)
         lens = np.empty(len(arrs), dtype=np.int64)
         for i, a in enumerate(arrs):
             mat[i, :a.size] = a
-            mat[i, a.size:] = -(i + 1)
+            mat[i, a.size:] = -(np.arange(a.size, width, dtype=np.int64)
+                                + i * width + 1)
             lens[i] = a.size
-        row_of = {int(d): i for i, d in enumerate(blobs.doc_id)}
-        state_ref = ray.put((mat, lens, row_of))
+        state_ref = ray.put((mat, lens, ids_sorted))
 
         class VerifyBroadcast:
             def __init__(self):
-                self.mat, self.lens, self.row_of = ray.get(state_ref)
+                self.mat, self.lens, self.ids = ray.get(state_ref)
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
                 da, db = df.doc_a.to_numpy(), df.doc_b.to_numpy()
-                ia = np.fromiter((self.row_of[x] for x in da), np.int64, len(da))
-                ib = np.fromiter((self.row_of[x] for x in db), np.int64, len(db))
-                A, B = self.mat[ia], self.mat[ib]  # (n, W)
-                inter = (A[:, :, None] == B[:, None, :]).sum(axis=(1, 2))
+                ia = np.searchsorted(self.ids, da)
+                ib = np.searchsorted(self.ids, db)
+                C = np.sort(np.concatenate([self.mat[ia], self.mat[ib]], axis=1),
+                            axis=1, kind="stable")
+                inter = (C[:, 1:] == C[:, :-1]).sum(axis=1)
                 union = self.lens[ia] + self.lens[ib] - inter
                 jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
                 out = pd.DataFrame({"doc_a": da, "doc_b": db,
