@@ -19,7 +19,7 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-from serverless_covariate_drift_detection_ray.pipelines import ann, classify, textops
+from serverless_covariate_drift_detection_ray.pipelines import ann, classify, dimred, textops
 from serverless_covariate_drift_detection_ray.pipelines import queries as relq
 
 
@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_cosine": ann.ann_ivf_cosine,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
+        # dimensionality reduction (reference's encoder analogue) + latent drift
+        "pca_project_embeddings": dimred.pca_project_embeddings,
+        "pca_mmd_drift": dimred.pca_mmd_drift,
         # flagship image validation (rows-only: non-SQL-expressible)
         "validate_images": _flagship,
     }
@@ -184,7 +187,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
-        # rows-only (no SQL equivalent): minhash_neardup_documents,
+        # rows-only (no SQL equivalent): pca_project_embeddings,
+        # pca_mmd_drift (no SQL eigensolver), minhash_neardup_documents,
         # simhash_documents, fingerprint_documents, ann_lsh_bucketed,
         # mmd_embeddings_drift, validate_images
     }
