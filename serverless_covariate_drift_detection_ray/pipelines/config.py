@@ -49,7 +49,7 @@ class EngineConfig:
     # drift-check plugins (§2.10): registered names or custom Check instances
     # (instances are cloudpickled by value into the actor pool, so custom
     # checks need not be importable on workers) — see stages/checks.py
-    drift_checks: tuple = ("ks", "chi2", "mmd", "caption_cms")
+    drift_checks: tuple = ("ks", "chi2", "mmd", "caption_cms", "pca_mmd")
 
     def sample_threshold(self, fraction: float) -> int:
         """uint64 threshold t such that P[hash64(id) < t] = fraction."""

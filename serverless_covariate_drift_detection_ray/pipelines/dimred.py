@@ -32,40 +32,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.pca import pca_partials, pca_solve
 from ..functions.stats import median_heuristic_sigma, mmd_permutation_test
 from .queries import _read, _round
 
+__all__ = ["pca_partials", "pca_solve", "pca_fit",
+           "pca_project_embeddings", "pca_mmd_drift"]
+
 LATENT_K = 8  # latent dims kept by the drift path (reference uses 2-32)
-
-
-def pca_partials(x: np.ndarray) -> tuple[int, np.ndarray, np.ndarray]:
-    """Per-block moment partials for PCA: ``(n, sum_x, X^T X)``.
-
-    Exactly mergeable by elementwise addition — the merged moments give
-    the exact covariance ``(G - n * mu mu^T) / (n - 1)`` regardless of
-    how rows were split into blocks.
-    """
-    x = np.asarray(x, dtype=np.float64)
-    return x.shape[0], x.sum(axis=0), x.T @ x
-
-
-def pca_solve(
-    n: int, s: np.ndarray, g: np.ndarray, k: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Solve merged moments -> ``(mean, components (k, d), explained_var)``.
-
-    Components are the top-k covariance eigenvectors, eigenvalue-descending,
-    each sign-normalized so its largest-|entry| is positive.
-    """
-    mean = s / max(n, 1)
-    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals, kind="stable")[::-1][:k]
-    comps = evecs[:, order].T.copy()  # (k, d)
-    var = np.maximum(evals[order], 0.0)
-    flips = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
-    comps *= np.where(flips == 0, 1.0, flips)[:, None]
-    return mean, comps, var
 
 
 def _moments_dataset(ds) -> tuple[int, np.ndarray, np.ndarray]:

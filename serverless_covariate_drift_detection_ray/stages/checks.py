@@ -19,7 +19,12 @@ from typing import Protocol, runtime_checkable
 
 from ..functions import divergence as dv
 from ..functions.phash import phash_to_embedding
-from ..functions.stats import chi2_test_counts, ks_pvalue_from_d, mmd_permutation_test
+from ..functions.stats import (
+    chi2_test_counts,
+    ks_pvalue_from_d,
+    median_heuristic_sigma,
+    mmd_permutation_test,
+)
 from ..pipelines.config import EngineConfig
 from ..state.partials import PartialState
 from ..state.reference import ReferenceState
@@ -184,6 +189,47 @@ class MMDEmbeddingCheck:
         else:
             dist, p = 0.0, 1.0
         return [make_verdict(pid, "mmd", "phash_embedding", dist, p, cfg,
+                             x.shape[0], y.shape[0], ts)]
+
+
+@register_check("pca_mmd")
+class PCAMMDLatentCheck:
+    """MMD in a learned low-dim latent space: the reference's full
+    encoder -> detector lifecycle (dim-reduction api encodes, detector
+    MMD-tests; /root/reference/dimensionality_reduction_api/app/dr.py:16-71
+    -> detector.py:44-70) applied to the phash-derived image embeddings.
+
+    The PCA encoder is fit on the EVEN rows of the frozen reference sample
+    and the test compares the ODD reference rows against the partition
+    sample — the disjoint train window is load-bearing: fitting on the same
+    rows that enter the test breaks permutation exchangeability and rejects
+    the null on clean data (measured in pipelines/dimred.py). Deterministic
+    under resume and parallelism: the reference sample is frozen, components
+    are sign-normalized, and the permutation RNG is seeded by
+    (run seed ^ partition_id) only.
+    """
+
+    K = 8
+
+    def compare(self, pid, ref, ps, cfg, ts):
+        from ..functions.pca import pca_partials, pca_solve
+
+        emb = phash_to_embedding(ref.state.sample_phash[: cfg.ref_sample_cap])
+        train, x = emb[0::2], emb[1::2]
+        y = phash_to_embedding(ps.sample_phash[: cfg.mmd_sample_cap])
+        if train.shape[0] < 4 * self.K or not (x.shape[0] and y.shape[0]):
+            return [make_verdict(pid, "pca_mmd", "phash_pca", 0.0, 1.0,
+                                 cfg, x.shape[0], y.shape[0], ts)]
+        mean, comps, _ = pca_solve(*pca_partials(train), k=self.K)
+        zr, zt = (x - mean) @ comps.T, (y - mean) @ comps.T
+        sigma = median_heuristic_sigma(zr)
+        dist, p = mmd_permutation_test(
+            zr, zt, sigma,
+            num_permutations=cfg.num_permutations,
+            seed=cfg.seed ^ ((pid + 1) * 0x9E3779B1),
+            chunk=cfg.kernel_chunk,
+        )
+        return [make_verdict(pid, "pca_mmd", "phash_pca", dist, p, cfg,
                              x.shape[0], y.shape[0], ts)]
 
 

@@ -75,6 +75,21 @@ class TestDriftVerdicts:
                 assert row.p_value <= ALPHA, (kind, row.p_value)
                 assert not row.passed
 
+    def test_pca_latent_check_clean_null_and_structural_power(self, run):
+        """The pca_mmd check (encoder -> latent MMD, the reference's full
+        detector lifecycle) must hold its null on every clean/reference
+        partition and flag structural drift; blur/jitter power is owned by
+        the pixel marginals and elastic by the full-dim mmd check."""
+        v = run["verdicts"]
+        d = v[v.check == "pca_mmd"].set_index("partition_id")
+        assert len(d) == len(run["kinds"])  # one verdict per partition
+        for pid, kind in run["kinds"].items():
+            if kind in ("reference", "clean"):
+                assert d.loc[pid].p_value > ALPHA, (pid, kind)
+            if kind == "drift-struct":
+                assert d.loc[pid].p_value <= ALPHA
+                assert not d.loc[pid].passed
+
     def test_verdict_schema_matches_reference_contract(self, run):
         # alpha / distance(statistic) / p_value / is_drift(passed) / datetime —
         # cf. reference detector_api/app/detector.py:62-70
