@@ -294,15 +294,16 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
        does all-pairs over its first CAP ids and star-links the rest to the
        bucket minimum (O(M) instead of O(M²), cluster connectivity preserved
        for dedup; logged, never silent).
-    2. pair-distinct via a salted single-key groupby (N_DEDUP_BUCKETS groups,
+    2. verify: when the corpus is provably small (parquet metadata row count
+       ≤ VERIFY_BROADCAST_MAX_DOCS), the doc token-hash matrix broadcasts
+       (``ray.put`` once, zero-copy read per task) and exact Jaccard runs
+       INSIDE pair emission — only passing pairs ever shuffle to the
+       distinct stage; otherwise all candidate pairs shuffle and the verify
+       is two bucketed map_groups joins (_attach_words) that never hold
+       more than a salt bucket in memory.
+    3. pair-distinct via a salted single-key groupby (N_DEDUP_BUCKETS groups,
        vectorized ``np.unique`` per group) — bounded group count instead of
        one group per pair.
-    3. verify: when the corpus is provably small (parquet metadata row count
-       ≤ VERIFY_BROADCAST_MAX_DOCS), broadcast the doc token-hash matrix
-       (``ray.put`` once, read once per actor) and verify shuffle-free with
-       the whole pipeline streaming end-to-end; otherwise fall back to two
-       bucketed map_groups joins (_attach_words) that never hold more than a
-       salt bucket in memory.
     """
     import ray
 
@@ -340,48 +341,10 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
         ai, bi = np.triu_indices(ids.size, k=1)
         return ids[ai], ids[bi]
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Candidate pairs as one composite int64 key (a<<32|b), emitted
-        segment-wise per bkey inside the coarse salt group."""
-        d = df.drop_duplicates(["bkey", "doc_id"]).sort_values(["bkey", "doc_id"])
-        bk = d.bkey.to_numpy()
-        ids = d.doc_id.to_numpy()
-        # segment boundaries per bkey; skip singleton segments outright
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        ends = np.r_[starts[1:], bk.size]
-        outs_a, outs_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s >= 2:
-                a, b = _emit_pairs(ids[s:e])
-                outs_a.append(a)
-                outs_b.append(b)
-        if not outs_a:
-            return pd.DataFrame({"pair": pd.array([], dtype="int64"),
-                                 "bkt": pd.array([], dtype="int64")})
-        a = np.concatenate(outs_a).astype(np.int64)
-        b = np.concatenate(outs_b).astype(np.int64)
-        if b.size and int(max(a.max(), b.max())) >= (1 << 32):
-            # the composite pair key packs two ids into one int64; a corpus
-            # with >2^32 doc ids needs a (a, b) two-column dedupe instead —
-            # fail loudly rather than silently alias pairs
-            raise ValueError("doc_id >= 2^32: composite pair key would alias")
-        pair = (a << 32) | b
-        bkt = (splitmix64(pair.astype(np.uint64)) % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
-        return pd.DataFrame({"pair": pair, "bkt": bkt})
-
-    candidates = keyed.groupby("gbkt").map_groups(bucket_pairs, batch_format="pandas")
-
-    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        pair = np.unique(df.pair.to_numpy())
-        return pd.DataFrame({
-            "doc_a": (pair >> 32).astype(np.int64),
-            "doc_b": (pair & 0xFFFFFFFF).astype(np.int64),
-        })
-
-    uniq = candidates.groupby("bkt").map_groups(dedup_bucket, batch_format="pandas")
-
     n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
-    if n_docs <= VERIFY_BROADCAST_MAX_DOCS:
+    broadcast = n_docs <= VERIFY_BROADCAST_MAX_DOCS
+    state_ref = None
+    if broadcast:
         blobs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             _word_hash_table, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
@@ -403,39 +366,91 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
             lens[i] = a.size
         state_ref = ray.put((mat, lens, ids_sorted))
 
-        class VerifyBroadcast:
-            """Actor-pool verify: fresh numpy allocations dominate this
-            kernel on this host (~1 s of first-touch page faults per 35 MB),
-            so the (batch, 2W) work area is allocated once per actor and
-            every batch gathers/sorts IN PLACE."""
+    def _verify_pairs(a: np.ndarray, b: np.ndarray,
+                      state: tuple) -> np.ndarray:
+        """Exact Jaccard for pair arrays against the broadcast token matrix
+        (sorted-row concat + adjacent-equal count; pads globally distinct)."""
+        smat, slens, sids = state
+        ia = np.searchsorted(sids, a)
+        ib = np.searchsorted(sids, b)
+        w = smat.shape[1]
+        c = np.empty((len(a), 2 * w), np.int64)
+        np.take(smat, ia, axis=0, out=c[:, :w])
+        np.take(smat, ib, axis=0, out=c[:, w:])
+        c.sort(axis=1, kind="stable")
+        inter = (c[:, 1:] == c[:, :-1]).sum(axis=1)
+        union = slens[ia] + slens[ib] - inter
+        return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
-            def __init__(self):
-                self.mat, self.lens, self.ids = ray.get(state_ref)
-                self._c = np.empty((0, 0), np.int64)
-                self._eq = np.empty((0, 0), bool)
+    _PAIR_EMPTY = {"pair": pd.array([], dtype="int64"),
+                   "bkt": pd.array([], dtype="int64")}
 
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                da, db = df.doc_a.to_numpy(), df.doc_b.to_numpy()
-                ia = np.searchsorted(self.ids, da)
-                ib = np.searchsorted(self.ids, db)
-                n, w = len(da), self.mat.shape[1]
-                if self._c.shape[0] < n or self._c.shape[1] != 2 * w:
-                    self._c = np.empty((n, 2 * w), np.int64)
-                    self._eq = np.empty((n, 2 * w - 1), bool)
-                c, eq = self._c[:n], self._eq[:n]
-                np.take(self.mat, ia, axis=0, out=c[:, :w])
-                np.take(self.mat, ib, axis=0, out=c[:, w:])
-                c.sort(axis=1, kind="stable")
-                np.equal(c[:, 1:], c[:, :-1], out=eq)
-                inter = eq.sum(axis=1)
-                union = self.lens[ia] + self.lens[ib] - inter
-                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-                out = pd.DataFrame({"doc_a": da, "doc_b": db,
-                                    "jaccard": _round(jac, 4)})
-                return out[out.jaccard >= threshold]
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs as one composite int64 key (a<<32|b), emitted
+        segment-wise per bkey inside the coarse salt group. In broadcast
+        mode the exact-Jaccard verify runs RIGHT HERE, before any pair ever
+        shuffles — only passing pairs (plus their jaccard) enter the
+        distinct stage, shrinking the pair exchange ~5x on the bench corpus
+        (duplicated candidates across bands are verified redundantly, but
+        the kernel is cheaper than shipping them)."""
+        d = df.drop_duplicates(["bkey", "doc_id"]).sort_values(["bkey", "doc_id"])
+        bk = d.bkey.to_numpy()
+        ids = d.doc_id.to_numpy()
+        # segment boundaries per bkey; skip singleton segments outright
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], bk.size]
+        outs_a, outs_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                a, b = _emit_pairs(ids[s:e])
+                outs_a.append(a)
+                outs_b.append(b)
+        if not outs_a:
+            empty = dict(_PAIR_EMPTY)
+            if broadcast:
+                empty["jaccard"] = pd.array([], dtype="float64")
+            return pd.DataFrame(empty)
+        a = np.concatenate(outs_a).astype(np.int64)
+        b = np.concatenate(outs_b).astype(np.int64)
+        if b.size and int(max(a.max(), b.max())) >= (1 << 32):
+            # the composite pair key packs two ids into one int64; a corpus
+            # with >2^32 doc ids needs a (a, b) two-column dedupe instead —
+            # fail loudly rather than silently alias pairs
+            raise ValueError("doc_id >= 2^32: composite pair key would alias")
+        jac = None
+        if broadcast:
+            jac = _round(_verify_pairs(a, b, ray.get(state_ref)), 4)
+            keep = jac >= threshold
+            a, b, jac = a[keep], b[keep], jac[keep]
+        pair = (a << 32) | b
+        bkt = (splitmix64(pair.astype(np.uint64)) % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
+        out = {"pair": pair, "bkt": bkt}
+        if broadcast:
+            out["jaccard"] = jac
+        return pd.DataFrame(out)
 
-        return uniq.map_batches(VerifyBroadcast, batch_format="pandas",
-                                batch_size=16384, concurrency=(1, 16))
+    candidates = keyed.groupby("gbkt").map_groups(bucket_pairs, batch_format="pandas")
+
+    if broadcast:
+        def dedup_verified(df: pd.DataFrame) -> pd.DataFrame:
+            pair, first = np.unique(df.pair.to_numpy(), return_index=True)
+            return pd.DataFrame({
+                "doc_a": (pair >> 32).astype(np.int64),
+                "doc_b": (pair & 0xFFFFFFFF).astype(np.int64),
+                "jaccard": df.jaccard.to_numpy()[first],
+            })
+
+        return candidates.groupby("bkt").map_groups(dedup_verified,
+                                                    batch_format="pandas")
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pair = np.unique(df.pair.to_numpy())
+        return pd.DataFrame({
+            "doc_a": (pair >> 32).astype(np.int64),
+            "doc_b": (pair & 0xFFFFFFFF).astype(np.int64),
+        })
+
+    uniq = candidates.groupby("bkt").map_groups(dedup_bucket, batch_format="pandas")
 
     # at-scale fallback: bucketed semi-join re-read, no driver state
     j = _attach_words(uniq, sf_dir, "doc_a", "words_a")
