@@ -525,51 +525,67 @@ FROM (
 
 
 def uniqueness_pk(sf_dir: str):
-    """PK uniqueness over four tables: partial per-block key counts → groupby —
-    the engine's unique_image_id check generalized (SURVEY.md §2.7 item 2)."""
+    """PK uniqueness over four tables: partial per-block key counts → ONE
+    groupby — the engine's unique_image_id check generalized (SURVEY.md
+    §2.7 item 2). The four tables union into a single tagged pipeline so
+    the query pays one shuffle's fixed latency instead of four: the bucket
+    key packs (table_index, hash bucket), every per-bucket reduction sees
+    exactly one table's keys, and the driver sums 4 × n_buckets tiny rows."""
+    import pyarrow.parquet as pq
     import ray.data
 
     from ..functions.hashing import hash64
 
     specs = [("orders", "o_orderkey"), ("part", "p_partkey"),
              ("documents", "doc_id"), ("events", "event_id")]
-    n_buckets = 32
+    # Ray's sort-shuffle pays a fixed per-block, per-partition cost that
+    # dwarfs the compute here (measured: 64 blocks x 32 buckets = 6-7 s for
+    # a 275k-row exchange vs 0.4-0.7 s at 8 x 8), so both the read
+    # parallelism and the bucket count scale with ROW COUNT (parquet
+    # metadata, no data read): ~1M rows per partial block, ~2M per bucket,
+    # floors of 4/8. At 10^12 rows that is ~1000 blocks / 500k-row buckets
+    # — the same formula, never a hardcoded small-scale constant.
+    n_rows_total = sum(
+        pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata.num_rows
+        for t, _ in specs)
+    n_buckets = max(8, n_rows_total // 2_000_000)
 
-    def build_table(table: str, key: str):
-        ds = _read(sf_dir, table, [key])
-
-        def precount(batch: pa.Table, key=key) -> pa.Table:
-            # per-block combiner: (key, count) partials + hash bucket so the
-            # shuffle groups by a fixed small key instead of per-row keys
+    def make_precount(key: str, ti: int):
+        def precount(batch: pa.Table) -> pa.Table:
+            # per-block combiner: (key, count) partials + packed bucket so
+            # the shuffle groups by a fixed small key space (4 * n_buckets)
             v, c = np.unique(batch[key].to_numpy(), return_counts=True)
-            b = (hash64(v) % n_buckets).astype(np.int32)
+            b = (hash64(v) % n_buckets).astype(np.int64) + ti * n_buckets
             return pa.table({"k": pa.array(v), "c": pa.array(c.astype(np.int64)),
                              "b": pa.array(b)})
+        return precount
 
-        def bucket_sum(group):
-            import pandas as pd
-            v, inv = np.unique(group["k"].to_numpy(), return_inverse=True)
-            tot = np.bincount(inv, weights=group["c"].to_numpy(), minlength=v.size)
-            return pd.DataFrame({"rows": [int(tot.sum())], "keys": [int(v.size)],
-                                 "dup_keys": [int((tot > 1).sum())]})
+    def blocks_for(table: str) -> int:
+        n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+        return max(4, min(512, n // 1_000_000 + 4))
 
-        return ds.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True
-                              ).groupby("b").map_groups(bucket_sum)
+    tagged = [
+        ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key],
+                              override_num_blocks=blocks_for(table)).map_batches(
+            make_precount(key, ti), batch_format="pyarrow", zero_copy_batch=True)
+        for ti, (table, key) in enumerate(specs)
+    ]
+    unioned = tagged[0].union(*tagged[1:])
 
-    def finish(table: str, summarized) -> dict:
-        parts = summarized.to_pandas().sum()
-        return {"table_name": table, "n_rows": int(parts["rows"]),
-                "n_keys": int(parts["keys"]), "n_dup_keys": int(parts["dup_keys"])}
+    def bucket_sum(group):
+        import pandas as pd
+        v, inv = np.unique(group["k"].to_numpy(), return_inverse=True)
+        tot = np.bincount(inv, weights=group["c"].to_numpy(), minlength=v.size)
+        return pd.DataFrame({"ti": [int(group["b"].to_numpy()[0]) // n_buckets],
+                             "rows": [int(tot.sum())], "keys": [int(v.size)],
+                             "dup_keys": [int((tot > 1).sum())]})
 
-    # the four tables are independent pipelines — build the lazy plans
-    # serially (fsspec/pyarrow lazy imports are not thread-safe on first
-    # touch) but overlap EXECUTION from driver threads instead of paying
-    # 4× the fixed shuffle latency serially
-    built = [(t, build_table(t, k)) for t, k in specs]
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(built)) as pool:
-        rows = list(pool.map(lambda s: finish(*s), built))
+    parts = unioned.groupby("b").map_groups(bucket_sum).to_pandas()
+    agg = parts.groupby("ti").sum()
+    rows = [{"table_name": table, "n_rows": int(agg.loc[ti, "rows"]),
+             "n_keys": int(agg.loc[ti, "keys"]),
+             "n_dup_keys": int(agg.loc[ti, "dup_keys"])}
+            for ti, (table, _key) in enumerate(specs)]
     return pa.Table.from_pylist(rows)
 
 
