@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows / stream-shaped
         "window_tumbling_events": relq.window_tumbling_events,
         "window_hopping_events": relq.window_hopping_events,
+        "chi2_by_window_events": relq.chi2_by_window_events,
         "sessionize_events": relq.sessionize_events,
         "running_sum_events": relq.running_sum_events,
         "rolling_1h_events": relq.rolling_1h_events,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,
         "window_hopping_events": relq.WINDOW_HOP_SQL,
+        "chi2_by_window_events": relq.CHI2_WINDOW_SQL,
         "asof_join_purchase_click": relq.ASOF_SQL,
         "sessionize_events": relq.SESSIONIZE_SQL,
         "running_sum_events": relq.RUNNING_SUM_SQL,

@@ -404,6 +404,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def chi2_by_window_events(sf_dir: str):
+    """STREAMING drift: per-tumbling-window Chi² of the event-type mix
+    against the stream's global mix — the engine's per-window drift path
+    (the reference scores drift per incoming window of production traffic,
+    detector_api/app/api.py; here the window is event-time instead of a
+    request batch).
+
+    Shape: one pre-aggregated pass (per-block (hour, type) counts), then a
+    salted single-key shuffle sized by row count (hours are the
+    high-cardinality key — grouping them directly pays Ray's ~2 ms/group),
+    and a windows x types driver finish (metadata-sized by construction)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import hash64
+
+    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n_buckets = max(8, n_total // 2_000_000)
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        g = pa.table({"hour": hour, "event_type": batch["event_type"]}).group_by(
+            ["hour", "event_type"]).aggregate([("hour", "count")])
+        g = g.rename_columns(["hour", "event_type", "n"])
+        b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
+             ).astype(np.int64)
+        return g.append_column("b", pa.array(b))
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["hour", "event_type"], sort=False)["n"].sum().reset_index()
+        return out
+
+    counts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                            ).groupby("b").map_groups(bucket_sum,
+                                                      batch_format="pandas")
+    c = counts.to_pandas()  # windows x types rows — metadata-sized
+    piv = c.pivot_table(index="hour", columns="event_type", values="n",
+                        fill_value=0).sort_index()
+    obs = piv.to_numpy(dtype=np.float64)           # (H, T)
+    g_type = obs.sum(axis=0)                        # (T,)
+    hn = obs.sum(axis=1)                            # (H,)
+    exp = hn[:, None] * (g_type[None, :] / g_type.sum())
+    chi2 = ((obs - exp) ** 2 / exp).sum(axis=1)
+    return pa.table({
+        "hour": pa.array(piv.index.to_numpy().astype("datetime64[us]")),
+        "n": pa.array(hn.astype(np.int64)),
+        "chi2": pa.array(_round(chi2, 4)),
+    })
+
+
+CHI2_WINDOW_SQL = """
+WITH c AS (SELECT date_trunc('hour', ts) AS h, event_type AS t,
+                  COUNT(*)::DOUBLE AS n FROM events GROUP BY 1, 2),
+gt AS (SELECT t, SUM(n) AS gn FROM c GROUP BY 1),
+ga AS (SELECT SUM(n) AS g_all FROM c),
+ht AS (SELECT h, SUM(n) AS hn FROM c GROUP BY 1),
+grid AS (SELECT ht.h, ht.hn, gt.t, gt.gn FROM ht CROSS JOIN gt),
+j AS (SELECT grid.h, grid.hn, grid.gn,
+             COALESCE(c.n, 0) AS n
+      FROM grid LEFT JOIN c ON c.h = grid.h AND c.t = grid.t)
+SELECT j.h AS hour, CAST(j.hn AS BIGINT) AS n,
+  FLOOR(SUM(POWER(j.n - j.hn * j.gn / ga.g_all, 2)
+            / (j.hn * j.gn / ga.g_all)) * 10000 + 0.5) / 10000 AS chi2
+FROM j, ga GROUP BY 1, 2
+"""
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Session windows (gap-based) per user: groupby(user).map_groups over the
     ts-sorted group — the Ray Data shape for stream-style windows (ray guide
