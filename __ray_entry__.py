@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relq.topk_orders,
         "split_proportions_orders": relq.split_proportions_orders,
         "sample_random_orders": relq.sample_random_orders,
+        "stratified_sample_orders": relq.stratified_sample_orders,
         "shuffle_orders": relq.shuffle_orders,
         "distinct_flag_status": relq.distinct_flag_status,
         "setops_customer_orders": relq.setops_customer_orders,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": relq.TOPK_SQL,
         "split_proportions_orders": relq.SPLIT_SQL,
         "sample_random_orders": relq.SAMPLE_SQL,
+        "stratified_sample_orders": relq.STRATIFIED_SAMPLE_SQL,
         "shuffle_orders": relq.SHUFFLE_SQL,
         "distinct_flag_status": relq.DISTINCT_SQL,
         "setops_customer_orders": relq.SETOPS_SQL,

@@ -932,6 +932,51 @@ LIMIT 100
 """
 
 
+def stratified_sample_orders(sf_dir: str, k: int = 20):
+    """Per-stratum deterministic sample: smallest-k by multiplicative hash
+    WITHIN each o_orderpriority — the class-balanced sample/split the
+    reference performs per label (seeded per-class split,
+    /root/reference/ml/training.py:248-270). Per-block partial top-k per
+    stratum first, so the final 5-group shuffle sees <= blocks * strata * k
+    rows instead of the table."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        r = ((keys.astype(np.int64) % 4096) * 2654435761) % 4294967296
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, r, pr))  # by (stratum, hash, key)
+        pr_s = pr[order]
+        starts = np.flatnonzero(np.r_[True, pr_s[1:] != pr_s[:-1]])
+        ends = np.r_[starts[1:], pr_s.size]
+        take = np.concatenate([order[s:min(s + k, e)]
+                               for s, e in zip(starts, ends)])
+        return batch.take(pa.array(take)).append_column(
+            "r", pa.array(r[take]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["r", "o_orderkey"], kind="mergesort").head(k)
+        return pd.DataFrame({
+            "o_orderkey": df.o_orderkey.to_numpy(),
+            "o_orderpriority": df.o_orderpriority.to_numpy(),
+            "o_totalprice": _round(df.o_totalprice.to_numpy(), 2),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("o_orderpriority").map_groups(
+        finish, batch_format="pandas")
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT o_orderkey, o_orderpriority,
+       FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY {_HASH_SQL}, o_orderkey) <= 20
+"""
+
+
 def shuffle_orders(sf_dir: str, seed: int = 42):
     """Seeded global ``random_shuffle`` (the reference's loader shuffling,
     ml/training.py:272-283; SURVEY.md §2.6). A shuffle is a permutation, so
