@@ -377,20 +377,38 @@ def heavy_hitters_screened(sf_dir: str, k: int = 5, m: int = 1024):
 
 
 def window_tumbling_events(sf_dir: str):
-    """Tumbling 1-hour event-time windows via groupby on truncated ts."""
+    """Tumbling 1-hour event-time windows. (hour, event_type) is a
+    high-cardinality composite key and Ray's multi-column groupby charges
+    a fixed ~2 ms per GROUP, so the shape is: per-block Arrow pre-agg →
+    salted-bucket shuffle (row-count-scaled bucket count) → vectorized
+    pandas merge per bucket — groups only ever exist inside a bucket."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import hash64
+
+    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n_buckets = max(8, n_total // 2_000_000)
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def bucket(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return pa.table({
+        g = pa.table({
             "hour": hour, "event_type": batch["event_type"], "value": batch["value"],
-        })
+        }).group_by(["hour", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        g = g.rename_columns(["hour", "event_type", "n", "sum_value"])
+        b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
+             ).astype(np.int64)
+        return g.append_column("b", pa.array(b))
 
-    from ray.data.aggregate import Count, Sum
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["hour", "event_type"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")).reset_index()
+        return out
 
-    out = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        ["hour", "event_type"]
-    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("b").map_groups(bucket_merge,
+                                                   batch_format="pandas")
     df = _round_cols(out.to_pandas(), {"sum_value": 2})
     # floor_temporal coarsens the unit to [s]; the oracle keeps [us]
     df["hour"] = df["hour"].astype("datetime64[us]")
@@ -1241,20 +1259,37 @@ def window_hopping_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     hop = pa.scalar(3_600_000_000, pa.duration("us"))
 
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import hash64
+
+    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n_buckets = max(8, n_total // 1_000_000)  # 2x fan-out
+
     def assign(batch: pa.Table) -> pa.Table:
+        """Duplicate into both windows, then the tumbling path's per-block
+        pre-agg + salted bucket (high-cardinality composite key)."""
         hour = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
         halves = [
             pa.table({"window_start": ws, "event_type": batch["event_type"],
                       "value": batch["value"]})
             for ws in (hour, pc.subtract(hour, hop))
         ]
-        return pa.concat_tables(halves)
+        g = pa.concat_tables(halves).group_by(
+            ["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        g = g.rename_columns(["window_start", "event_type", "n", "sum_value"])
+        b = (hash64(g["window_start"].cast(pa.int64()).to_numpy()) % n_buckets
+             ).astype(np.int64)
+        return g.append_column("b", pa.array(b))
 
-    from ray.data.aggregate import Count, Sum
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["window_start", "event_type"], sort=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")).reset_index()
 
     out = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
-                         ).groupby(["window_start", "event_type"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+                         ).groupby("b").map_groups(bucket_merge,
+                                                   batch_format="pandas")
     df = _round_cols(out.to_pandas(), {"sum_value": 2})
     df["window_start"] = df["window_start"].astype("datetime64[us]")
     return pa.Table.from_pandas(df, preserve_index=False)
