@@ -343,18 +343,20 @@ def heavy_hitters_screened(sf_dir: str, k: int = 5, m: int = 1024):
     cand = np.unique(scr.loc[scr.user_id >= 0, "user_id"].to_numpy())
     cand_ref = ray.put(cand)
 
-    class CountCandidates:
-        def __init__(self):
-            self.cand = ray.get(cand_ref)  # once per actor
+    wrapped = {"ref": cand_ref}
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            u = batch["user_id"].to_numpy()
-            v, c = np.unique(u[np.isin(u, self.cand)], return_counts=True)
-            return pa.table({"user_id": pa.array(v),
-                             "c": pa.array(c.astype(np.int64))})
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        # broadcast-task stage: the candidate set reads zero-copy from the
+        # object store per call; tasks reuse the workers the screen warmed
+        # (actor-pool spawn costs more than this whole stage)
+        cand = ray.get(wrapped["ref"])
+        u = batch["user_id"].to_numpy()
+        v, c = np.unique(u[np.isin(u, cand)], return_counts=True)
+        return pa.table({"user_id": pa.array(v),
+                         "c": pa.array(c.astype(np.int64))})
 
-    exact = ds.map_batches(CountCandidates, batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=(1, 8)).to_pandas()
+    exact = ds.map_batches(count_candidates, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
     tot = exact.groupby("user_id", sort=False)["c"].sum().reset_index(name="n")
     tot = tot.sort_values(["n", "user_id"], ascending=[False, True]).head(k)
     # certificate: a user outside every block top-m has total <= thresh_sum,
