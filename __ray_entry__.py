@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_events": relq.window_tumbling_events,
         "window_hopping_events": relq.window_hopping_events,
         "chi2_by_window_events": relq.chi2_by_window_events,
+        "ks_by_window_events": relq.ks_by_window_events,
         "sessionize_events": relq.sessionize_events,
         "running_sum_events": relq.running_sum_events,
         "rolling_1h_events": relq.rolling_1h_events,

@@ -474,6 +474,75 @@ def chi2_by_window_events(sf_dir: str):
     })
 
 
+def ks_by_window_events(sf_dir: str, bins: int = 256, lo: float = 0.0,
+                        hi: float = 500.0, alpha: float = 0.01):
+    """Per-window KS drift of ``value`` vs the stream's global distribution
+    — the numeric twin of ``chi2_by_window_events``, using the flagship's
+    histogram-KS path (binned ECDFs, asymptotic two-sample p-value) so the
+    exchange is per-window BIN COUNTS, never raw values. Rows-only query:
+    the p-value has no SQL equivalent; the D statistic and the histogram
+    machinery are oracled/unit-tested elsewhere (ks_purchase_click_hist,
+    state/sketches KS tests).
+
+    Shape: per-block (hour -> int64[bins] blob) partials → salted
+    row-count-scaled merge → windows x bins driver finish."""
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import hash64
+    from ..functions.stats import ks_pvalue_from_d
+
+    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n_buckets = max(8, n_total // 2_000_000)
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    width = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        v = batch["value"].to_numpy()
+        binned = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        hours, inv = np.unique(hour, return_inverse=True)
+        flat = np.zeros(hours.size * bins, dtype=np.int64)
+        np.add.at(flat, inv * bins + binned, 1)
+        blobs = [flat[i * bins:(i + 1) * bins].tobytes()
+                 for i in range(hours.size)]
+        b = (hash64(hours) % n_buckets).astype(np.int64)
+        return pa.table({"hour": pa.array(hours), "h": pa.array(blobs, pa.binary()),
+                         "b": pa.array(b)})
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        hours, inv = np.unique(df.hour.to_numpy(), return_inverse=True)
+        acc = np.zeros((hours.size, bins), dtype=np.int64)
+        for i, blob in zip(inv, df.h):
+            acc[i] += np.frombuffer(blob, dtype=np.int64)
+        return pd.DataFrame({"hour": hours,
+                             "h": [a.tobytes() for a in acc]})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                            ).groupby("b").map_groups(
+        bucket_merge, batch_format="pandas").to_pandas()
+    # windows x bins — metadata-sized by construction
+    hours = merged.hour.to_numpy()
+    order = np.argsort(hours, kind="mergesort")
+    hist = np.stack([np.frombuffer(b, dtype=np.int64)
+                     for b in merged.h.to_numpy()[order]])
+    hours = hours[order]
+    g = hist.sum(axis=0)
+    g_cdf = np.cumsum(g) / max(g.sum(), 1)
+    n_hour = hist.sum(axis=1)
+    cdfs = np.cumsum(hist, axis=1) / np.maximum(n_hour, 1)[:, None]
+    d = np.abs(cdfs - g_cdf[None, :]).max(axis=1)
+    p = np.array([ks_pvalue_from_d(float(di), int(ni), int(g.sum()))
+                  for di, ni in zip(d, n_hour)])
+    return pa.table({
+        "hour": pa.array(hours.astype("datetime64[us]")),
+        "n": pa.array(n_hour),
+        "ks_d": pa.array(_round(d, 6)),
+        "p_value": pa.array(_round(p, 6)),
+        "is_drift": pa.array(p <= alpha),
+    })
+
+
 CHI2_WINDOW_SQL = """
 WITH c AS (SELECT date_trunc('hour', ts) AS h, event_type AS t,
                   COUNT(*)::DOUBLE AS n FROM events GROUP BY 1, 2),

@@ -175,3 +175,43 @@ def test_approx_distinct_hll_within_error_bound(ray_session, oracle):
     assert len(m) == len(exact) > 0
     rel = abs(m.approx_users - m.exact_users) / m.exact_users.clip(lower=1)
     assert (rel < 0.05).all(), m
+
+
+def test_ks_by_window_matches_numpy_oracle(ray_session):
+    """Per-window histogram-KS vs a full in-memory numpy recomputation on
+    the same raw parquet (rows-only query: no SQL p-value, so the test IS
+    the oracle)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from serverless_covariate_drift_detection_ray.functions.stats import (
+        ks_pvalue_from_d,
+    )
+
+    got = _to_df(e.queries()["ks_by_window_events"](SF)).sort_values(
+        "hour").reset_index(drop=True)
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "value"]).to_pandas()
+    t["hour"] = t.ts.dt.floor("h")
+    bins, lo, hi = 256, 0.0, 500.0
+    binned = np.clip(((t.value.to_numpy() - lo) / ((hi - lo) / bins)
+                      ).astype(np.int64), 0, bins - 1)
+    hour_us = t.hour.to_numpy().astype("datetime64[us]")
+    hours, inv = np.unique(hour_us, return_inverse=True)
+    hist = np.zeros((hours.size, bins), dtype=np.int64)
+    np.add.at(hist, (inv, binned), 1)
+    g = hist.sum(axis=0)
+    g_cdf = np.cumsum(g) / g.sum()
+    n_hour = hist.sum(axis=1)
+    cdfs = np.cumsum(hist, axis=1) / n_hour[:, None]
+    d = np.abs(cdfs - g_cdf[None, :]).max(axis=1)
+
+    assert len(got) == hours.size
+    np.testing.assert_array_equal(got.hour.to_numpy(), hours)
+    np.testing.assert_array_equal(got.n.to_numpy(), n_hour)
+    np.testing.assert_allclose(got.ks_d.to_numpy(), np.round(d, 6), atol=2e-6)
+    p = [ks_pvalue_from_d(float(di), int(ni), int(g.sum()))
+         for di, ni in zip(d, n_hour)]
+    np.testing.assert_allclose(got.p_value.to_numpy(), np.round(p, 6), atol=2e-6)
+    # a same-distribution stream must not drift in (almost) every window
+    assert got.is_drift.mean() < 0.05
