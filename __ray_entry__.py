@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type": relq.approx_distinct_users_by_type,
         # dedup / text analysis
         "dedup_exact_documents": textops.dedup_exact_documents,
+        "dedup_keep_best_documents": textops.dedup_keep_best_documents,
         "dedup_report_documents": textops.dedup_report_documents,
         "jaccard_neardup_pairs": textops.jaccard_neardup_pairs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": ann.EMB_NEARDUP_SQL,
         # quantiles_extendedprice_tdigest: rows-only (approximate sketch)
         "dedup_exact_documents": textops.DEDUP_EXACT_SQL,
+        "dedup_keep_best_documents": textops.DEDUP_KEEP_BEST_SQL,
         "dedup_report_documents": textops.DEDUP_REPORT_SQL,
         "jaccard_neardup_pairs": textops.JACCARD_SQL,
         "ngram_jaccard_pairs": textops.NGRAM_JACCARD_SQL,

@@ -58,6 +58,65 @@ def dedup_exact_documents(sf_dir: str):
 DEDUP_EXACT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def dedup_keep_best_documents(sf_dir: str):
+    """Exact dedup that keeps the BEST copy per duplicate group (highest
+    distinct-token count, then smallest doc_id) — the keep-policy variant
+    real training-data dedup uses instead of keep-first.
+
+    Fully mergeable partials: each block pre-reduces to one
+    (hash, best_doc, best_nd, count) row per local text group, so the
+    salted shuffle moves at most one row per (block, group) and the merge
+    is an associative (max-by, sum) fold."""
+    from ..functions.hashing import splitmix64
+
+    n_buckets = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h = hash64(df.text.to_numpy()).astype(np.int64)
+        nd = _tokens(df.text).map(lambda ws: len(set(ws))).to_numpy(np.int64)
+        t = pd.DataFrame({"h": h, "doc_id": df.doc_id.to_numpy(),
+                          "nd": nd, "c": 1})
+        # local best per group: sort so the first row per h wins
+        t = t.sort_values(["h", "nd", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = t.groupby("h", sort=False)
+        out = g.first().reset_index()
+        out["c"] = g["c"].sum().to_numpy()
+        out["b"] = (splitmix64(out.h.to_numpy().astype(np.uint64))
+                    % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "nd", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby("h", sort=False)
+        out = g.first().reset_index()
+        out["c"] = g["c"].sum().to_numpy()
+        return pd.DataFrame({"doc_id": out.doc_id.to_numpy(),
+                             "n_copies": out.c.to_numpy().astype(np.int64),
+                             "n_distinct": out.nd.to_numpy().astype(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("b").map_groups(merge, batch_format="pandas")
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+    len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS nd
+  FROM documents),
+r AS (
+  SELECT doc_id, nd,
+    COUNT(*) OVER (PARTITION BY text) AS n_copies,
+    ROW_NUMBER() OVER (PARTITION BY text ORDER BY nd DESC, doc_id) AS rn
+  FROM t)
+SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies, nd AS n_distinct
+FROM r WHERE rn = 1
+"""
+
+
 def dedup_report_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
