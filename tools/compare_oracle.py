@@ -11,6 +11,7 @@ Usage: python tools/compare_oracle.py [query ...]   (default: all oracled)
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -69,7 +70,7 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
 
-    sf = "/root/testdata/sf0.01"
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
     qs, oracles = e.queries(), e.oracle_sql()
     names = sys.argv[1:] or [n for n in qs if n in oracles]
     con = duckdb.connect()
