@@ -23,9 +23,16 @@ def _ray_session(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
+        import os
+
+        # under `ray job submit` the runner exports RAY_ADDRESS — attach to
+        # the cluster; standalone, start a local session
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": addr}
+        if addr == "local":
+            kwargs["include_dashboard"] = False
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     return ray
 
