@@ -44,7 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("gen-fixture", help="synthesize a deterministic input table")
-    g.add_argument("--scale", default="small", choices=["tiny", "small", "bench"])
+    g.add_argument("--scale", default="small",
+                   choices=["tiny", "small", "bench", "large"])
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--dest", required=True)
 
