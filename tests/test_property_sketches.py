@@ -71,3 +71,31 @@ def test_cms_merge_never_undercounts(vals, k):
     if uniq.size:
         est = merged.query(uniq)
         assert (est >= counts).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(arrays(np.float64, st.tuples(st.integers(4, 120), st.integers(2, 8)),
+              elements=st.floats(min_value=-1e6, max_value=1e6,
+                                 allow_nan=False, allow_infinity=False)),
+       st.integers(1, 6))
+def test_pca_moment_partials_merge_equals_whole(x, k):
+    """PCA moment partials summed over ANY split must equal the whole-input
+    moments exactly up to float addition order (the merge is elementwise +),
+    and the solved components must match to solver precision."""
+    from serverless_covariate_drift_detection_ray.functions.pca import (
+        pca_partials,
+        pca_solve,
+    )
+
+    n1, s1, g1 = pca_partials(x)
+    acc_n, acc_s, acc_g = 0, np.zeros(x.shape[1]), np.zeros((x.shape[1],) * 2)
+    for chunk in np.array_split(x, k):
+        n, s, g = pca_partials(chunk)
+        acc_n, acc_s, acc_g = acc_n + n, acc_s + s, acc_g + g
+    assert acc_n == n1 == x.shape[0]
+    np.testing.assert_allclose(acc_s, s1, rtol=1e-9, atol=1e-6)
+    np.testing.assert_allclose(acc_g, g1, rtol=1e-9, atol=1e-6)
+    kdim = min(3, x.shape[1])
+    _, c1, v1 = pca_solve(n1, s1, g1, kdim)
+    _, c2, v2 = pca_solve(acc_n, acc_s, acc_g, kdim)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
