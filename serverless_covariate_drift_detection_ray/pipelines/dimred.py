@@ -29,7 +29,6 @@ up to sign).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions.pca import pca_partials, pca_solve
