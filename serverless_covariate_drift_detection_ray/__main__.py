@@ -33,6 +33,10 @@ def _ray_session(num_cpus: int | None):
             kwargs["include_dashboard"] = False
             if num_cpus:
                 kwargs["num_cpus"] = num_cpus
+        elif num_cpus:
+            print(f"warning: --num-cpus={num_cpus} ignored when attaching "
+                  f"to an existing cluster (RAY_ADDRESS={addr})",
+                  file=sys.stderr)
         ray.init(**kwargs)
     return ray
 

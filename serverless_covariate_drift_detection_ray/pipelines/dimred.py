@@ -81,7 +81,8 @@ def pca_fit(sf_dir: str, k: int = LATENT_K,
             train_only: bool = False) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fit PCA over the ``embeddings`` table (optionally the disjoint
     encoder-train window only). Returns ``(mean, components, explained_var)``."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cols = ["vec_id", "embedding"] if train_only else ["embedding"]
+    ds = _read(sf_dir, "embeddings", cols)  # vec_id read only when filtered on
     if train_only:
         def trainw(batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy()
@@ -189,11 +190,23 @@ def pca_mmd_drift(sf_dir: str, k: int = LATENT_K, alpha: float = 0.01):
 
     def side(grp: str) -> np.ndarray:
         sub = sampled[sampled.grp == grp]
+        if not len(sub):
+            # an empty window yields a clean no-drift verdict downstream
+            # (np.stack on an empty sequence raises), matching the sibling
+            # checks' empty-side behavior
+            return np.empty((0, k), dtype=np.float64)
         order = np.argsort(sub.key.to_numpy().astype(np.uint64),
                            kind="stable")[:cap]
         return np.stack(sub.z.to_numpy()[order]).astype(np.float64)
 
     ref_z, cur_z = side("ref"), side("cur")
+    if not (ref_z.shape[0] and cur_z.shape[0]):
+        return pa.Table.from_pylist([
+            {"case": "null_current", "mmd2": 0.0, "p_value": 1.0,
+             "is_drift": False},
+            {"case": "shifted_current", "mmd2": 0.0, "p_value": 1.0,
+             "is_drift": False},
+        ])
     sigma = median_heuristic_sigma(ref_z)
     d_null, p_null = mmd_permutation_test(ref_z, cur_z, sigma, 100, seed=31)
     # input-space affine shift x -> 1.3x + 0.5, encoded through the SAME

@@ -28,6 +28,21 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _salt_buckets(sf_dir: str, table: str, rows_per_bucket: int = 2_000_000,
+                  floor: int = 8) -> int:
+    """Row-count-scaled salt-bucket count for high-cardinality-key shuffles.
+
+    Ray's sort-shuffle charges a fixed per-block/per-partition cost that
+    dwarfs small exchanges (measured: 64 blocks x 32 buckets = 6-7 s for a
+    275k-row exchange vs 0.4 s at 8 x 8), so bucket counts must grow with
+    DATA, never be small-scale constants: ~1 bucket per `rows_per_bucket`
+    rows (parquet metadata, no data read), floor of `floor`."""
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    return max(floor, n // rows_per_bucket)
+
+
 def _round(x, d: int):
     """floor(x*10^d + 0.5)/10^d — matches the oracle's FLOOR-based rounding."""
     s = 10.0**d
@@ -384,12 +399,9 @@ def window_tumbling_events(sf_dir: str):
     a fixed ~2 ms per GROUP, so the shape is: per-block Arrow pre-agg →
     salted-bucket shuffle (row-count-scaled bucket count) → vectorized
     pandas merge per bucket — groups only ever exist inside a bucket."""
-    import pyarrow.parquet as pq
-
     from ..functions.hashing import hash64
 
-    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    n_buckets = max(8, n_total // 2_000_000)
+    n_buckets = _salt_buckets(sf_dir, "events")
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -397,8 +409,11 @@ def window_tumbling_events(sf_dir: str):
         g = pa.table({
             "hour": hour, "event_type": batch["event_type"], "value": batch["value"],
         }).group_by(["hour", "event_type"]).aggregate(
-            [("value", "count"), ("value", "sum")])
-        g = g.rename_columns(["hour", "event_type", "n", "sum_value"])
+            # count_all = COUNT(*) row semantics (plain 'count' skips nulls
+            # and would diverge from the COUNT(*) oracle on nullable input)
+            [([], "count_all"), ("value", "sum")])
+        g = pa.table({"hour": g["hour"], "event_type": g["event_type"],
+                      "n": g["count_all"], "sum_value": g["value_sum"]})
         b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
              ).astype(np.int64)
         return g.append_column("b", pa.array(b))
@@ -435,19 +450,17 @@ def chi2_by_window_events(sf_dir: str):
     salted single-key shuffle sized by row count (hours are the
     high-cardinality key — grouping them directly pays Ray's ~2 ms/group),
     and a windows x types driver finish (metadata-sized by construction)."""
-    import pyarrow.parquet as pq
-
     from ..functions.hashing import hash64
 
-    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    n_buckets = max(8, n_total // 2_000_000)
+    n_buckets = _salt_buckets(sf_dir, "events")
     ds = _read(sf_dir, "events", ["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         g = pa.table({"hour": hour, "event_type": batch["event_type"]}).group_by(
-            ["hour", "event_type"]).aggregate([("hour", "count")])
-        g = g.rename_columns(["hour", "event_type", "n"])
+            ["hour", "event_type"]).aggregate([([], "count_all")])
+        g = pa.table({"hour": g["hour"], "event_type": g["event_type"],
+                      "n": g["count_all"]})
         b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
              ).astype(np.int64)
         return g.append_column("b", pa.array(b))
@@ -486,13 +499,10 @@ def ks_by_window_events(sf_dir: str, bins: int = 256, lo: float = 0.0,
 
     Shape: per-block (hour -> int64[bins] blob) partials → salted
     row-count-scaled merge → windows x bins driver finish."""
-    import pyarrow.parquet as pq
-
     from ..functions.hashing import hash64
     from ..functions.stats import ks_pvalue_from_d
 
-    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    n_buckets = max(8, n_total // 2_000_000)
+    n_buckets = _salt_buckets(sf_dir, "events")
     ds = _read(sf_dir, "events", ["ts", "value"])
     width = (hi - lo) / bins
 
@@ -528,12 +538,17 @@ def ks_by_window_events(sf_dir: str, bins: int = 256, lo: float = 0.0,
                      for b in merged.h.to_numpy()[order]])
     hours = hours[order]
     g = hist.sum(axis=0)
-    g_cdf = np.cumsum(g) / max(g.sum(), 1)
     n_hour = hist.sum(axis=1)
+    # each window tests against the REST of the stream (global minus the
+    # window itself): a window included in its own reference halves the
+    # measured D and double-counts its rows in the p-value's sample sizes
+    rest = g[None, :] - hist
+    n_rest = np.maximum(rest.sum(axis=1), 1)
+    rest_cdfs = np.cumsum(rest, axis=1) / n_rest[:, None]
     cdfs = np.cumsum(hist, axis=1) / np.maximum(n_hour, 1)[:, None]
-    d = np.abs(cdfs - g_cdf[None, :]).max(axis=1)
-    p = np.array([ks_pvalue_from_d(float(di), int(ni), int(g.sum()))
-                  for di, ni in zip(d, n_hour)])
+    d = np.abs(cdfs - rest_cdfs).max(axis=1)
+    p = np.array([ks_pvalue_from_d(float(di), int(ni), int(mi))
+                  for di, ni, mi in zip(d, n_hour, n_rest)])
     return pa.table({
         "hour": pa.array(hours.astype("datetime64[us]")),
         "n": pa.array(n_hour),
@@ -1334,8 +1349,7 @@ def window_hopping_events(sf_dir: str):
 
     from ..functions.hashing import hash64
 
-    n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    n_buckets = max(8, n_total // 1_000_000)  # 2x fan-out
+    n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=1_000_000)  # 2x fan-out
 
     def assign(batch: pa.Table) -> pa.Table:
         """Duplicate into both windows, then the tumbling path's per-block
@@ -1348,8 +1362,10 @@ def window_hopping_events(sf_dir: str):
         ]
         g = pa.concat_tables(halves).group_by(
             ["window_start", "event_type"]).aggregate(
-            [("value", "count"), ("value", "sum")])
-        g = g.rename_columns(["window_start", "event_type", "n", "sum_value"])
+            [([], "count_all"), ("value", "sum")])
+        g = pa.table({"window_start": g["window_start"],
+                      "event_type": g["event_type"],
+                      "n": g["count_all"], "sum_value": g["value_sum"]})
         b = (hash64(g["window_start"].cast(pa.int64()).to_numpy()) % n_buckets
              ).astype(np.int64)
         return g.append_column("b", pa.array(b))

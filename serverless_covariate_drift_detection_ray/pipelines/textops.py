@@ -471,11 +471,13 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
             return pd.DataFrame(empty)
         a = np.concatenate(outs_a).astype(np.int64)
         b = np.concatenate(outs_b).astype(np.int64)
-        if b.size and int(max(a.max(), b.max())) >= (1 << 32):
-            # the composite pair key packs two ids into one int64; a corpus
-            # with >2^32 doc ids needs a (a, b) two-column dedupe instead —
-            # fail loudly rather than silently alias pairs
-            raise ValueError("doc_id >= 2^32: composite pair key would alias")
+        if b.size and int(max(a.max(), b.max())) >= (1 << 31):
+            # the composite pair key packs two ids into one SIGNED int64:
+            # a << 32 overflows (and the arithmetic-shift decode breaks) at
+            # a >= 2^31, not 2^32 — a corpus with larger doc ids needs a
+            # (a, b) two-column dedupe instead; fail loudly rather than
+            # silently alias pairs
+            raise ValueError("doc_id >= 2^31: composite pair key would alias")
         jac = None
         if broadcast:
             jac = _round(_verify_pairs(a, b, ray.get(state_ref)), 4)

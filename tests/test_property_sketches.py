@@ -81,7 +81,11 @@ def test_cms_merge_never_undercounts(vals, k):
 def test_pca_moment_partials_merge_equals_whole(x, k):
     """PCA moment partials summed over ANY split must equal the whole-input
     moments exactly up to float addition order (the merge is elementwise +),
-    and the solved components must match to solver precision."""
+    and the solved eigenvalues must match to the moment formula's inherent
+    precision: the covariance G - n*mu*mu^T cancels catastrophically for
+    large-magnitude near-constant inputs, so the tolerance scales with
+    max|x|^2 * eps (hypothesis found a constant ~2.3e5 matrix where a fixed
+    1e-6 atol is unachievable)."""
     from serverless_covariate_drift_detection_ray.functions.pca import (
         pca_partials,
         pca_solve,
@@ -93,9 +97,11 @@ def test_pca_moment_partials_merge_equals_whole(x, k):
         n, s, g = pca_partials(chunk)
         acc_n, acc_s, acc_g = acc_n + n, acc_s + s, acc_g + g
     assert acc_n == n1 == x.shape[0]
-    np.testing.assert_allclose(acc_s, s1, rtol=1e-9, atol=1e-6)
-    np.testing.assert_allclose(acc_g, g1, rtol=1e-9, atol=1e-6)
+    scale = max(1.0, float(np.abs(x).max()))
+    np.testing.assert_allclose(acc_s, s1, rtol=1e-9, atol=scale * 1e-9)
+    np.testing.assert_allclose(acc_g, g1, rtol=1e-9, atol=scale * scale * 1e-9)
     kdim = min(3, x.shape[1])
     _, c1, v1 = pca_solve(n1, s1, g1, kdim)
     _, c2, v2 = pca_solve(acc_n, acc_s, acc_g, kdim)
-    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
+    tol = scale * scale * x.shape[0] * np.finfo(np.float64).eps * 16
+    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=max(tol, 1e-9))

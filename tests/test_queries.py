@@ -201,17 +201,19 @@ def test_ks_by_window_matches_numpy_oracle(ray_session):
     hist = np.zeros((hours.size, bins), dtype=np.int64)
     np.add.at(hist, (inv, binned), 1)
     g = hist.sum(axis=0)
-    g_cdf = np.cumsum(g) / g.sum()
     n_hour = hist.sum(axis=1)
+    rest = g[None, :] - hist
+    n_rest = np.maximum(rest.sum(axis=1), 1)
+    rest_cdfs = np.cumsum(rest, axis=1) / n_rest[:, None]
     cdfs = np.cumsum(hist, axis=1) / n_hour[:, None]
-    d = np.abs(cdfs - g_cdf[None, :]).max(axis=1)
+    d = np.abs(cdfs - rest_cdfs).max(axis=1)
 
     assert len(got) == hours.size
     np.testing.assert_array_equal(got.hour.to_numpy(), hours)
     np.testing.assert_array_equal(got.n.to_numpy(), n_hour)
     np.testing.assert_allclose(got.ks_d.to_numpy(), np.round(d, 6), atol=2e-6)
-    p = [ks_pvalue_from_d(float(di), int(ni), int(g.sum()))
-         for di, ni in zip(d, n_hour)]
+    p = [ks_pvalue_from_d(float(di), int(ni), int(mi))
+         for di, ni, mi in zip(d, n_hour, n_rest)]
     np.testing.assert_allclose(got.p_value.to_numpy(), np.round(p, 6), atol=2e-6)
     # a same-distribution stream must not drift in (almost) every window
     assert got.is_drift.mean() < 0.05
