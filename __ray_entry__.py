@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
         "ann_ivf_cosine": ann.ann_ivf_cosine,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
+        "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
         # dimensionality reduction (reference's encoder analogue) + latent drift
         "pca_project_embeddings": dimred.pca_project_embeddings,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_purchase_click_hist": relq.KS_HIST_SQL,
         "divergence_purchase_click": relq.DIVERGENCE_SQL,
         "embedding_neardup_pairs": ann.EMB_NEARDUP_SQL,
+        "dedup_semantic_embeddings": ann.DEDUP_SEMANTIC_SQL,
         # quantiles_extendedprice_tdigest: rows-only (approximate sketch)
         "dedup_exact_documents": textops.DEDUP_EXACT_SQL,
         "dedup_keep_best_documents": textops.DEDUP_KEEP_BEST_SQL,

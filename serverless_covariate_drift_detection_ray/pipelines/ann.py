@@ -360,6 +360,109 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 # ---------------------------------------------------------------------------
+# Semantic (embedding-cosine) dedup — connected components over the near-dup
+# pair graph, keep the min vec_id per component (task list: "embedding-cosine
+# near-dup" as a *dedup* method, completing exact/MinHash/SimHash/n-gram)
+# ---------------------------------------------------------------------------
+
+EMB_CC_MAX_PAIRS = 20_000_000  # driver CC gate (~320 MB of edge arrays)
+
+
+def _cc_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components over an undirected edge list, vectorized min-label
+    propagation with pointer jumping — converges in O(log n) rounds. Returns
+    (node_ids sorted, component rep id per node). Same kernel shape as the
+    phash cluster pass (stages/constraints.py)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ai, lab[bi])
+        np.minimum.at(new, bi, lab[ai])
+        new = new[new]  # pointer jumping halves tree depth per round
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return nodes, nodes[lab]
+
+
+def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
+    """Embedding-cosine near-dup dedup: one surviving row per connected
+    component of the cosine>=tau pair graph (survivor = min vec_id), with the
+    component size attached (singletons survive with cluster_size=1).
+
+    Scale shape: the pair graph is the *duplicate* mass, orders of magnitude
+    smaller than the corpus at a real tau — pairs stream from the distributed
+    emitter and only the edge list (2 int64/pair, gated at EMB_CC_MAX_PAIRS)
+    lands on the driver for the CC solve; survivors are then emitted by a
+    distributed filter against the broadcast dropped-id set. Above the gate
+    the LSH-bucketed candidate generator bounds the edge list first
+    (ann_lsh_bucketed's Bucketize + per-bucket verify)."""
+    import ray
+
+    pairs = embedding_neardup_pairs(sf_dir, tau).select_columns(["vec_a", "vec_b"])
+    edges = pairs.to_pandas()  # violation-sized by construction (see gate)
+    if len(edges) > EMB_CC_MAX_PAIRS:
+        raise NotImplementedError(
+            "semantic-dedup edge list above the driver CC gate: bound the "
+            "candidate pairs with the LSH-bucketed path first")
+    if len(edges):
+        nodes, reps = _cc_min_label(edges["vec_a"].to_numpy(np.int64),
+                                    edges["vec_b"].to_numpy(np.int64))
+        dropped = np.sort(nodes[reps != nodes])
+        rep_ids, sizes = np.unique(reps, return_counts=True)
+    else:
+        dropped = np.empty(0, dtype=np.int64)
+        rep_ids, sizes = dropped, np.empty(0, dtype=np.int64)
+    wrapped = {"ref": ray.put((dropped, rep_ids, sizes.astype(np.int64)))}
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        drop, rids, rsz = ray.get(wrapped["ref"])
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        keep = ~np.isin(ids, drop, assume_unique=False)
+        kept = ids[keep]
+        size = np.ones(kept.size, dtype=np.int64)
+        if rids.size:
+            pos = np.searchsorted(rids, kept)
+            inb = pos < rids.size
+            hit = inb.copy()
+            hit[inb] = rids[pos[inb]] == kept[inb]
+            size[hit] = rsz[pos[hit]]
+        return pa.table({"vec_id": pa.array(kept), "cluster_size": pa.array(size)})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+    return ds.map_batches(survivors, batch_format="pyarrow")
+
+
+# transitive closure via min-label reachability: walk(node, rep) holds every
+# (node, rep-candidate) pair along undirected edges; MIN(rep) per node is the
+# component representative, survivors are their own rep
+DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        >= {NEARDUP_COS_TAU}
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), walk(node, rep) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v AS node, w.rep FROM walk w JOIN edges e ON e.u = w.node
+), label AS (
+  SELECT node, MIN(rep) AS rep FROM walk GROUP BY node
+), sizes AS (
+  SELECT rep, COUNT(*)::BIGINT AS cluster_size FROM label GROUP BY rep
+)
+SELECT l.node AS vec_id, s.cluster_size
+FROM label l JOIN sizes s ON s.rep = l.rep
+WHERE l.rep = l.node
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the centroid-partitioned scale path: train k-means
 # cells on a bounded deterministic sample, assign each corpus vector to ONE
 # cell (single shuffle key), probe only nprobe cells per query.
