@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": textops.fingerprint_documents,
         "token_stats_by_lang": textops.token_stats_by_lang,
         "token_count_regex": textops.token_count_regex,
+        "inverted_index_documents": textops.inverted_index_documents,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -192,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": textops.NGRAM_JACCARD_SQL,
         "token_stats_by_lang": textops.TOKEN_STATS_SQL,
         "token_count_regex": textops.TOKEN_REGEX_SQL,
+        "inverted_index_documents": textops.INVERTED_INDEX_SQL,
+        "tfidf_top_terms": textops.TFIDF_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,

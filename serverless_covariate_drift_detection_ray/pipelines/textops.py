@@ -801,3 +801,144 @@ FROM d a JOIN d b
 WHERE len(list_intersect(a.grams,b.grams))::DOUBLE
       / len(list_distinct(list_concat(a.grams,b.grams))) >= 0.8
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + TF-IDF — the posting-list builds behind corpus search and
+# term-weighting in training-data pipelines
+# ---------------------------------------------------------------------------
+
+N_INDEX_BUCKETS = 128  # fixed salt-bucket count: shuffle groups stay bounded
+#                        (gotcha: Ray charges ~2 ms/group) while each bucket's
+#                        per-token work is a vectorized pandas groupby
+
+
+def _explode_tokens(batch: pa.Table, distinct: bool) -> pd.DataFrame:
+    """(doc_id, token) rows for a batch — one row per (doc, distinct token)
+    or per token occurrence; tokenizer parity with the oracle SQL
+    (whitespace split, empties dropped)."""
+    df = batch.to_pandas()
+    toks = _tokens(df.text)
+    if distinct:
+        toks = toks.map(lambda ws: sorted(set(ws)))
+    ex = (df[["doc_id"]].assign(token=toks).explode("token")
+          .dropna(subset=["token"]))
+    return ex
+
+
+def inverted_index_documents(sf_dir: str):
+    """Distributed inverted-index build: token → document frequency + the
+    doc_id-sorted posting list (csv string — scalar and hash-stable; a real
+    sink would write a parquet ``list<int64>`` column partitioned by bucket).
+
+    Shape: per-batch explode of distinct (doc, token) pairs → ONE shuffle
+    salted by hash(token) % N_INDEX_BUCKETS (all rows of a token land in the
+    same bucket, so df/postings are exact) → per-bucket vectorized pandas
+    groupby builds every posting list in that bucket. No driver collect; the
+    shuffle carries one int64+token row per (doc, distinct token)."""
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, distinct=True)
+        tok = ex["token"].to_numpy(dtype=object)
+        bkt = (hash64(tok) % np.uint64(N_INDEX_BUCKETS)).astype(np.int64)
+        return pa.table({
+            "token": pa.array(tok, type=pa.string()),
+            "doc_id": pa.array(ex["doc_id"].to_numpy().astype(np.int64)),
+            "bkt": pa.array(bkt),
+        })
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        out = g.groupby("token", sort=False)["doc_id"].agg(
+            df="size", postings=lambda s: ",".join(map(str, s.to_numpy())))
+        out = out.reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        return out[["token", "df", "postings"]]
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return exploded.groupby("bkt").map_groups(build, batch_format="pandas")
+
+
+INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_filter(string_split(text,' '), x -> x <> '')))
+      AS token
+  FROM documents)
+SELECT token, COUNT(*)::BIGINT AS df,
+       STRING_AGG(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY token
+"""
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Top TF-IDF term per document: score = tf · ln(n_docs / df), ranked on
+    the 1e-6-quantized score (quantization computed identically in the oracle
+    so the argmax is cross-engine stable), ties broken by token ascending.
+
+    Two bounded salted shuffles, no joins and no driver collect:
+    1. explode per-doc term frequencies; shuffle by hash(token) — every row
+       of a token lands in one bucket, so the bucket computes df with a
+       vectorized ``transform("size")`` and scores its rows in place;
+    2. re-shuffle the scored rows by hash(doc_id); each bucket picks its
+       docs' top term with one sort + drop_duplicates."""
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_explode(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, distinct=False)
+        g = (ex.groupby(["doc_id", "token"], sort=False).size()
+             .reset_index(name="tf"))
+        tok = g["token"].to_numpy(dtype=object)
+        bkt = (hash64(tok) % np.uint64(N_INDEX_BUCKETS)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+            "token": pa.array(tok, type=pa.string()),
+            "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+            "bkt": pa.array(bkt),
+        })
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dfreq = g.groupby("token", sort=False)["doc_id"].transform("size")
+        score = _round(g["tf"].to_numpy()
+                       * np.log(float(n_docs) / dfreq.to_numpy()), 6)
+        out = g[["doc_id", "token"]].copy()
+        out["score"] = score
+        out["dbkt"] = (splitmix64(out["doc_id"].to_numpy().astype(np.uint64))
+                       % np.uint64(N_INDEX_BUCKETS)).astype(np.int64)
+        return out
+
+    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("doc_id")
+        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
+                             "top_term": top["token"].to_numpy(),
+                             "score": top["score"].to_numpy()})
+
+    scored = (ds.map_batches(tf_explode, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("bkt").map_groups(score_bucket, batch_format="pandas"))
+    return scored.groupby("dbkt").map_groups(top_per_doc, batch_format="pandas")
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text,' '), x -> x <> '')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+    FLOOR(tf.tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / dfreq.df)
+          * 1000000 + 0.5) / 1000000 AS score
+  FROM tf JOIN dfreq USING (token))
+SELECT doc_id, token AS top_term, score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) = 1
+"""
