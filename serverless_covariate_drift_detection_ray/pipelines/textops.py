@@ -808,9 +808,7 @@ WHERE len(list_intersect(a.grams,b.grams))::DOUBLE
 # term-weighting in training-data pipelines
 # ---------------------------------------------------------------------------
 
-N_INDEX_BUCKETS = 128  # fixed salt-bucket count: shuffle groups stay bounded
-#                        (gotcha: Ray charges ~2 ms/group) while each bucket's
-#                        per-token work is a vectorized pandas groupby
+VOCAB_BROADCAST_MAX = 2_000_000  # df-map broadcast gate (~100 MB of tokens)
 
 
 def _explode_tokens(batch: pa.Table, distinct: bool) -> pd.DataFrame:
@@ -832,17 +830,20 @@ def inverted_index_documents(sf_dir: str):
     sink would write a parquet ``list<int64>`` column partitioned by bucket).
 
     Shape: per-batch explode of distinct (doc, token) pairs → ONE shuffle
-    salted by hash(token) % N_INDEX_BUCKETS (all rows of a token land in the
-    same bucket, so df/postings are exact) → per-bucket vectorized pandas
-    groupby builds every posting list in that bucket. No driver collect; the
-    shuffle carries one int64+token row per (doc, distinct token)."""
+    salted by hash(token) into a row-count-scaled bucket count (all rows of
+    a token land in the same bucket, so df/postings are exact) → per-bucket
+    vectorized pandas groupby builds every posting list in that bucket. No
+    driver collect; the shuffle carries one int64+token row per
+    (doc, distinct token)."""
+    from .queries import _salt_buckets
 
+    n_buckets = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         ex = _explode_tokens(batch, distinct=True)
         tok = ex["token"].to_numpy(dtype=object)
-        bkt = (hash64(tok) % np.uint64(N_INDEX_BUCKETS)).astype(np.int64)
+        bkt = (hash64(tok) % np.uint64(n_buckets)).astype(np.int64)
         return pa.table({
             "token": pa.array(tok, type=pa.string()),
             "doc_id": pa.array(ex["doc_id"].to_numpy().astype(np.int64)),
@@ -878,50 +879,56 @@ def tfidf_top_terms(sf_dir: str):
     the 1e-6-quantized score (quantization computed identically in the oracle
     so the argmax is cross-engine stable), ties broken by token ascending.
 
-    Two bounded salted shuffles, no joins and no driver collect:
-    1. explode per-doc term frequencies; shuffle by hash(token) — every row
-       of a token lands in one bucket, so the bucket computes df with a
-       vectorized ``transform("size")`` and scores its rows in place;
-    2. re-shuffle the scored rows by hash(doc_id); each bucket picks its
-       docs' top term with one sort + drop_duplicates."""
+    Zero shuffles: the document-frequency map is a bounded-cardinality
+    aggregate — per-block (token, partial_df) partials pre-aggregate inside
+    ``map_batches`` and only vocabulary-sized partials reach the driver
+    (gated at VOCAB_BROADCAST_MAX; an open-vocabulary corpus would spill the
+    df merge to a salted-bucket groupby like inverted_index_documents).
+    The merged df map broadcasts via ``ray.put`` and the scoring pass picks
+    each doc's top term inside its own batch — a doc never spans batches, so
+    the per-doc argmax is batch-local and nothing re-shuffles."""
+    import ray
+
     n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    def df_partial(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, distinct=True)
+        g = ex.groupby("token", sort=False).size().reset_index(name="n")
+        return pa.table({"token": pa.array(g["token"].to_numpy(dtype=object),
+                                           type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy().astype(np.int64))})
 
-    def tf_explode(batch: pa.Table) -> pa.Table:
+    partials = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(partials) > VOCAB_BROADCAST_MAX:
+        raise NotImplementedError(
+            "tfidf vocabulary above the broadcast gate: merge df via the "
+            "salted-bucket groupby (inverted_index_documents' shape)")
+    dfreq = partials.groupby("token", sort=True)["n"].sum()
+    vocab = dfreq.index.to_numpy(dtype=object)  # sorted ⇒ searchsorted below
+    idf = np.log(float(n_docs) / dfreq.to_numpy().astype(np.float64))
+    wrapped = {"ref": ray.put((vocab, idf))}
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        voc, idf_arr = ray.get(wrapped["ref"])
         ex = _explode_tokens(batch, distinct=False)
         g = (ex.groupby(["doc_id", "token"], sort=False).size()
              .reset_index(name="tf"))
         tok = g["token"].to_numpy(dtype=object)
-        bkt = (hash64(tok) % np.uint64(N_INDEX_BUCKETS)).astype(np.int64)
-        return pa.table({
-            "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
-            "token": pa.array(tok, type=pa.string()),
-            "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
-            "bkt": pa.array(bkt),
-        })
-
-    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        dfreq = g.groupby("token", sort=False)["doc_id"].transform("size")
-        score = _round(g["tf"].to_numpy()
-                       * np.log(float(n_docs) / dfreq.to_numpy()), 6)
-        out = g[["doc_id", "token"]].copy()
-        out["score"] = score
-        out["dbkt"] = (splitmix64(out["doc_id"].to_numpy().astype(np.uint64))
-                       % np.uint64(N_INDEX_BUCKETS)).astype(np.int64)
-        return out
-
-    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        pos = np.searchsorted(voc, tok)  # every token is in the fitted vocab
+        g["score"] = _round(g["tf"].to_numpy() * idf_arr[pos], 6)
         g = g.sort_values(["doc_id", "score", "token"],
                           ascending=[True, False, True], kind="mergesort")
         top = g.drop_duplicates("doc_id")
-        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
-                             "top_term": top["token"].to_numpy(),
-                             "score": top["score"].to_numpy()})
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy().astype(np.int64)),
+            "top_term": pa.array(top["token"].to_numpy(dtype=object),
+                                 type=pa.string()),
+            "score": pa.array(top["score"].to_numpy()),
+        })
 
-    scored = (ds.map_batches(tf_explode, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("bkt").map_groups(score_bucket, batch_format="pandas"))
-    return scored.groupby("dbkt").map_groups(top_per_doc, batch_format="pandas")
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 TFIDF_SQL = """
