@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # aggregation / maps / filters (SURVEY §2.2-2.3)
         "q1_pricing_summary": relq.q1_pricing_summary,
+        "rollup_pricing_summary": relq.rollup_pricing_summary,
         "filter_project_revenue": relq.filter_project_revenue,
         "corr_price_quantity_by_flag": relq.corr_price_quantity_by_flag,
         # joins (SURVEY §2.5)
@@ -148,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": relq.Q1_SQL,
+        "rollup_pricing_summary": relq.ROLLUP_SQL,
         "filter_project_revenue": relq.FILTER_PROJECT_SQL,
         "corr_price_quantity_by_flag": relq.CORR_SQL,
         "join_broadcast_nation_revenue": relq.JOIN_BROADCAST_SQL,

@@ -108,6 +108,51 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def rollup_pricing_summary(sf_dir: str):
+    """GROUP BY ROLLUP (returnflag, linestatus): the multi-level aggregate.
+
+    Scale shape: the wide input is scanned ONCE for the leaf-level partial
+    aggregate; both coarser grouping-set levels are post-aggregations of the
+    (group-cardinality-sized) leaf result on the driver — no second scan, no
+    extra shuffle. NULL grouping keys surface as the 'ALL' sentinel so the
+    key columns stay non-null strings in both engines."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "count_order"])
+
+    from ray.data.aggregate import Sum
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    lv1 = (leaf.groupby("l_returnflag", as_index=False)
+           [["sum_qty", "count_order"]].sum().assign(l_linestatus="ALL"))
+    lv2 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "sum_qty": [leaf.sum_qty.sum()],
+                        "count_order": [leaf.count_order.sum()]})
+    out = pd.concat([leaf, lv1, lv2], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]]
+    out["sum_qty"] = _round(out.sum_qty, 2)
+    out["count_order"] = out.count_order.astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       FLOOR(SUM(l_quantity)*100+0.5)/100 AS sum_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Row-level map + filter + projection (SURVEY.md §2.2)
 # ---------------------------------------------------------------------------

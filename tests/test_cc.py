@@ -1,0 +1,54 @@
+"""Property tests for the connected-components min-label kernel behind
+semantic dedup (pipelines/ann.py _cc_min_label): labels must equal a
+ground-truth union-find over arbitrary edge lists."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from serverless_covariate_drift_detection_ray.pipelines.ann import _cc_min_label
+
+
+def _union_find(a, b):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(a, b):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=120))
+def test_cc_matches_union_find(edges):
+    a = np.array([u for u, _ in edges], dtype=np.int64)
+    b = np.array([v for _, v in edges], dtype=np.int64)
+    nodes, reps = _cc_min_label(a, b)
+    truth = _union_find(a.tolist(), b.tolist())
+    # every touched node appears exactly once with the component-min rep
+    assert sorted(nodes.tolist()) == sorted(truth)
+    got = dict(zip(nodes.tolist(), reps.tolist()))
+    # rep of each truth-component must be its min member in both
+    comp = {}
+    for n, r in truth.items():
+        comp.setdefault(r, []).append(n)
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            assert got[n] == m
+
+
+def test_cc_self_loops_and_duplicates():
+    a = np.array([5, 5, 7, 9, 9], dtype=np.int64)
+    b = np.array([5, 6, 6, 9, 8], dtype=np.int64)
+    nodes, reps = _cc_min_label(a, b)
+    got = dict(zip(nodes.tolist(), reps.tolist()))
+    assert got == {5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
