@@ -121,6 +121,34 @@ def pca_project_embeddings(sf_dir: str, k: int = LATENT_K):
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean/std of the embedding column — the z-score
+    normalizer *fit* (feature scaling) as a moment-partial aggregate: ONE
+    ``map_batches`` pass contributing d + d² doubles per block, driver merge
+    O(blocks · d²), no shuffle and no row ever leaves its block."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    n, s, g = _moments_dataset(ds)
+    mean = s / max(n, 1)
+    var = np.maximum(np.diag(g) / max(n, 1) - mean * mean, 0.0)
+    return pa.table({
+        "dim": pa.array(np.arange(1, s.size + 1, dtype=np.int64)),
+        "n": pa.array(np.full(s.size, n, dtype=np.int64)),
+        "mean": pa.array(_round(mean, 6)),
+        "std": pa.array(_round(np.sqrt(var), 6)),
+    })
+
+
+DIM_STATS_SQL = """
+WITH flat AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM embeddings)
+SELECT dim::BIGINT AS dim, COUNT(*)::BIGINT AS n,
+  FLOOR(AVG(x)*1000000+0.5)/1000000 AS mean,
+  FLOOR(STDDEV_POP(x)*1000000+0.5)/1000000 AS std
+FROM flat GROUP BY dim
+"""
+
+
 def pca_mmd_drift(sf_dir: str, k: int = LATENT_K, alpha: float = 0.01):
     """The reference's full detector lifecycle, Ray-Data-first: train the
     encoder (PCA) on a DISJOINT train window, freeze it, encode the
