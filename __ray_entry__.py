@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_extendedprice": relq.quantiles_extendedprice,
         "grouped_quantiles_flag": relq.grouped_quantiles_flag,
         "outlier_counts_lineitem": relq.outlier_counts_lineitem,
+        "histogram_extendedprice": relq.histogram_extendedprice,
         # sketch-default variants (the at-scale paths; exact ones stay as
         # oracle anchors)
         "ks_purchase_click_hist": relq.ks_purchase_click_hist,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_view_click_purchase": relq.FUNNEL_SQL,
         "grouped_quantiles_flag": relq.GROUPED_QUANTILES_SQL,
         "outlier_counts_lineitem": relq.OUTLIER_SQL,
+        "histogram_extendedprice": relq.HISTOGRAM_SQL,
         "topn_orders_per_priority": relq.TOPN_PER_KEY_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,
         "uniqueness_pk": relq.UNIQUENESS_SQL,

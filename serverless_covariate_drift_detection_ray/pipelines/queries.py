@@ -1961,6 +1961,52 @@ FROM q
 """
 
 
+def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
+    """Exact equi-width histogram: pass 1 aggregates min/max (two scalars),
+    pass 2 streams per-block ``np.bincount`` partials that sum into the final
+    counts — the exact anchor for the sketch histogram the validation DAG
+    uses. Bucket math is pure IEEE double subtract/divide/floor, identical
+    expressions in both engines, so parity is bit-exact (no rounding gate
+    needed, unlike log-based scores)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = _read(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
+        Min("l_extendedprice", alias_name="mn"),
+        Max("l_extendedprice", alias_name="mx"))
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    w = (mx - mn) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy()
+        b = np.minimum(np.floor((x - mn) / w).astype(np.int64), n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins)
+        return pa.table({"bucket": pa.array(np.arange(n_bins, dtype=np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    out = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    df = out.to_pandas()
+    df = df[df.n > 0].reset_index(drop=True)  # oracle emits occupied buckets
+    df["lo"] = _round(mn + df.bucket.to_numpy() * w, 6)
+    return pa.Table.from_pandas(df[["bucket", "lo", "n"]], preserve_index=False)
+
+
+HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem),
+h AS (
+  SELECT LEAST(FLOOR((l_extendedprice - b.mn) / ((b.mx - b.mn) / 16))::BIGINT,
+               15) AS bucket
+  FROM lineitem, b)
+SELECT bucket,
+  FLOOR(((SELECT mn FROM b) + bucket * (((SELECT mx FROM b) - (SELECT mn FROM b)) / 16))
+        * 1000000 + 0.5) / 1000000 AS lo,
+  COUNT(*)::BIGINT AS n
+FROM h GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sequential funnel — SURVEY.md §2.9 (ordered multi-step per-key predicate)
 # ---------------------------------------------------------------------------
