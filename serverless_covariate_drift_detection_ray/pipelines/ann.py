@@ -368,26 +368,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 EMB_CC_MAX_PAIRS = 20_000_000  # driver CC gate (~320 MB of edge arrays)
 
 
-def _cc_min_label(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Connected components over an undirected edge list, vectorized min-label
-    propagation with pointer jumping — converges in O(log n) rounds. Returns
-    (node_ids sorted, component rep id per node). Same kernel shape as the
-    phash cluster pass (stages/constraints.py)."""
-    nodes = np.unique(np.concatenate([a, b]))
-    ai = np.searchsorted(nodes, a)
-    bi = np.searchsorted(nodes, b)
-    lab = np.arange(nodes.size, dtype=np.int64)
-    while True:
-        new = lab.copy()
-        np.minimum.at(new, ai, lab[bi])
-        np.minimum.at(new, bi, lab[ai])
-        new = new[new]  # pointer jumping halves tree depth per round
-        if np.array_equal(new, lab):
-            break
-        lab = new
-    return nodes, nodes[lab]
-
-
 def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
     """Embedding-cosine near-dup dedup: one surviving row per connected
     component of the cosine>=tau pair graph (survivor = min vec_id), with the
@@ -402,15 +382,21 @@ def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
     (ann_lsh_bucketed's Bucketize + per-bucket verify)."""
     import ray
 
+    from ..functions.graph import cc_min_label
+
     pairs = embedding_neardup_pairs(sf_dir, tau).select_columns(["vec_a", "vec_b"])
-    edges = pairs.to_pandas()  # violation-sized by construction (see gate)
-    if len(edges) > EMB_CC_MAX_PAIRS:
+    # gate BEFORE the driver collect: the edge list stays distributed in the
+    # object store (materialize), the count is metadata, and only a
+    # passing-size edge list is ever pulled down
+    pairs = pairs.materialize()
+    if pairs.count() > EMB_CC_MAX_PAIRS:
         raise NotImplementedError(
             "semantic-dedup edge list above the driver CC gate: bound the "
             "candidate pairs with the LSH-bucketed path first")
+    edges = pairs.to_pandas()
     if len(edges):
-        nodes, reps = _cc_min_label(edges["vec_a"].to_numpy(np.int64),
-                                    edges["vec_b"].to_numpy(np.int64))
+        nodes, reps = cc_min_label(edges["vec_a"].to_numpy(np.int64),
+                                   edges["vec_b"].to_numpy(np.int64))
         dropped = np.sort(nodes[reps != nodes])
         rep_ids, sizes = np.unique(reps, return_counts=True)
     else:

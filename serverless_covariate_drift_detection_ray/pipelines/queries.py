@@ -114,14 +114,20 @@ def rollup_pricing_summary(sf_dir: str):
     Scale shape: the wide input is scanned ONCE for the leaf-level partial
     aggregate; both coarser grouping-set levels are post-aggregations of the
     (group-cardinality-sized) leaf result on the driver — no second scan, no
-    extra shuffle. NULL grouping keys surface as the 'ALL' sentinel so the
-    key columns stay non-null strings in both engines."""
+    extra shuffle. Rollup-generated subtotal keys surface as 'ALL' and
+    data NULL keys as '(null)' (distinguished via GROUPING() in the oracle),
+    so the key columns stay non-null strings and never collide; count_order
+    is a row count (COUNT(*)), not a non-null value count."""
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_quantity", "count")])
+        keys = {}
+        for k in ("l_returnflag", "l_linestatus"):
+            keys[k] = pc.fill_null(batch[k], "(null)")
+        t = pa.table({**keys, "l_quantity": batch["l_quantity"]})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty", "count_order"])
 
@@ -145,10 +151,13 @@ def rollup_pricing_summary(sf_dir: str):
 
 
 ROLLUP_SQL = """
-SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
-       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-       FLOOR(SUM(l_quantity)*100+0.5)/100 AS sum_qty,
-       COUNT(*) AS count_order
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+       ELSE COALESCE(l_returnflag, '(null)') END AS l_returnflag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+       ELSE COALESCE(l_linestatus, '(null)') END AS l_linestatus,
+  FLOOR(SUM(l_quantity)*100+0.5)/100 AS sum_qty,
+  COUNT(*) AS count_order
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -1973,12 +1982,19 @@ def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
     mm = _read(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
         Min("l_extendedprice", alias_name="mn"),
         Max("l_extendedprice", alias_name="mx"))
+    if mm is None or mm.get("mn") is None:  # empty input: no occupied buckets
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "lo": pa.array([], pa.float64()),
+                         "n": pa.array([], pa.int64())})
     mn, mx = float(mm["mn"]), float(mm["mx"])
     w = (mx - mn) / n_bins
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch["l_extendedprice"].to_numpy()
-        b = np.minimum(np.floor((x - mn) / w).astype(np.int64), n_bins - 1)
+        if w == 0.0:  # constant column: everything lands in bucket 0
+            b = np.zeros(x.size, dtype=np.int64)
+        else:
+            b = np.minimum(np.floor((x - mn) / w).astype(np.int64), n_bins - 1)
         counts = np.bincount(b, minlength=n_bins)
         return pa.table({"bucket": pa.array(np.arange(n_bins, dtype=np.int64)),
                          "n": pa.array(counts.astype(np.int64))})

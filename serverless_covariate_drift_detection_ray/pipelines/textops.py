@@ -900,11 +900,13 @@ def tfidf_top_terms(sf_dir: str):
 
     partials = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         df_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    if len(partials) > VOCAB_BROADCAST_MAX:
+    dfreq = partials.groupby("token", sort=True)["n"].sum()
+    # gate on the MERGED vocabulary (what actually broadcasts), not the
+    # blocks x vocab partial rows which scale with parallelism
+    if len(dfreq) > VOCAB_BROADCAST_MAX:
         raise NotImplementedError(
             "tfidf vocabulary above the broadcast gate: merge df via the "
             "salted-bucket groupby (inverted_index_documents' shape)")
-    dfreq = partials.groupby("token", sort=True)["n"].sum()
     vocab = dfreq.index.to_numpy(dtype=object)  # sorted ⇒ searchsorted below
     idf = np.log(float(n_docs) / dfreq.to_numpy().astype(np.float64))
     wrapped = {"ref": ray.put((vocab, idf))}

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.graph import cc_labels
 from ..functions.hashing import hash64
 from ..functions.phash import hamming_leq_pairs, phash_bands, phash_hamming
 from ..pipelines.config import EngineConfig
@@ -248,15 +249,8 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
     else:
         a = b = np.empty(0, np.int64)
 
-    # connected components: scatter-min + pointer jumping
-    labels = np.arange(vals.size)
-    for _ in range(64):
-        before = labels.copy()
-        np.minimum.at(labels, a, labels[b])
-        np.minimum.at(labels, b, labels[a])
-        labels = labels[labels]
-        if np.array_equal(labels, before):
-            break
+    # connected components: shared scatter-min + pointer-jumping kernel
+    labels = cc_labels(vals.size, a, b)
     csize = np.bincount(labels, weights=mult.astype(np.float64))
     flagged = csize[labels] >= min_cluster
     flag_vals = vals[flagged]
@@ -328,14 +322,9 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
         ph = df["phash"].to_numpy()
         dist = phash_hamming(ph[:, None], ph[None, :])
         close = dist <= hamming_max
-        # connected components via vectorized min-label propagation; converges
-        # in O(component diameter) iterations
-        labels = np.arange(m)
-        for _ in range(m):
-            new = np.where(close, labels[None, :], m).min(axis=1)
-            if np.array_equal(new, labels):
-                break
-            labels = new
+        # connected components over the close-pair edges (shared kernel)
+        ii, jj = np.nonzero(np.triu(close, 1))
+        labels = cc_labels(m, ii, jj)
         ids = df["image_id"].to_numpy()
         parts = df["partition_id"].to_numpy()
         rows = []

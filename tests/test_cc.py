@@ -1,12 +1,12 @@
-"""Property tests for the connected-components min-label kernel behind
-semantic dedup (pipelines/ann.py _cc_min_label): labels must equal a
-ground-truth union-find over arbitrary edge lists."""
+"""Property tests for the shared connected-components kernel
+(functions/graph.py, used by semantic dedup and the phash cluster passes):
+labels must equal a ground-truth union-find over arbitrary edge lists."""
 
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from serverless_covariate_drift_detection_ray.pipelines.ann import _cc_min_label
+from serverless_covariate_drift_detection_ray.functions.graph import cc_min_label as _cc_min_label
 
 
 def _union_find(a, b):
