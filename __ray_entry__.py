@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dimensionality reduction (reference's encoder analogue) + latent drift
         "pca_project_embeddings": dimred.pca_project_embeddings,
         "embedding_dim_stats": dimred.embedding_dim_stats,
+        "label_centroids_embeddings": dimred.label_centroids_embeddings,
         "pca_mmd_drift": dimred.pca_mmd_drift,
         # flagship image validation (rows-only: non-SQL-expressible)
         "validate_images": _flagship,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,
         "embedding_dim_stats": dimred.DIM_STATS_SQL,
+        "label_centroids_embeddings": dimred.CENTROIDS_SQL,
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
         # rows-only (no SQL equivalent): pca_project_embeddings,
         # pca_mmd_drift (no SQL eigensolver), minhash_neardup_documents,

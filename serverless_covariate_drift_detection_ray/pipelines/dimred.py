@@ -149,6 +149,52 @@ FROM flat GROUP BY dim
 """
 
 
+def label_centroids_embeddings(sf_dir: str):
+    """Per-class centroid of the embedding column (the fit step of the
+    nearest-centroid classifier, pipelines/classify.py) as a grouped vector
+    aggregate: each block contributes one (label, n, sum-vector) partial —
+    classes × d doubles regardless of block height — merged on the driver.
+    Output is long-form (label, dim, mean) so the result is scalar-typed and
+    oracle-hashable."""
+    import pandas as pd
+
+    from .ann import _to_matrix
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy().astype(np.int64)
+        x = _to_matrix(batch["embedding"])
+        classes, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((classes.size, x.shape[1]))
+        np.add.at(sums, inv, x)
+        n = np.bincount(inv, minlength=classes.size).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(classes, x.shape[1])),
+            "dim": pa.array(np.tile(np.arange(1, x.shape[1] + 1, dtype=np.int64),
+                                    classes.size)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(n, x.shape[1])),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    m = parts.groupby(["label", "dim"], as_index=False)[["s", "n"]].sum()
+    out = pd.DataFrame({"label": m.label.to_numpy(), "dim": m.dim.to_numpy(),
+                        "mean": _round(m.s.to_numpy() / m.n.to_numpy(), 6)})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CENTROIDS_SQL = """
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+  FROM embeddings)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+  FLOOR(AVG(x)*1000000+0.5)/1000000 AS mean
+FROM flat GROUP BY label, dim
+"""
+
+
 def pca_mmd_drift(sf_dir: str, k: int = LATENT_K, alpha: float = 0.01):
     """The reference's full detector lifecycle, Ray-Data-first: train the
     encoder (PCA) on a DISJOINT train window, freeze it, encode the
