@@ -874,19 +874,70 @@ FROM tok GROUP BY token
 """
 
 
+PARTIALS_COLLECT_MAX = 8_000_000  # blocks x vocab rows the driver will merge
+
+
+def _tfidf_two_shuffle(sf_dir: str, n_docs: int):
+    """Open-vocabulary TF-IDF path — no driver collect at all: shuffle the
+    per-doc tf rows by hash(token) (every row of a token lands in one
+    bucket, so df is a vectorized within-bucket ``transform("size")``), then
+    re-shuffle the scored rows by hash(doc_id) and take each doc's top term
+    with one sort + drop_duplicates per bucket."""
+    from .queries import _salt_buckets
+
+    n_buckets = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_explode(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, distinct=False)
+        g = (ex.groupby(["doc_id", "token"], sort=False).size()
+             .reset_index(name="tf"))
+        tok = g["token"].to_numpy(dtype=object)
+        bkt = (hash64(tok) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+            "token": pa.array(tok, type=pa.string()),
+            "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+            "bkt": pa.array(bkt),
+        })
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dfreq = g.groupby("token", sort=False)["doc_id"].transform("size")
+        score = _round(g["tf"].to_numpy()
+                       * np.log(float(n_docs) / dfreq.to_numpy()), 6)
+        out = g[["doc_id", "token"]].copy()
+        out["score"] = score
+        out["dbkt"] = (splitmix64(out["doc_id"].to_numpy().astype(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("doc_id")
+        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(),
+                             "top_term": top["token"].to_numpy(),
+                             "score": top["score"].to_numpy()})
+
+    scored = (ds.map_batches(tf_explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bkt").map_groups(score_bucket, batch_format="pandas"))
+    return scored.groupby("dbkt").map_groups(top_per_doc, batch_format="pandas")
+
+
 def tfidf_top_terms(sf_dir: str):
     """Top TF-IDF term per document: score = tf · ln(n_docs / df), ranked on
     the 1e-6-quantized score (quantization computed identically in the oracle
     so the argmax is cross-engine stable), ties broken by token ascending.
 
-    Zero shuffles: the document-frequency map is a bounded-cardinality
-    aggregate — per-block (token, partial_df) partials pre-aggregate inside
-    ``map_batches`` and only vocabulary-sized partials reach the driver
-    (gated at VOCAB_BROADCAST_MAX; an open-vocabulary corpus would spill the
-    df merge to a salted-bucket groupby like inverted_index_documents).
-    The merged df map broadcasts via ``ray.put`` and the scoring pass picks
-    each doc's top term inside its own batch — a doc never spans batches, so
-    the per-doc argmax is batch-local and nothing re-shuffles."""
+    Fast path (bounded vocabulary — zero shuffles): the document-frequency
+    map is a bounded-cardinality aggregate — per-block (token, partial_df)
+    partials pre-aggregate inside ``map_batches``, merge on the driver, and
+    broadcast via ``ray.put``; the scoring pass picks each doc's top term
+    inside its own batch (a doc never spans batches, so the per-doc argmax
+    is batch-local). Open-vocabulary corpora route to the two-shuffle
+    salted-bucket path instead — both gates (partial-row collect, merged
+    broadcast size) are checked BEFORE anything large reaches the driver."""
     import ray
 
     n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
@@ -898,15 +949,16 @@ def tfidf_top_terms(sf_dir: str):
                                            type=pa.string()),
                          "n": pa.array(g["n"].to_numpy().astype(np.int64))})
 
-    partials = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        df_partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    parts_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if parts_ds.count() > PARTIALS_COLLECT_MAX:
+        return _tfidf_two_shuffle(sf_dir, n_docs)
+    partials = parts_ds.to_pandas()
     dfreq = partials.groupby("token", sort=True)["n"].sum()
     # gate on the MERGED vocabulary (what actually broadcasts), not the
     # blocks x vocab partial rows which scale with parallelism
     if len(dfreq) > VOCAB_BROADCAST_MAX:
-        raise NotImplementedError(
-            "tfidf vocabulary above the broadcast gate: merge df via the "
-            "salted-bucket groupby (inverted_index_documents' shape)")
+        return _tfidf_two_shuffle(sf_dir, n_docs)
     vocab = dfreq.index.to_numpy(dtype=object)  # sorted ⇒ searchsorted below
     idf = np.log(float(n_docs) / dfreq.to_numpy().astype(np.float64))
     wrapped = {"ref": ray.put((vocab, idf))}

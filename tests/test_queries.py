@@ -217,3 +217,19 @@ def test_ks_by_window_matches_numpy_oracle(ray_session):
     np.testing.assert_allclose(got.p_value.to_numpy(), np.round(p, 6), atol=2e-6)
     # a same-distribution stream must not drift in (almost) every window
     assert got.is_drift.mean() < 0.05
+
+
+def test_tfidf_two_shuffle_matches_broadcast(ray_session):
+    """The open-vocabulary (two-shuffle) TF-IDF path must agree exactly with
+    the broadcast fast path the oracle pins."""
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.pipelines import textops as T
+
+    fast = T.tfidf_top_terms(SF).to_pandas()
+    n_docs = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    slow = T._tfidf_two_shuffle(SF, n_docs).to_pandas()
+    key = ["doc_id", "top_term", "score"]
+    a = fast[key].sort_values(key).reset_index(drop=True)
+    b = slow[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
