@@ -65,31 +65,30 @@ def _centroids(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return sums / np.maximum(counts[:, None], 1), counts
 
 
-class _CentroidScorer:
-    """Actor-pool projection stage: model loaded once per actor (the
-    reference's singleton-per-process cache, detector_api/app/utils.py:4-14),
-    one vectorized distance matrix per batch."""
+def _score_batch(batch: pa.Table, wrapped) -> pa.Table:
+    """Projection stage as broadcast stateless tasks: the model (centroid
+    matrix) is ``ray.put`` once and read zero-copy per call — the same
+    load-once semantics as the reference's singleton-per-process model cache
+    (detector_api/app/utils.py:4-14) without paying actor-pool spawn cost
+    for a sub-second stage (gotcha: actor spawns cost more than the stage).
+    One vectorized distance matrix per batch."""
+    import ray
 
-    def __init__(self, wrapped):
-        import ray
-
-        self.cent = ray.get(wrapped["ref"])  # (C, d)
-        self.c2 = (self.cent ** 2).sum(axis=1)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        emb = batch["embedding"]
-        arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
-        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        x = flat.reshape(len(ids), -1)
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
-        d2 = self.c2[None, :] - 2.0 * (x @ self.cent.T)
-        pred = d2.argmin(axis=1)  # ties -> smallest class id (matches oracle)
-        return pa.table({
-            "vec_id": pa.array(ids.astype(np.int64)),
-            "label": pa.array(((ids // 2) % N_CLASSES).astype(np.int64)),
-            "pred": pa.array(pred.astype(np.int64)),
-        })
+    cent = ray.get(wrapped["ref"])  # (C, d), zero-copy from the object store
+    c2 = (cent ** 2).sum(axis=1)
+    ids = batch["vec_id"].to_numpy()
+    emb = batch["embedding"]
+    arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    x = flat.reshape(len(ids), -1)
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+    d2 = c2[None, :] - 2.0 * (x @ cent.T)
+    pred = d2.argmin(axis=1)  # ties -> smallest class id (matches oracle)
+    return pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "label": pa.array(((ids // 2) % N_CLASSES).astype(np.int64)),
+        "pred": pa.array(pred.astype(np.int64)),
+    })
 
 
 def classify_accuracy_embeddings(sf_dir: str):
@@ -110,8 +109,8 @@ def classify_accuracy_embeddings(sf_dir: str):
 
     scored = ds.map_batches(test_only, batch_format="pyarrow", zero_copy_batch=True
                             ).map_batches(
-        _CentroidScorer, fn_constructor_args=(wrapped,), batch_format="pyarrow",
-        concurrency=(1, 8),
+        _score_batch, fn_args=(wrapped,), batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def acc_partial(batch: pa.Table) -> pa.Table:
