@@ -136,7 +136,7 @@ def ann_lsh_bucketed(sf_dir: str, n_tables: int = LSH_TABLES,
     neighbor dedup. Recall vs the exact baseline is measured in tests."""
     import ray
 
-    from ..functions.hashing import hash64, splitmix64
+    from ..functions.hashing import splitmix64
 
     rng = np.random.Generator(np.random.PCG64(7))
     dim = _embedding_dim(sf_dir)
