@@ -366,6 +366,108 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 # ---------------------------------------------------------------------------
 
 EMB_CC_MAX_PAIRS = 20_000_000  # driver CC gate (~320 MB of edge arrays)
+N_CC_BUCKETS = 64  # salt buckets for the distributed CC shuffles
+
+
+def _cc_bkt(x: np.ndarray) -> np.ndarray:
+    from ..functions.hashing import splitmix64
+
+    return (splitmix64(x.astype(np.uint64)) % np.uint64(N_CC_BUCKETS)).astype(np.int64)
+
+
+def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
+    """Distributed connected components over a pair Dataset (vec_a, vec_b):
+    Pregel-style min-label propagation expressed as Dataset ops, for edge
+    lists too large for the driver kernel (functions/graph.py).
+
+    Each round is two salted-bucket shuffles (the union + map_groups hash
+    join of textops._attach_words — Ray's join operator has ~10 s fixed
+    aggregator cost, and per-key groupby is infeasible at Ray 2.49's
+    ~2 ms/group): (1) bucket by edge source to attach the source's current
+    label to each directed edge, emitting (dst, candidate); (2) bucket by
+    node to take the min over candidates + current label, counting changed
+    nodes. The driver sees only the per-round changed COUNT; labels stay
+    distributed. Converges in O(cluster diameter) rounds — near-dup
+    components are dense, so diameters are small. Node ids must stay exact
+    through the nullable-int float64 round-trip (< 2^53, as the id columns
+    here are).
+
+    Returns a (node, lab) Dataset covering every node that appears in an
+    edge; isolated nodes are absent (callers treat them as singletons)."""
+    from ray.data.aggregate import Sum
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["vec_a"].to_numpy().astype(np.int64)
+        b = batch["vec_b"].to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                         "lab": pa.nulls(src.size, pa.int64()),
+                         "bkt": pa.array(_cc_bkt(src))})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_part(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["src"].to_numpy())
+        return pa.table({"node": pa.array(u), "lab": pa.array(u),
+                         "bkt": pa.array(_cc_bkt(u))})
+
+    def init_merge(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["node"].to_numpy())
+        return pd.DataFrame({"node": u, "lab": u, "changed": np.zeros(u.size, np.int64)})
+
+    labels = (edges.map_batches(init_part, batch_format="pyarrow")
+              .groupby("bkt").map_groups(init_merge, batch_format="pandas")
+              .materialize())
+
+    def tag_labels_for_join(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy().astype(np.int64)
+        return pa.table({"src": pa.array(n), "dst": pa.nulls(n.size, pa.int64()),
+                         "lab": batch["lab"].cast(pa.int64()),
+                         "bkt": pa.array(_cc_bkt(n))})
+
+    def join_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        is_lab = df["dst"].isna()
+        labs = df.loc[is_lab, ["src", "lab"]]
+        eds = df.loc[~is_lab, ["src", "dst"]]
+        m = eds.merge(labs, on="src", how="inner")
+        out = pd.DataFrame({"node": m["dst"].to_numpy().astype(np.int64),
+                            "cand": m["lab"].to_numpy().astype(np.int64)})
+        return out
+
+    def tag_msgs(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(n), "cand": batch["cand"].cast(pa.int64()),
+                         "old": pa.nulls(n.size, pa.int64()),
+                         "nbkt": pa.array(_cc_bkt(n))})
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(n),
+                         "cand": batch["lab"].cast(pa.int64()),
+                         "old": batch["lab"].cast(pa.int64()),
+                         "nbkt": pa.array(_cc_bkt(n))})
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)
+        new = g["cand"].min()
+        old = g["old"].min()  # exactly one old row per node
+        changed = (new < old).to_numpy().astype(np.int64)
+        return pd.DataFrame({"node": new.index.to_numpy().astype(np.int64),
+                             "lab": new.to_numpy().astype(np.int64),
+                             "changed": changed})
+
+    for _ in range(max_rounds):
+        tagged_lab = labels.map_batches(tag_labels_for_join, batch_format="pyarrow")
+        msgs = (edges.union(tagged_lab).groupby("bkt")
+                .map_groups(join_msgs, batch_format="pandas")
+                .map_batches(tag_msgs, batch_format="pyarrow"))
+        olds = labels.map_batches(tag_old, batch_format="pyarrow")
+        labels = (msgs.union(olds).groupby("nbkt")
+                  .map_groups(min_merge, batch_format="pandas").materialize())
+        if labels.sum("changed") == 0:
+            return labels.select_columns(["node", "lab"])
+    raise RuntimeError(f"distributed CC did not converge in {max_rounds} rounds")
 
 
 def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
@@ -387,12 +489,11 @@ def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
     pairs = embedding_neardup_pairs(sf_dir, tau).select_columns(["vec_a", "vec_b"])
     # gate BEFORE the driver collect: the edge list stays distributed in the
     # object store (materialize), the count is metadata, and only a
-    # passing-size edge list is ever pulled down
+    # passing-size edge list is ever pulled down; larger graphs solve CC
+    # distributedly instead
     pairs = pairs.materialize()
     if pairs.count() > EMB_CC_MAX_PAIRS:
-        raise NotImplementedError(
-            "semantic-dedup edge list above the driver CC gate: bound the "
-            "candidate pairs with the LSH-bucketed path first")
+        return _dedup_semantic_distributed(sf_dir, pairs)
     edges = pairs.to_pandas()
     if len(edges):
         nodes, reps = cc_min_label(edges["vec_a"].to_numpy(np.int64),
@@ -425,6 +526,57 @@ def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
 # transitive closure via min-label reachability: walk(node, rep) holds every
 # (node, rep-candidate) pair along undirected edges; MIN(rep) per node is the
 # component representative, survivors are their own rep
+def _dedup_semantic_distributed(sf_dir: str, pairs_ds):
+    """At-scale semantic dedup: connected components solved distributedly
+    (cc_labels_distributed), survivors + cluster sizes assembled with two
+    more salted-bucket passes — no driver collect anywhere.
+
+    1. bucket the (node, lab) labels by hash(lab): every member of a
+       component lands in one bucket, so the bucket emits (rep=lab,
+       cluster_size=count) directly;
+    2. singletons (vec_ids in no edge) come from a bucketed anti-join of
+       the embeddings id column against the labeled nodes."""
+    labels = cc_labels_distributed(pairs_ds)
+
+    def tag_by_lab(batch: pa.Table) -> pa.Table:
+        lab = batch["lab"].to_numpy().astype(np.int64)
+        return pa.table({"lab": pa.array(lab), "lbkt": pa.array(_cc_bkt(lab))})
+
+    def per_lab(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lab", sort=False).size()
+        return pd.DataFrame({"vec_id": g.index.to_numpy().astype(np.int64),
+                             "cluster_size": g.to_numpy().astype(np.int64)})
+
+    graph_survivors = (labels.map_batches(tag_by_lab, batch_format="pyarrow")
+                       .groupby("lbkt").map_groups(per_lab, batch_format="pandas"))
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids),
+                         "is_node": pa.array(np.zeros(ids.size, np.int64)),
+                         "abkt": pa.array(_cc_bkt(ids))})
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy().astype(np.int64)
+        return pa.table({"vec_id": pa.array(n),
+                         "is_node": pa.array(np.ones(n.size, np.int64)),
+                         "abkt": pa.array(_cc_bkt(n))})
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df.loc[df.is_node == 1, "vec_id"].to_numpy()
+        ids = df.loc[df.is_node == 0, "vec_id"].to_numpy()
+        single = ids[~np.isin(ids, nodes)]
+        return pd.DataFrame({"vec_id": single.astype(np.int64),
+                             "cluster_size": np.ones(single.size, np.int64)})
+
+    ids_ds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        tag_ids, batch_format="pyarrow", zero_copy_batch=True)
+    nodes_ds = labels.map_batches(tag_nodes, batch_format="pyarrow")
+    singles = (ids_ds.union(nodes_ds).groupby("abkt")
+               .map_groups(anti, batch_format="pandas"))
+    return graph_survivors.union(singles)
+
+
 DEDUP_SEMANTIC_SQL = f"""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS u, b.vec_id AS v

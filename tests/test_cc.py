@@ -52,3 +52,20 @@ def test_cc_self_loops_and_duplicates():
     nodes, reps = _cc_min_label(a, b)
     got = dict(zip(nodes.tolist(), reps.tolist()))
     assert got == {5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_distributed_cc_dedup_matches_driver_path(ray_session, monkeypatch):
+    """Forcing the edge-list gate to 0 routes semantic dedup through the
+    distributed Pregel-style CC; survivors and cluster sizes must match the
+    driver-kernel path exactly."""
+    import pandas as pd
+
+    from serverless_covariate_drift_detection_ray.pipelines import ann
+
+    sf = "/root/testdata/sf0.001"
+    a = ann.dedup_semantic_embeddings(sf).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    monkeypatch.setattr(ann, "EMB_CC_MAX_PAIRS", 0)
+    b = ann.dedup_semantic_embeddings(sf).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
