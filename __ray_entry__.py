@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_events": relq.running_sum_events,
         "rolling_1h_events": relq.rolling_1h_events,
         "event_gaps_per_user": relq.event_gaps_per_user,
+        "dedup_events_debounce": relq.dedup_events_debounce,
         "funnel_view_click_purchase": relq.funnel_view_click_purchase,
         "topn_orders_per_priority": relq.topn_orders_per_priority,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "running_sum_events": relq.RUNNING_SUM_SQL,
         "rolling_1h_events": relq.ROLLING_SQL,
         "event_gaps_per_user": relq.EVENT_GAPS_SQL,
+        "dedup_events_debounce": relq.DEBOUNCE_SQL,
         "funnel_view_click_purchase": relq.FUNNEL_SQL,
         "grouped_quantiles_flag": relq.GROUPED_QUANTILES_SQL,
         "outlier_counts_lineitem": relq.OUTLIER_SQL,

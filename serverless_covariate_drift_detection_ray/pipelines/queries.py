@@ -1682,6 +1682,52 @@ GROUP BY user_id HAVING COUNT(*) > 1
 """
 
 
+DEBOUNCE_WINDOW_S = 3600
+
+
+def dedup_events_debounce(sf_dir: str, window_s: int = DEBOUNCE_WINDOW_S):
+    """Windowed event dedup (debounce): keep an event only if it starts a new
+    burst — more than ``window_s`` after the previous event of the same
+    (user, event_type) — the streaming-ingest sibling of the document dedups
+    (duplicate clicks, retried webhooks). Same shape as sessionization: one
+    salted shuffle by hash(user) co-locates every (user, type) stream, and
+    the burst predicate is a vectorized shift-compare inside the bucket."""
+    from ..functions.hashing import hash64
+
+    n_buckets = 256
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy()
+        b = (hash64(u) % n_buckets).astype(np.int64)
+        return batch.append_column("bkt", pa.array(b))
+
+    def keep_burst_starts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                           kind="mergesort")
+        gap = d.ts.diff().dt.total_seconds()
+        same = (d.user_id.eq(d.user_id.shift())
+                & d.event_type.eq(d.event_type.shift()))
+        keep = ~(same & (gap <= window_s))
+        out = d.loc[keep, ["event_id", "user_id", "event_type"]]
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("bkt").map_groups(
+        keep_burst_starts, batch_format="pandas")
+
+
+DEBOUNCE_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+    EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT event_id, user_id, event_type
+FROM g WHERE gap IS NULL OR gap > {DEBOUNCE_WINDOW_S}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped exact quantiles (PERCENTILE_DISC shape) — SURVEY.md §2.7.5
 # ---------------------------------------------------------------------------
