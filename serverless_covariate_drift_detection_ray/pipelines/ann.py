@@ -366,35 +366,37 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 # ---------------------------------------------------------------------------
 
 EMB_CC_MAX_PAIRS = 20_000_000  # driver CC gate (~320 MB of edge arrays)
-N_CC_BUCKETS = 64  # salt buckets for the distributed CC shuffles
-
-
-def _cc_bkt(x: np.ndarray) -> np.ndarray:
+def _cc_bkt(x: np.ndarray, n_buckets: int) -> np.ndarray:
     from ..functions.hashing import splitmix64
 
-    return (splitmix64(x.astype(np.uint64)) % np.uint64(N_CC_BUCKETS)).astype(np.int64)
+    return (splitmix64(x.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
     """Distributed connected components over a pair Dataset (vec_a, vec_b):
-    Pregel-style min-label propagation expressed as Dataset ops, for edge
-    lists too large for the driver kernel (functions/graph.py).
+    Pregel-style min-label propagation with a distributed pointer-jumping
+    (shortcut) step, for edge lists too large for the driver kernel
+    (functions/graph.py).
 
-    Each round is two salted-bucket shuffles (the union + map_groups hash
+    Each round is three salted-bucket shuffles (the union + map_groups hash
     join of textops._attach_words — Ray's join operator has ~10 s fixed
     aggregator cost, and per-key groupby is infeasible at Ray 2.49's
     ~2 ms/group): (1) bucket by edge source to attach the source's current
     label to each directed edge, emitting (dst, candidate); (2) bucket by
     node to take the min over candidates + current label, counting changed
-    nodes. The driver sees only the per-round changed COUNT; labels stay
-    distributed. Converges in O(cluster diameter) rounds — near-dup
-    components are dense, so diameters are small. Node ids must stay exact
-    through the nullable-int float64 round-trip (< 2^53, as the id columns
-    here are).
+    nodes; (3) shortcut — bucket pointer rows by their label's NODE id so
+    every node relabels to its label's label (lab ← lab[lab]), which
+    contracts chains geometrically. Propagation alone converges in
+    O(diameter) rounds (a 1000-node path needs 1000); with the shortcut the
+    bound is O(log n). The driver sees only the per-round changed COUNT;
+    labels stay distributed. Bucket count scales with the edge count
+    (fixed per-block/per-bucket shuffle cost dominates small exchanges).
+    Node ids must stay exact through the nullable-int float64 round-trip
+    (< 2^53, as the id columns here are).
 
     Returns a (node, lab) Dataset covering every node that appears in an
     edge; isolated nodes are absent (callers treat them as singletons)."""
-    from ray.data.aggregate import Sum
+    n_buckets = max(8, pairs_ds.count() // 2_000_000)
 
     def sym(batch: pa.Table) -> pa.Table:
         a = batch["vec_a"].to_numpy().astype(np.int64)
@@ -403,14 +405,14 @@ def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
         dst = np.concatenate([b, a])
         return pa.table({"src": pa.array(src), "dst": pa.array(dst),
                          "lab": pa.nulls(src.size, pa.int64()),
-                         "bkt": pa.array(_cc_bkt(src))})
+                         "bkt": pa.array(_cc_bkt(src, n_buckets))})
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
 
     def init_part(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["src"].to_numpy())
         return pa.table({"node": pa.array(u), "lab": pa.array(u),
-                         "bkt": pa.array(_cc_bkt(u))})
+                         "bkt": pa.array(_cc_bkt(u, n_buckets))})
 
     def init_merge(df: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(df["node"].to_numpy())
@@ -424,7 +426,7 @@ def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
         n = batch["node"].to_numpy().astype(np.int64)
         return pa.table({"src": pa.array(n), "dst": pa.nulls(n.size, pa.int64()),
                          "lab": batch["lab"].cast(pa.int64()),
-                         "bkt": pa.array(_cc_bkt(n))})
+                         "bkt": pa.array(_cc_bkt(n, n_buckets))})
 
     def join_msgs(df: pd.DataFrame) -> pd.DataFrame:
         is_lab = df["dst"].isna()
@@ -439,14 +441,14 @@ def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
         n = batch["node"].to_numpy().astype(np.int64)
         return pa.table({"node": pa.array(n), "cand": batch["cand"].cast(pa.int64()),
                          "old": pa.nulls(n.size, pa.int64()),
-                         "nbkt": pa.array(_cc_bkt(n))})
+                         "nbkt": pa.array(_cc_bkt(n, n_buckets))})
 
     def tag_old(batch: pa.Table) -> pa.Table:
         n = batch["node"].to_numpy().astype(np.int64)
         return pa.table({"node": pa.array(n),
                          "cand": batch["lab"].cast(pa.int64()),
                          "old": batch["lab"].cast(pa.int64()),
-                         "nbkt": pa.array(_cc_bkt(n))})
+                         "nbkt": pa.array(_cc_bkt(n, n_buckets))})
 
     def min_merge(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node", sort=False)
@@ -457,16 +459,55 @@ def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
                              "lab": new.to_numpy().astype(np.int64),
                              "changed": changed})
 
+    # shortcut pass: co-locate each pointer row (node -> lab) with lab's own
+    # label row (lab -> lab[lab]) by bucketing BOTH by hash(lab-as-node-id)
+    def tag_ptr(batch: pa.Table) -> pa.Table:
+        lab = batch["lab"].to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(lab),
+                         "node": batch["node"].cast(pa.int64()),
+                         "plab": pa.nulls(lab.size, pa.int64()),
+                         "sbkt": pa.array(_cc_bkt(lab, n_buckets))})
+
+    def tag_parent(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(n),
+                         "node": pa.nulls(n.size, pa.int64()),
+                         "plab": batch["lab"].cast(pa.int64()),
+                         "sbkt": pa.array(_cc_bkt(n, n_buckets))})
+
+    def shortcut_merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_parent = df["node"].isna()
+        parents = df.loc[is_parent, ["key", "plab"]]
+        ptrs = df.loc[~is_parent, ["key", "node"]]
+        m = ptrs.merge(parents, on="key", how="left")
+        # every lab IS some labeled node, so plab is always present; guard
+        # with the lab itself for robustness
+        lab = m["plab"].fillna(m["key"]).to_numpy().astype(np.int64)
+        return pd.DataFrame({"node": m["node"].to_numpy().astype(np.int64),
+                             "lab": lab,
+                             "changed": np.zeros(len(m), np.int64)})
+
     for _ in range(max_rounds):
         tagged_lab = labels.map_batches(tag_labels_for_join, batch_format="pyarrow")
         msgs = (edges.union(tagged_lab).groupby("bkt")
                 .map_groups(join_msgs, batch_format="pandas")
                 .map_batches(tag_msgs, batch_format="pyarrow"))
         olds = labels.map_batches(tag_old, batch_format="pyarrow")
+        # repartition caps the block count: union doubles blocks and a
+        # groupby's output partition count tracks its INPUT block count, so
+        # without the cap blocks (and the per-round blocks x partitions
+        # sort-shuffle cost) grow geometrically — measured 3.6 s -> 20 s ->
+        # 276 s over three rounds before the cap
         labels = (msgs.union(olds).groupby("nbkt")
-                  .map_groups(min_merge, batch_format="pandas").materialize())
+                  .map_groups(min_merge, batch_format="pandas")
+                  .repartition(n_buckets).materialize())
         if labels.sum("changed") == 0:
             return labels.select_columns(["node", "lab"])
+        ptrs = labels.map_batches(tag_ptr, batch_format="pyarrow")
+        parents = labels.map_batches(tag_parent, batch_format="pyarrow")
+        labels = (ptrs.union(parents).groupby("sbkt")
+                  .map_groups(shortcut_merge, batch_format="pandas")
+                  .repartition(n_buckets).materialize())
     raise RuntimeError(f"distributed CC did not converge in {max_rounds} rounds")
 
 
@@ -536,11 +577,13 @@ def _dedup_semantic_distributed(sf_dir: str, pairs_ds):
        cluster_size=count) directly;
     2. singletons (vec_ids in no edge) come from a bucketed anti-join of
        the embeddings id column against the labeled nodes."""
+    n_rows = _read(sf_dir, "embeddings", ["vec_id"]).count()  # metadata-only
+    nb = max(8, n_rows // 2_000_000)
     labels = cc_labels_distributed(pairs_ds)
 
     def tag_by_lab(batch: pa.Table) -> pa.Table:
         lab = batch["lab"].to_numpy().astype(np.int64)
-        return pa.table({"lab": pa.array(lab), "lbkt": pa.array(_cc_bkt(lab))})
+        return pa.table({"lab": pa.array(lab), "lbkt": pa.array(_cc_bkt(lab, nb))})
 
     def per_lab(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("lab", sort=False).size()
@@ -554,13 +597,13 @@ def _dedup_semantic_distributed(sf_dir: str, pairs_ds):
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         return pa.table({"vec_id": pa.array(ids),
                          "is_node": pa.array(np.zeros(ids.size, np.int64)),
-                         "abkt": pa.array(_cc_bkt(ids))})
+                         "abkt": pa.array(_cc_bkt(ids, nb))})
 
     def tag_nodes(batch: pa.Table) -> pa.Table:
         n = batch["node"].to_numpy().astype(np.int64)
         return pa.table({"vec_id": pa.array(n),
                          "is_node": pa.array(np.ones(n.size, np.int64)),
-                         "abkt": pa.array(_cc_bkt(n))})
+                         "abkt": pa.array(_cc_bkt(n, nb))})
 
     def anti(df: pd.DataFrame) -> pd.DataFrame:
         nodes = df.loc[df.is_node == 1, "vec_id"].to_numpy()
