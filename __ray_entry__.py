@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_regex": textops.token_count_regex,
         "inverted_index_documents": textops.inverted_index_documents,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "normalize_text_documents": textops.normalize_text_documents,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_regex": textops.TOKEN_REGEX_SQL,
         "inverted_index_documents": textops.INVERTED_INDEX_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
+        "normalize_text_documents": textops.NORMALIZE_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,

@@ -997,3 +997,36 @@ SELECT doc_id, token AS top_term, score
 FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the §2.2 parser/cleaner stage of ingest pipelines
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_documents(sf_dir: str):
+    """Canonical text cleanup: lowercase → strip non-[a-z0-9 ] → collapse
+    runs of spaces → trim. Pure zero-copy ``pyarrow.compute`` kernels (both
+    engines run RE2, so regex semantics match the oracle byte-for-byte) —
+    the shape of every normalization/parsing pass in a training-data ingest
+    pipeline: stateless, vectorized, no shuffle."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(batch["text"])
+        x = pc.replace_substring_regex(x, "[^a-z0-9 ]", "")
+        x = pc.replace_substring_regex(x, " +", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NORMALIZE_SQL = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      ' +', ' ', 'g')) AS norm_text
+FROM documents
+"""
