@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_pricing_summary": relq.rollup_pricing_summary,
         "filter_project_revenue": relq.filter_project_revenue,
         "corr_price_quantity_by_flag": relq.corr_price_quantity_by_flag,
+        "corr_matrix_lineitem": relq.corr_matrix_lineitem,
+        "entropy_categoricals": relq.entropy_categoricals,
         # joins (SURVEY §2.5)
         "join_broadcast_nation_revenue": relq.join_broadcast_nation_revenue,
         "join_large_priority_revenue": relq.join_large_priority_revenue,
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing_summary": relq.ROLLUP_SQL,
         "filter_project_revenue": relq.FILTER_PROJECT_SQL,
         "corr_price_quantity_by_flag": relq.CORR_SQL,
+        "corr_matrix_lineitem": relq.CORR_MATRIX_SQL,
+        "entropy_categoricals": relq.ENTROPY_SQL,
         "join_broadcast_nation_revenue": relq.JOIN_BROADCAST_SQL,
         "join_large_priority_revenue": relq.JOIN_LARGE_SQL,
         "topk_orders": relq.TOPK_SQL,

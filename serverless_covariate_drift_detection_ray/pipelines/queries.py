@@ -1897,6 +1897,102 @@ def corr_price_quantity_by_flag(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def corr_matrix_lineitem(sf_dir: str):
+    """Full pairwise correlation matrix over the numeric lineitem columns in
+    ONE streaming pass: each block contributes (n, Σx, XᵀX) moment partials
+    (d + d² doubles regardless of block height — the PCA-partial shape,
+    functions/pca.py), the driver merge is O(blocks · d²), and every pairwise
+    corr falls out of the merged covariance. The one-pass-all-pairs sibling
+    of corr_price_quantity_by_flag."""
+    from ..functions.pca import pca_partials
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    d = len(cols)
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.column_stack([batch[c].to_numpy() for c in cols])
+        n, s, g = pca_partials(x)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "s": pa.array([s.tobytes()], pa.binary()),
+                         "g": pa.array([g.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    n = int(parts.n.sum())
+    s = np.sum([np.frombuffer(b, np.float64) for b in parts.s], axis=0)
+    g = np.sum([np.frombuffer(b, np.float64).reshape(d, d) for b in parts.g],
+               axis=0)
+    cov = g - np.outer(s, s) / max(n, 1)
+    sd = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(sd, sd)
+    ia, ib = np.triu_indices(d, k=1)
+    return pa.table({
+        "col_a": pa.array([cols[i] for i in ia]),
+        "col_b": pa.array([cols[j] for j in ib]),
+        "n": pa.array(np.full(ia.size, n, dtype=np.int64)),
+        "corr": pa.array(_round(corr[ia, ib], 6)),
+    })
+
+
+CORR_MATRIX_SQL = """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, COUNT(*) AS n,
+  FLOOR(CORR(l_quantity, l_extendedprice)*1000000+0.5)/1000000 AS corr FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount', COUNT(*),
+  FLOOR(CORR(l_quantity, l_discount)*1000000+0.5)/1000000 FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax', COUNT(*),
+  FLOOR(CORR(l_quantity, l_tax)*1000000+0.5)/1000000 FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount', COUNT(*),
+  FLOOR(CORR(l_extendedprice, l_discount)*1000000+0.5)/1000000 FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax', COUNT(*),
+  FLOOR(CORR(l_extendedprice, l_tax)*1000000+0.5)/1000000 FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax', COUNT(*),
+  FLOOR(CORR(l_discount, l_tax)*1000000+0.5)/1000000 FROM lineitem
+"""
+
+
+def entropy_categoricals(sf_dir: str):
+    """Shannon entropy of categorical columns (event_type, o_orderpriority):
+    per-block value-count partials pre-aggregate inside ``map_batches`` and
+    only (distinct-value × block) rows reach the tiny groupby — the
+    cardinality profiler behind column-drift scoring."""
+    from ray.data.aggregate import Sum
+
+    specs = [("events", "event_type"), ("orders", "o_orderpriority")]
+    rows = []
+    for table, col in specs:
+        ds = _read(sf_dir, table, [col])
+
+        def partial(batch: pa.Table, col=col) -> pa.Table:
+            v, c = np.unique(batch[col].to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            return pa.table({"v": pa.array(v.astype(object), pa.string()),
+                             "c": pa.array(c.astype(np.int64))})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                             ).groupby("v").aggregate(Sum("c", alias_name="c"))
+        c = agg.to_pandas()["c"].to_numpy().astype(np.float64)
+        p = c / c.sum()
+        rows.append({"column_name": col, "n": int(c.sum()),
+                     "entropy": float(_round(-(p * np.log(p)).sum(), 6))})
+    return pa.Table.from_pylist(rows)
+
+
+ENTROPY_SQL = """
+WITH e AS (SELECT event_type AS v, COUNT(*)::DOUBLE AS c FROM events GROUP BY 1),
+o AS (SELECT o_orderpriority AS v, COUNT(*)::DOUBLE AS c FROM orders GROUP BY 1)
+SELECT 'event_type' AS column_name, SUM(c)::BIGINT AS n,
+  FLOOR(-SUM((c / (SELECT SUM(c) FROM e)) * ln(c / (SELECT SUM(c) FROM e)))
+        * 1000000 + 0.5) / 1000000 AS entropy
+FROM e
+UNION ALL
+SELECT 'o_orderpriority', SUM(c)::BIGINT,
+  FLOOR(-SUM((c / (SELECT SUM(c) FROM o)) * ln(c / (SELECT SUM(c) FROM o)))
+        * 1000000 + 0.5) / 1000000
+FROM o
+"""
+
+
 CORR_SQL = """
 SELECT l_returnflag, COUNT(*) AS n,
   FLOOR(CORR(l_extendedprice, l_quantity)*1000000+0.5)/1000000 AS corr_xy
