@@ -403,6 +403,11 @@ def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
         b = batch["vec_b"].to_numpy().astype(np.int64)
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
+        if src.size and int(src.max()) >= (1 << 53):
+            # ids ride through pandas nullable-int -> float64 in the bucket
+            # merges; >= 2^53 would silently lose low bits and corrupt
+            # components — fail loudly (the minhash composite-key convention)
+            raise ValueError("node id >= 2^53: float64 round-trip would alias")
         return pa.table({"src": pa.array(src), "dst": pa.array(dst),
                          "lab": pa.nulls(src.size, pa.int64()),
                          "bkt": pa.array(_cc_bkt(src, n_buckets))})
@@ -501,7 +506,9 @@ def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
         labels = (msgs.union(olds).groupby("nbkt")
                   .map_groups(min_merge, batch_format="pandas")
                   .repartition(n_buckets).materialize())
-        if labels.sum("changed") == 0:
+        # Dataset.sum returns None on an empty dataset — an empty pair list
+        # is trivially converged, not a non-convergence
+        if not labels.sum("changed"):
             return labels.select_columns(["node", "lab"])
         ptrs = labels.map_batches(tag_ptr, batch_format="pyarrow")
         parents = labels.map_batches(tag_parent, batch_format="pyarrow")
@@ -577,8 +584,9 @@ def _dedup_semantic_distributed(sf_dir: str, pairs_ds):
        cluster_size=count) directly;
     2. singletons (vec_ids in no edge) come from a bucketed anti-join of
        the embeddings id column against the labeled nodes."""
-    n_rows = _read(sf_dir, "embeddings", ["vec_id"]).count()  # metadata-only
-    nb = max(8, n_rows // 2_000_000)
+    from .queries import _salt_buckets
+
+    nb = _salt_buckets(sf_dir, "embeddings")
     labels = cc_labels_distributed(pairs_ds)
 
     def tag_by_lab(batch: pa.Table) -> pa.Table:

@@ -1959,19 +1959,30 @@ def entropy_categoricals(sf_dir: str):
     from ray.data.aggregate import Sum
 
     specs = [("events", "event_type"), ("orders", "o_orderpriority")]
-    rows = []
-    for table, col in specs:
-        ds = _read(sf_dir, table, [col])
 
-        def partial(batch: pa.Table, col=col) -> pa.Table:
+    def make_partial(col):
+        def partial(batch: pa.Table) -> pa.Table:
             v, c = np.unique(batch[col].to_numpy(zero_copy_only=False),
                              return_counts=True)
-            return pa.table({"v": pa.array(v.astype(object), pa.string()),
-                             "c": pa.array(c.astype(np.int64))})
+            return pa.table({
+                "column_name": pa.array(np.full(v.size, col, object), pa.string()),
+                "v": pa.array(v.astype(object), pa.string()),
+                "c": pa.array(c.astype(np.int64)),
+            })
+        return partial
 
-        agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
-                             ).groupby("v").aggregate(Sum("c", alias_name="c"))
-        c = agg.to_pandas()["c"].to_numpy().astype(np.float64)
+    # one tagged-union pipeline for both tables — pays a single pipeline's
+    # fixed latency instead of one per table (the uniqueness_pk pattern)
+    parts = None
+    for table, col in specs:
+        p = _read(sf_dir, table, [col]).map_batches(
+            make_partial(col), batch_format="pyarrow", zero_copy_batch=True)
+        parts = p if parts is None else parts.union(p)
+    agg = parts.groupby(["column_name", "v"]).aggregate(
+        Sum("c", alias_name="c")).to_pandas()
+    rows = []
+    for _, col in specs:
+        c = agg.loc[agg.column_name == col, "c"].to_numpy().astype(np.float64)
         p = c / c.sum()
         rows.append({"column_name": col, "n": int(c.sum()),
                      "entropy": float(_round(-(p * np.log(p)).sum(), 6))})
