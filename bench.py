@@ -128,7 +128,10 @@ def main() -> None:
         for _ in range(rounds):
             for ncpu in (lo, hi):
                 env = dict(
-                    os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1"
+                    os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1",
+                    # interleaved rounds already take best-per-level; 2 passes
+                    # per subprocess keeps the scaling run's cost unchanged
+                    GRAFT_HEADLINE_ROUNDS=os.environ.get("GRAFT_HEADLINE_ROUNDS", "2"),
                 )
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)], env=env,
