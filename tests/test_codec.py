@@ -146,3 +146,23 @@ def test_resize_area_matches_cumsum_reference():
     for shape in [(28, 28), (16, 16), (128, 128), (160, 96), (31, 47), (7, 200)]:
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
         assert np.array_equal(_resize_area(img, 32, 32), resize_ref(img, 32, 32)), shape
+
+
+def test_phash64_batch_bit_identical_to_single():
+    """The 8-row-DCT batched hash must equal the per-image full-DCT hash
+    bit-for-bit — same 32-term dot products, different BLAS shapes."""
+    import numpy as np
+
+    from serverless_covariate_drift_detection_ray.functions.phash import (
+        phash64_batch,
+        phash_gray_small,
+    )
+    from serverless_covariate_drift_detection_ray.functions.phash import phash64
+
+    rng = np.random.Generator(np.random.PCG64(123))
+    imgs = [rng.uniform(0, 255, size=(h, w)).astype(np.float64)
+            for h, w in [(32, 32), (64, 48), (96, 128), (40, 40)] * 8]
+    smalls = np.stack([phash_gray_small(im) for im in imgs])
+    batch = phash64_batch(smalls)
+    single = np.array([phash64(im) for im in imgs], dtype=np.int64)
+    assert np.array_equal(batch, single)
