@@ -19,7 +19,13 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-from serverless_covariate_drift_detection_ray.pipelines import ann, classify, dimred, textops
+from serverless_covariate_drift_detection_ray.pipelines import (
+    ann,
+    classify,
+    dimred,
+    streaming,
+    textops,
+)
 from serverless_covariate_drift_detection_ray.pipelines import queries as relq
 
 
@@ -95,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_1h_events": relq.rolling_1h_events,
         "event_gaps_per_user": relq.event_gaps_per_user,
         "dedup_events_debounce": relq.dedup_events_debounce,
+        "streaming_running_totals": streaming.streaming_running_totals,
         "funnel_view_click_purchase": relq.funnel_view_click_purchase,
         "topn_orders_per_priority": relq.topn_orders_per_priority,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
@@ -184,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_1h_events": relq.ROLLING_SQL,
         "event_gaps_per_user": relq.EVENT_GAPS_SQL,
         "dedup_events_debounce": relq.DEBOUNCE_SQL,
+        "streaming_running_totals": streaming.STREAMING_TOTALS_SQL,
         "funnel_view_click_purchase": relq.FUNNEL_SQL,
         "grouped_quantiles_flag": relq.GROUPED_QUANTILES_SQL,
         "outlier_counts_lineitem": relq.OUTLIER_SQL,

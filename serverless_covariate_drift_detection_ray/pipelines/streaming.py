@@ -1,0 +1,116 @@
+"""Ordered-log streaming with incremental actor state (SURVEY §2.9).
+
+Ray Data has no event-time windows or watermarks; the engine's window
+queries (pipelines/queries.py) therefore run as salted ``groupby(key)``
++ in-bucket sorts. This module adds the OTHER stream execution shape the
+Ray guide describes: treat the input as an ordered, partitioned log and
+feed time-ordered micro-batches to stateful bucket actors — the pattern a
+true incremental / can't-rebuffer stream needs (state survives across
+batches; each actor sees its keys' events in global ts order).
+
+Shape: ``ds.sort(ts_key)`` range-partitions the log; the driver streams
+the sorted batches (``iter_batches`` — nothing materializes) and routes
+each batch's per-bucket slice to one of N ``@ray.remote`` bucket actors.
+Ray guarantees in-order execution of tasks from one submitter to one
+actor, so every actor observes its slice of the log in ts order. On a
+multi-node cluster the driver loop becomes one feeder per log partition
+(document: the partitioning key must then co-locate a user's events in
+one partition — the same assumption Kafka consumers make).
+
+Raw actors are justified here (SURVEY §7 "hard parts"): Dataset
+``map_batches`` gives no cross-batch state or ordering guarantee, and
+``map_groups`` rebuffers a whole group — exactly what a streaming
+pipeline cannot do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+from .queries import _read, _round
+
+N_STREAM_BUCKETS = 8
+STREAM_BATCH_ROWS = 4096
+
+
+class _RunningTotals:
+    """Per-bucket incremental state: user_id -> (running_sum, max_running).
+
+    Plain class decorated at use site (ray.remote(cls)) so the kernel stays
+    unit-testable without Ray."""
+
+    def __init__(self):
+        self.sum: dict[int, float] = {}
+        self.peak: dict[int, float] = {}
+
+    def process(self, users: np.ndarray, values: np.ndarray) -> int:
+        """Consume one time-ordered micro-batch slice. Python-level loop over
+        rows is acceptable here ONLY because each bucket actor sees ~1/N of
+        the stream and the op is a demo of the stateful shape; a hot path
+        would segment by user inside the batch and np.maximum.accumulate."""
+        s, p = self.sum, self.peak
+        for u, v in zip(users.tolist(), values.tolist()):
+            ns = s.get(u, 0.0) + v
+            s[u] = ns
+            if ns > p.get(u, -np.inf):
+                p[u] = ns
+        return len(users)
+
+    def finish(self) -> pd.DataFrame:
+        users = sorted(self.sum)
+        return pd.DataFrame({
+            "user_id": np.asarray(users, dtype=np.int64),
+            "total": np.asarray([self.sum[u] for u in users]),
+            "max_running": np.asarray([self.peak[u] for u in users]),
+        })
+
+
+def streaming_running_totals(sf_dir: str):
+    """Per-user total + peak running sum over the ts-ordered events log,
+    computed INCREMENTALLY by bucket actors fed in stream order — the
+    stateful-streaming twin of ``running_sum_events`` (which rebuffers each
+    user's history per group). Oracled via SQL window functions."""
+    import ray
+
+    ds = (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+          .sort(["ts", "event_id"]))
+
+    actor_cls = ray.remote(_RunningTotals)
+    actors = [actor_cls.remote() for _ in range(N_STREAM_BUCKETS)]
+    pending: list = []
+    for batch in ds.iter_batches(batch_size=STREAM_BATCH_ROWS,
+                                 batch_format="pyarrow"):
+        users = batch["user_id"].to_numpy()
+        values = batch["value"].to_numpy()
+        bkt = (hash64(users) % N_STREAM_BUCKETS).astype(np.int64)
+        for b in np.unique(bkt):
+            sel = bkt == b
+            # same-submitter → same-actor tasks run in submission order, so
+            # each actor sees its users' events in global ts order
+            pending.append(actors[int(b)].process.remote(users[sel], values[sel]))
+        if len(pending) > 4 * N_STREAM_BUCKETS:  # backpressure the feed
+            ready, pending = ray.wait(pending, num_returns=len(pending) // 2)
+            list(ready)
+    ray.get(pending)
+    out = pd.concat(ray.get([a.finish.remote() for a in actors]),
+                    ignore_index=True)
+    out["total"] = _round(out["total"].to_numpy(), 2)
+    out["max_running"] = _round(out["max_running"].to_numpy(), 2)
+    return pa.Table.from_pandas(out.sort_values("user_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
+STREAMING_TOTALS_SQL = """
+WITH rs AS (
+  SELECT user_id, value,
+    SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run
+  FROM events)
+SELECT user_id,
+  FLOOR(SUM(value)*100+0.5)/100 AS total,
+  FLOOR(MAX(run)*100+0.5)/100 AS max_running
+FROM rs GROUP BY user_id
+"""
