@@ -98,7 +98,12 @@ class TableManifest:
 
 def write_fragment(root: str, fragment_id: int, partition_id: int, table: pa.Table) -> FragmentInfo:
     fname = f"frag-{fragment_id:05d}.parquet"
-    pq.write_table(table, os.path.join(root, fname), compression="zstd")
+    # the bytes column holds already-compressed codec payloads (PNG/lossy8):
+    # zstd on top saved a measured 0.3% size while charging a full
+    # decompress of the table's dominant column on EVERY read — store it
+    # uncompressed, keep zstd for the (compressible) metadata columns
+    comp = {c: ("NONE" if c == "bytes" else "ZSTD") for c in table.column_names}
+    pq.write_table(table, os.path.join(root, fname), compression=comp)
     return FragmentInfo(id=fragment_id, file=fname, rows=table.num_rows, partition_id=partition_id)
 
 
