@@ -40,7 +40,7 @@ def _init_ray():
     return ray
 
 
-def run_headline() -> dict:
+def run_headline(rounds: int | None = None) -> dict:
     """Time the validation pass (not fixture gen / fit) over the bench fixture."""
     from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
     from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
@@ -67,7 +67,8 @@ def run_headline() -> dict:
     # lottery; both walls are reported for transparency
     # 3 rounds: warm-up effects persist into round 2 (measured 28.4/24.2/23.6
     # monotone decrease in a quiet window); round 3 is the honest warm floor
-    rounds = int(os.environ.get("GRAFT_HEADLINE_ROUNDS", "3"))
+    if rounds is None:
+        rounds = int(os.environ.get("GRAFT_HEADLINE_ROUNDS", "3"))
     best, walls = None, []
     for _ in range(max(1, rounds)):
         out_dir = f"/tmp/scdd_bench/{BENCH_SCALE}/out-{NUM_CPUS}"
@@ -110,7 +111,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         # pre-generate fixture + ref state once so subprocesses only validate
         _init_ray()
-        run_headline()
+        run_headline(rounds=1)  # pre-gen only: fixture + ref state + warm cache
         import ray
 
         ray.shutdown()

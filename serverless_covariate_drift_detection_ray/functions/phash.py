@@ -84,14 +84,12 @@ def phash64(img: np.ndarray) -> int:
     float64 with ONE final division; median of 63 values == partition[31];
     MSB-first shift-accumulate == packbits) — required because stored phash
     columns are verified against recomputation at Hamming tolerance 0, so
-    generator and verifier must share this exact formulation."""
-    small = phash_gray_small(img)
-    coeffs = _DCT @ small @ _DCT.T
-    flat = coeffs[:8, :8].ravel()
-    sel = np.concatenate([flat[1:8], coeffs[1:8, :8].ravel()])  # exclude DC row 0
-    med = np.partition(sel, 31)[31]  # exact median of 63 values
-    out = int.from_bytes(np.packbits(flat > med).tobytes(), "big")
-    return out - (1 << 64) if out >= (1 << 63) else out
+    generator and verifier must share ONE formulation: this delegates to
+    ``phash64_batch`` (the verifier's kernel), making the bit-identity hold
+    by construction rather than empirically (the batched kernel groups the
+    DCT product as D8 @ (S @ D8ᵀ), a different float summation grouping
+    than the former (D @ S) @ Dᵀ here)."""
+    return int(phash64_batch(phash_gray_small(img)[None, :, :])[0])
 
 
 def phash_gray_small(img: np.ndarray) -> np.ndarray:

@@ -403,7 +403,7 @@ def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
         b = batch["vec_b"].to_numpy().astype(np.int64)
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
-        if src.size and int(src.max()) >= (1 << 53):
+        if src.size and int(np.abs(src).max()) >= (1 << 53):
             # ids ride through pandas nullable-int -> float64 in the bucket
             # merges; >= 2^53 would silently lose low bits and corrupt
             # components — fail loudly (the minhash composite-key convention)

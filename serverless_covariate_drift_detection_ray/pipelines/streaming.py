@@ -74,6 +74,7 @@ def streaming_running_totals(sf_dir: str):
     stateful-streaming twin of ``running_sum_events`` (which rebuffers each
     user's history per group). Oracled via SQL window functions."""
     import ray
+    from ray.data import DataContext
 
     ds = (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
           .sort(["ts", "event_id"]))
@@ -81,20 +82,31 @@ def streaming_running_totals(sf_dir: str):
     actor_cls = ray.remote(_RunningTotals)
     actors = [actor_cls.remote() for _ in range(N_STREAM_BUCKETS)]
     pending: list = []
-    for batch in ds.iter_batches(batch_size=STREAM_BATCH_ROWS,
-                                 batch_format="pyarrow"):
-        users = batch["user_id"].to_numpy()
-        values = batch["value"].to_numpy()
-        bkt = (hash64(users) % N_STREAM_BUCKETS).astype(np.int64)
-        for b in np.unique(bkt):
-            sel = bkt == b
-            # same-submitter → same-actor tasks run in submission order, so
-            # each actor sees its users' events in global ts order
-            pending.append(actors[int(b)].process.remote(users[sel], values[sel]))
-        if len(pending) > 4 * N_STREAM_BUCKETS:  # backpressure the feed
-            ready, pending = ray.wait(pending, num_returns=len(pending) // 2)
-            list(ready)
-    ray.get(pending)
+    # the in-order feed REQUIRES preserve_order: with the default (False)
+    # the streaming executor may yield sorted blocks out of completion
+    # order, silently corrupting max_running. The flag only matters while
+    # the iterator is consumed, so it is restored after the feed loop.
+    ctx = DataContext.get_current()
+    prior = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        for batch in ds.iter_batches(batch_size=STREAM_BATCH_ROWS,
+                                     batch_format="pyarrow"):
+            users = batch["user_id"].to_numpy()
+            values = batch["value"].to_numpy()
+            bkt = (hash64(users) % N_STREAM_BUCKETS).astype(np.int64)
+            for b in np.unique(bkt):
+                sel = bkt == b
+                # same-submitter → same-actor tasks run in submission order,
+                # so each actor sees its users' events in global ts order
+                pending.append(
+                    actors[int(b)].process.remote(users[sel], values[sel]))
+            if len(pending) > 4 * N_STREAM_BUCKETS:  # backpressure the feed
+                ready, pending = ray.wait(pending, num_returns=len(pending) // 2)
+                list(ready)
+        ray.get(pending)
+    finally:
+        ctx.execution_options.preserve_order = prior
     out = pd.concat(ray.get([a.finish.remote() for a in actors]),
                     ignore_index=True)
     out["total"] = _round(out["total"].to_numpy(), 2)

@@ -148,21 +148,33 @@ def test_resize_area_matches_cumsum_reference():
         assert np.array_equal(_resize_area(img, 32, 32), resize_ref(img, 32, 32)), shape
 
 
-def test_phash64_batch_bit_identical_to_single():
-    """The 8-row-DCT batched hash must equal the per-image full-DCT hash
-    bit-for-bit — same 32-term dot products, different BLAS shapes."""
+def test_phash64_batch_matches_naive_full_dct():
+    """The 8-row-DCT batched kernel vs an independent naive full-DCT
+    reimplementation. The engine's hard invariant (generator == verifier)
+    holds BY CONSTRUCTION — phash64 delegates to phash64_batch — so this
+    pins the kernel against an independent formulation instead (exact
+    agreement measured on random + 32k real fixture images; a failure here
+    would flag ULP sensitivity near the median, not an engine bug)."""
     import numpy as np
 
     from serverless_covariate_drift_detection_ray.functions.phash import (
+        _DCT,
         phash64_batch,
         phash_gray_small,
     )
-    from serverless_covariate_drift_detection_ray.functions.phash import phash64
+
+    def naive(small):
+        coeffs = (_DCT @ small) @ _DCT.T
+        flat = coeffs[:8, :8].ravel()
+        sel = np.concatenate([flat[1:8], coeffs[1:8, :8].ravel()])
+        med = np.partition(sel, 31)[31]
+        out = int.from_bytes(np.packbits(flat > med).tobytes(), "big")
+        return out - (1 << 64) if out >= (1 << 63) else out
 
     rng = np.random.Generator(np.random.PCG64(123))
     imgs = [rng.uniform(0, 255, size=(h, w)).astype(np.float64)
             for h, w in [(32, 32), (64, 48), (96, 128), (40, 40)] * 8]
     smalls = np.stack([phash_gray_small(im) for im in imgs])
     batch = phash64_batch(smalls)
-    single = np.array([phash64(im) for im in imgs], dtype=np.int64)
-    assert np.array_equal(batch, single)
+    ref = np.array([naive(s) for s in smalls], dtype=np.int64)
+    assert np.array_equal(batch, ref)
