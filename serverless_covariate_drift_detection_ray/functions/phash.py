@@ -118,9 +118,13 @@ def phash64_batch(smalls: np.ndarray) -> np.ndarray:
     the first 8 DCT rows: two LARGE dgemms over (n*32, 32) @ (32, 8) shapes
     instead of 2n stacked (32,32) dgemms — 8x fewer flops and ~4x less
     fresh-allocation traffic (first-touch page faults dominate this host,
-    see _popcount64_inplace). Verified bit-identical to ``phash64`` per
-    slice over the 400k-image bench fixture and by the unit property test —
-    each output coefficient is the same 32-term dot product."""
+    see _popcount64_inplace). NOTE the float grouping differs from a naive
+    (D @ S) @ Dᵀ (the 1024-term bilinear form sums l-first here vs k-first
+    there), so agreement with that formulation is empirical (exact on this
+    BLAS over the 400k-image fixture + random images). The engine's
+    Hamming-0 invariant does NOT depend on it: ``phash64`` (the generator's
+    hash) delegates here, so generator and verifier share this exact
+    kernel by construction."""
     global _DCT8
     n = smalls.shape[0]
     if n == 0:

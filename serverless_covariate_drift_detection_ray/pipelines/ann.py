@@ -527,9 +527,14 @@ def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
     smaller than the corpus at a real tau — pairs stream from the distributed
     emitter and only the edge list (2 int64/pair, gated at EMB_CC_MAX_PAIRS)
     lands on the driver for the CC solve; survivors are then emitted by a
-    distributed filter against the broadcast dropped-id set. Above the gate
-    the LSH-bucketed candidate generator bounds the edge list first
-    (ann_lsh_bucketed's Bucketize + per-bucket verify)."""
+    distributed filter against the broadcast dropped-id set. Above the pair
+    gate the CC itself runs distributed (cc_labels_distributed). The CORPUS
+    gate is the exact pair emitter's (NEARDUP_BROADCAST_MAX_DOCS — it
+    raises, honestly, beyond it): scaling past that means swapping in a
+    bounded candidate generator (the LSH banding of ann_lsh_bucketed plus a
+    within-bucket verify, exactly the machinery the phash near-dup path
+    already runs distributed) — the plumbing downstream of the pair Dataset
+    is generator-agnostic."""
     import ray
 
     from ..functions.graph import cc_min_label

@@ -179,6 +179,10 @@ def label_centroids_embeddings(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    # sort before the groupby-sum: partials arrive in task-completion order
+    # and float addition is not associative (the _moments_dataset rule)
+    parts = parts.sort_values(["label", "dim", "n", "s"],
+                              kind="mergesort").reset_index(drop=True)
     m = parts.groupby(["label", "dim"], as_index=False)[["s", "n"]].sum()
     out = pd.DataFrame({"label": m.label.to_numpy(), "dim": m.dim.to_numpy(),
                         "mean": _round(m.s.to_numpy() / m.n.to_numpy(), 6)})

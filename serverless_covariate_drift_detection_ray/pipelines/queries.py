@@ -1919,6 +1919,9 @@ def corr_matrix_lineitem(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    # sort partials before summing: float addition is not associative and
+    # blocks arrive in task-completion order (the _moments_dataset rule)
+    parts = parts.sort_values(["n", "s", "g"], kind="mergesort").reset_index(drop=True)
     n = int(parts.n.sum())
     s = np.sum([np.frombuffer(b, np.float64) for b in parts.s], axis=0)
     g = np.sum([np.frombuffer(b, np.float64).reshape(d, d) for b in parts.g],
@@ -1962,7 +1965,10 @@ def entropy_categoricals(sf_dir: str):
 
     def make_partial(col):
         def partial(batch: pa.Table) -> pa.Table:
-            v, c = np.unique(batch[col].to_numpy(zero_copy_only=False),
+            # NULL categories count as their own group (the oracle's GROUP BY
+            # semantics); np.unique cannot sort None against str
+            vals = pc.fill_null(batch[col], "(null)")
+            v, c = np.unique(vals.to_numpy(zero_copy_only=False),
                              return_counts=True)
             return pa.table({
                 "column_name": pa.array(np.full(v.size, col, object), pa.string()),
@@ -2128,8 +2134,10 @@ def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
     pass 2 streams per-block ``np.bincount`` partials that sum into the final
     counts — the exact anchor for the sketch histogram the validation DAG
     uses. Bucket math is pure IEEE double subtract/divide/floor, identical
-    expressions in both engines, so parity is bit-exact (no rounding gate
-    needed, unlike log-based scores)."""
+    expressions in both engines, so parity is bit-exact for non-degenerate
+    input (no rounding gate needed, unlike log-based scores); the
+    constant-column case is handled on both sides (engine w==0 branch,
+    oracle GREATEST guard → bucket 0)."""
     from ray.data.aggregate import Max, Min, Sum
 
     mm = _read(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
@@ -2165,7 +2173,10 @@ HISTOGRAM_SQL = """
 WITH b AS (
   SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem),
 h AS (
-  SELECT LEAST(FLOOR((l_extendedprice - b.mn) / ((b.mx - b.mn) / 16))::BIGINT,
+  -- GREATEST guards the constant-column case (mx == mn): 0/tiny = 0, so
+  -- every row lands in bucket 0, matching the engine's w==0 branch
+  SELECT LEAST(FLOOR((l_extendedprice - b.mn)
+                     / GREATEST((b.mx - b.mn) / 16, 1e-300))::BIGINT,
                15) AS bucket
   FROM lineitem, b)
 SELECT bucket,
