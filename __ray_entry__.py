@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregation / maps / filters (SURVEY §2.2-2.3)
         "q1_pricing_summary": relq.q1_pricing_summary,
         "rollup_pricing_summary": relq.rollup_pricing_summary,
+        "cube_pricing_summary": relq.cube_pricing_summary,
+        "month_histogram_orders": relq.month_histogram_orders,
+        "unpivot_lineitem_measures": relq.unpivot_lineitem_measures,
+        "json_extract_events": relq.json_extract_events,
         "filter_project_revenue": relq.filter_project_revenue,
         "corr_price_quantity_by_flag": relq.corr_price_quantity_by_flag,
         "corr_matrix_lineitem": relq.corr_matrix_lineitem,
@@ -104,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_running_totals": streaming.streaming_running_totals,
         "funnel_view_click_purchase": relq.funnel_view_click_purchase,
         "topn_orders_per_priority": relq.topn_orders_per_priority,
+        "rank_orders_dense": relq.rank_orders_dense,
+        "latest_order_per_customer": relq.latest_order_per_customer,
+        "antijoin_customers_no_orders": relq.antijoin_customers_no_orders,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
         "range_join_price_bands": relq.range_join_price_bands,
         "semijoin_orders_build_nation": relq.semijoin_orders_build_nation,
@@ -164,6 +171,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": relq.Q1_SQL,
         "rollup_pricing_summary": relq.ROLLUP_SQL,
+        "cube_pricing_summary": relq.CUBE_SQL,
+        "month_histogram_orders": relq.MONTH_HIST_SQL,
+        "unpivot_lineitem_measures": relq.UNPIVOT_SQL,
+        "json_extract_events": relq.JSON_EXTRACT_SQL,
+        "rank_orders_dense": relq.RANK_DENSE_SQL,
+        "latest_order_per_customer": relq.LATEST_ORDER_SQL,
+        "antijoin_customers_no_orders": relq.ANTIJOIN_SQL,
         "filter_project_revenue": relq.FILTER_PROJECT_SQL,
         "corr_price_quantity_by_flag": relq.CORR_SQL,
         "corr_matrix_lineitem": relq.CORR_MATRIX_SQL,

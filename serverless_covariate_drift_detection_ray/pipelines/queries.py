@@ -2246,3 +2246,312 @@ SELECT
                    AND t_purchase > t_click) AS n_view_click_purchase
 FROM first_ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Coverage widening (round 2, session 3): grouping sets (CUBE), date
+# bucketing, window DENSE_RANK, JSON/regex field extraction, UNPIVOT,
+# distributed anti-join, argmax-per-key (SURVEY.md §2.2 / §2.6).
+# ---------------------------------------------------------------------------
+
+
+def cube_pricing_summary(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus): all four grouping sets.
+
+    Same scale shape as ``rollup_pricing_summary``: the wide input is scanned
+    ONCE for the leaf-level partial aggregate; the three coarser grouping
+    sets are post-aggregations of the group-cardinality-sized leaf on the
+    driver — no second scan, no extra shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = {k: pc.fill_null(batch[k], "(null)")
+                for k in ("l_returnflag", "l_linestatus")}
+        t = pa.table({**keys, "l_quantity": batch["l_quantity"]})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "count_order"])
+
+    from ray.data.aggregate import Sum
+
+    leaf = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    by_flag = (leaf.groupby("l_returnflag", as_index=False)
+               [["sum_qty", "count_order"]].sum().assign(l_linestatus="ALL"))
+    by_status = (leaf.groupby("l_linestatus", as_index=False)
+                 [["sum_qty", "count_order"]].sum().assign(l_returnflag="ALL"))
+    grand = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                          "sum_qty": [leaf.sum_qty.sum()],
+                          "count_order": [leaf.count_order.sum()]})
+    out = pd.concat([leaf, by_flag, by_status, grand], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]]
+    out["sum_qty"] = _round(out.sum_qty, 2)
+    out["count_order"] = out.count_order.astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CUBE_SQL = """
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+       ELSE COALESCE(l_returnflag, '(null)') END AS l_returnflag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+       ELSE COALESCE(l_linestatus, '(null)') END AS l_linestatus,
+  FLOOR(SUM(l_quantity)*100+0.5)/100 AS sum_qty,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def month_histogram_orders(sf_dir: str):
+    """Date-bucketed aggregate (DATE_TRUNC shape): per-batch partial counts
+    keyed by the 'YYYY-MM' truncation, then a month-cardinality groupby —
+    the time-series histogram every log pipeline needs. The truncation is a
+    vectorized Arrow strftime, never a Python per-row date walk."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.strftime(batch["o_orderdate"], format="%Y-%m")
+        t = pa.table({"month": m, "o_totalprice": batch["o_totalprice"]})
+        g = t.group_by(["month"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["month", "sum_price", "n_orders"])
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("month").aggregate(
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n_orders", alias_name="n_orders"),
+    ).to_pandas()
+    out["sum_price"] = _round(out.sum_price, 2)
+    out["n_orders"] = out.n_orders.astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+MONTH_HIST_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+  FLOOR(SUM(o_totalprice)*100+0.5)/100 AS sum_price,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def rank_orders_dense(sf_dir: str, n: int = 3):
+    """Window DENSE_RANK() <= n per key, ties kept (unlike
+    ``topn_orders_per_priority``'s ROW_NUMBER head-n). Partial-safe: a price
+    in the global top-n DISTINCT prices of its key is necessarily in its
+    block's top-n distinct, so each block pre-filters with a vectorized
+    pandas dense rank and only candidate rows reach the per-key merge."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def dense_filter(df: pd.DataFrame) -> pd.DataFrame:
+        rnk = df.groupby("o_orderpriority").o_totalprice.rank(
+            method="dense", ascending=False)
+        df = df.assign(rnk=rnk.astype(np.int64))
+        return df[df.rnk <= n]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            dense_filter(batch.to_pandas()).drop(columns="rnk"),
+            preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("o_orderpriority").map_groups(
+        dense_filter, batch_format="pandas")
+
+
+RANK_DENSE_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def json_extract_events(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` out of the
+    JSON ``props`` string with one vectorized Arrow ``extract_regex`` per
+    batch (compiled once inside the kernel), partial-aggregate per batch,
+    then an event_type-cardinality groupby. Rows without the field become
+    NULL and drop out of the aggregates, matching SQL semantics."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        g = t.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "max"), ("k", "count")])
+        return g.rename_columns(["event_type", "sum_k", "max_k", "n"])
+
+    from ray.data.aggregate import Max, Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"),
+        Max("max_k", alias_name="max_k"),
+        Sum("n", alias_name="n"),
+    ).to_pandas()
+    out["avg_k"] = _round(out.sum_k / out.n, 4)
+    out = out.drop(columns=["sum_k"])
+    out["max_k"] = out.max_k.astype(np.int64)
+    out["n"] = out.n.astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, MAX(k) AS max_k, COUNT(k) AS n,
+  FLOOR(SUM(k)::DOUBLE / COUNT(k) * 10000 + 0.5) / 10000 AS avg_k
+FROM (SELECT event_type,
+        CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+             AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def unpivot_lineitem_measures(sf_dir: str):
+    """UNPIVOT/melt: four measure columns become (measure, value) aggregate
+    rows in ONE scan — each batch emits a 4-row partial (sum, non-null
+    count per measure), the final groupby is 4 groups. The oracle's UNION
+    ALL re-scans per measure; the engine does not."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sums, ns = [], []
+        for c in cols:
+            s = pc.sum(batch[c]).as_py()
+            sums.append(0.0 if s is None else float(s))
+            ns.append(len(batch) - batch[c].null_count)
+        return pa.table({"measure": pa.array([c[2:] for c in cols]),
+                         "sum_value": pa.array(sums, pa.float64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("measure").aggregate(
+        Sum("sum_value", alias_name="sum_value"),
+        Sum("n", alias_name="n"),
+    ).to_pandas()
+    out["avg_value"] = _round(out.sum_value / out.n, 4)
+    out["sum_value"] = _round(out.sum_value, 2)
+    out["n"] = out.n.astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+UNPIVOT_SQL = """
+WITH u AS (
+  SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem UNION ALL
+  SELECT 'extendedprice', l_extendedprice FROM lineitem UNION ALL
+  SELECT 'discount', l_discount FROM lineitem UNION ALL
+  SELECT 'tax', l_tax FROM lineitem)
+SELECT measure, FLOOR(SUM(v)*100+0.5)/100 AS sum_value, COUNT(v) AS n,
+  FLOOR(SUM(v)/COUNT(v)*10000+0.5)/10000 AS avg_value
+FROM u GROUP BY measure
+"""
+
+
+def antijoin_customers_no_orders(sf_dir: str):
+    """Distributed anti-join WITHOUT a broadcast (the big-big shape
+    ``referential_orphans`` can't use when the dim side outgrows the object
+    store): both sides are tagged and hash-bucketed on the key, the probe
+    side filtered + pre-distinct-ed per block, and each bucket drops matched
+    customers with one vectorized isin. Per-bucket per-segment partial
+    counts roll up into a segment-cardinality final. The URGENT filter keeps
+    the result non-empty at every scale (every customer has *some* order)."""
+    from ..functions.hashing import hash64
+
+    nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy()
+        return pa.table({"key": batch["c_custkey"],
+                         "seg": batch["c_mktsegment"],
+                         "side": pa.array(np.zeros(len(k), np.int8)),
+                         "bkt": pa.array((hash64(k) % nb).astype(np.int64))})
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        k = np.unique(batch.filter(mask)["o_custkey"].to_numpy())
+        return pa.table({"key": pa.array(k),
+                         "seg": pa.array([""] * len(k), pa.string()),
+                         "side": pa.array(np.ones(len(k), np.int8)),
+                         "bkt": pa.array((hash64(k) % nb).astype(np.int64))})
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def bucket_anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = df.key[df.side == 1].unique()
+        miss = df[(df.side == 0) & ~df.key.isin(have)]
+        out = miss.groupby("seg").size().reset_index(name="n_customers")
+        return out.rename(columns={"seg": "c_mktsegment"})
+
+    part = both.groupby("bkt").map_groups(bucket_anti, batch_format="pandas"
+                                          ).to_pandas()
+    if part.empty:  # all customers matched: typed empty result
+        part = pd.DataFrame({"c_mktsegment": pd.Series([], dtype=str),
+                             "n_customers": pd.Series([], dtype=np.int64)})
+    res = part.groupby("c_mktsegment", as_index=False).n_customers.sum()
+    res["n_customers"] = res.n_customers.astype(np.int64)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+ANTIJOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def latest_order_per_customer(sf_dir: str):
+    """Argmax-per-key (max_by / QUALIFY ROW_NUMBER()=1 shape): each block
+    keeps only its per-customer latest row (vectorized sort +
+    drop_duplicates keep-last), so the shuffle moves at most one row per
+    (block, customer); the salted-bucket merge repeats the same reduction.
+    Output is one row per customer — proportional to key cardinality, which
+    is inherent to the operator."""
+    from ..functions.hashing import hash64
+
+    nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=500_000, floor=16)
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        best = df.drop_duplicates("o_custkey", keep="last")
+        best = best.assign(
+            bkt=(hash64(best.o_custkey.to_numpy()) % nb).astype(np.int64))
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        return df.drop_duplicates("o_custkey", keep="last").drop(columns="bkt")
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("bkt").map_groups(merge,
+                                                      batch_format="pandas")
+
+
+LATEST_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
