@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": relq.latest_order_per_customer,
         "antijoin_customers_no_orders": relq.antijoin_customers_no_orders,
         "asof_join_purchase_click": relq.asof_join_purchase_click,
+        "interval_join_purchase_clicks": relq.interval_join_purchase_clicks,
         "range_join_price_bands": relq.range_join_price_bands,
         "semijoin_orders_build_nation": relq.semijoin_orders_build_nation,
         "pivot_status_by_priority": relq.pivot_status_by_priority,
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_purchase_click": relq.ks_purchase_click,
         "quantiles_extendedprice": relq.quantiles_extendedprice,
         "grouped_quantiles_flag": relq.grouped_quantiles_flag,
+        "grouped_quantiles_tdigest": relq.grouped_quantiles_tdigest,
         "outlier_counts_lineitem": relq.outlier_counts_lineitem,
         "histogram_extendedprice": relq.histogram_extendedprice,
         # sketch-default variants (the at-scale paths; exact ones stay as
@@ -200,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "window_hopping_events": relq.WINDOW_HOP_SQL,
         "chi2_by_window_events": relq.CHI2_WINDOW_SQL,
         "asof_join_purchase_click": relq.ASOF_SQL,
+        "interval_join_purchase_clicks": relq.INTERVAL_JOIN_SQL,
         "sessionize_events": relq.SESSIONIZE_SQL,
         "running_sum_events": relq.RUNNING_SUM_SQL,
         "rolling_1h_events": relq.ROLLING_SQL,

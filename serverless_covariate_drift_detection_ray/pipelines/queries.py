@@ -2555,3 +2555,92 @@ FROM orders
 QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
 """
+
+
+def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
+    """Interval (windowed stream-stream) join: for each purchase, how many
+    clicks the same user made in the preceding ``window_s`` seconds
+    (window (t-w, t]), reported as the n_clicks distribution.
+
+    Ray shape: filter + salt-bucket by hash(user_id) inside map_batches
+    (fixed group count — never one Ray group per user, see event_gaps), then
+    ONE vectorized two-searchsorted pass per bucket over a collision-free
+    (dense_uid * span + rel_ts) composite int64 key. span exceeds
+    max(rel_ts) + window, so a lower bound that underflows a user's range
+    still lands strictly above every other user's keys — no per-user loop,
+    no clamp. Output size is bounded by the window's click-count support."""
+    from ..functions.hashing import hash64
+
+    n_buckets = 256
+    w_us = window_s * 1_000_000
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["purchase", "click"]))
+        t = batch.filter(m)
+        b = (hash64(t["user_id"].to_numpy()) % n_buckets).astype(np.int64)
+        return pa.table({"ts": t["ts"], "user_id": t["user_id"],
+                         "event_type": t["event_type"], "bkt": pa.array(b)})
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df.ts.astype("int64").to_numpy()
+        is_click = (df.event_type == "click").to_numpy()
+        _, dense = np.unique(df.user_id.to_numpy(), return_inverse=True)
+        rel = ts - ts.min()
+        span = int(rel.max()) + w_us + 2
+        key = dense.astype(np.int64) * span + rel
+        ck = np.sort(key[is_click])
+        pk = key[~is_click]
+        n = (np.searchsorted(ck, pk, side="right")
+             - np.searchsorted(ck, pk - w_us, side="right"))
+        out = pd.DataFrame({"n_clicks": n.astype(np.int64)})
+        return out.groupby("n_clicks").size().reset_index(name="n_purchases")
+
+    part = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("bkt").map_groups(
+        bucket_count, batch_format="pandas").to_pandas()
+    res = part.groupby("n_clicks", as_index=False).n_purchases.sum()
+    res["n_purchases"] = res.n_purchases.astype(np.int64)
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+INTERVAL_JOIN_SQL = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT n_clicks, COUNT(*) AS n_purchases FROM (
+  SELECT (SELECT COUNT(*) FROM c WHERE c.user_id = p.user_id
+          AND c.ts > p.ts - INTERVAL 300 SECOND AND c.ts <= p.ts) AS n_clicks
+  FROM p)
+GROUP BY n_clicks
+"""
+
+
+def grouped_quantiles_tdigest(sf_dir: str):
+    """Per-group t-digest quantiles — the at-scale path for
+    ``grouped_quantiles_flag``: each block emits one ~2 KB digest PER GROUP
+    (mergeable), the per-group merge is a group-cardinality groupby, and no
+    stage ever holds a group's raw values in one worker. Rows-only
+    (approximate); accuracy vs the exact variant is pinned in tests."""
+    from ..state.sketches import TDigest
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            td = TDigest()
+            td.update(g.l_extendedprice.to_numpy())
+            rows.append({"l_returnflag": flag, "blob": td.to_bytes()})
+        return pa.Table.from_pylist(rows)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        merged = TDigest.merge_many([TDigest.from_bytes(b) for b in df.blob])
+        p25, p50, p75 = merged.quantile([0.25, 0.5, 0.75])
+        return pd.DataFrame({"l_returnflag": [df.l_returnflag.iloc[0]],
+                             "p25": [p25], "p50": [p50], "p75": [p75]})
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                          ).groupby("l_returnflag").map_groups(
+        merge, batch_format="pandas")

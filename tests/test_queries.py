@@ -138,6 +138,16 @@ def test_tdigest_quantiles_close_to_exact(ray_session):
     assert (rel < 0.005).all(), rel
 
 
+def test_grouped_tdigest_quantiles_close_to_exact(ray_session):
+    import __ray_entry__ as e
+
+    td = _to_df(e.queries()["grouped_quantiles_tdigest"](SF)).set_index("l_returnflag").sort_index()
+    ex = _to_df(e.queries()["grouped_quantiles_flag"](SF)).set_index("l_returnflag").sort_index()
+    for c in ("p25", "p50", "p75"):
+        rel = np.abs(td[c].to_numpy() - ex[c].to_numpy()) / ex[c].to_numpy()
+        assert (rel < 0.01).all(), (c, rel)
+
+
 def test_heavy_hitter_screen_fallback_matches_exact(ray_session):
     """With m=1 the screen certificate must fail on flat counts and the
     fallback must still return the exact answer."""
