@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_documents": textops.inverted_index_documents,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "normalize_text_documents": textops.normalize_text_documents,
+        "chunk_documents": textops.chunk_documents,
+        "pack_sequences_documents": textops.pack_sequences_documents,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -235,6 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_documents": textops.INVERTED_INDEX_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
         "normalize_text_documents": textops.NORMALIZE_SQL,
+        "chunk_documents": textops.CHUNK_SQL,
+        "pack_sequences_documents": textops.PACK_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,

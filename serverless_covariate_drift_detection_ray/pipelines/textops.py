@@ -1030,3 +1030,133 @@ SELECT doc_id,
                       ' +', ' ', 'g')) AS norm_text
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data shaping: overlapping token-window chunking (flat-map
+# expansion) and GPT-style sequence packing (distributed ordered prefix-sum).
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
+    """Overlapping token-window chunking — the flat-map every LLM training
+    pipeline runs before tokenization: each document expands to
+    ``ceil((n-window)/stride)+1`` chunks of ``window`` whitespace tokens
+    advancing by ``stride`` (docs at or under one window yield one chunk).
+
+    Per batch the chunk count/offset math is fully vectorized (np.repeat +
+    exclusive-cumsum index arithmetic over one flattened token array); the
+    final chunk-string assembly is O(output bytes) — inherent to emitting
+    strings — never a per-token Python loop. Row expansion happens inside
+    map_batches, so downstream backpressure sees the expanded size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = _tokens(df.text)
+        n = toks.str.len().to_numpy(dtype=np.int64)
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks]
+                              ) if n.sum() else np.array([], dtype=object)
+        doc_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        n_chunks = np.where(
+            n <= window, 1,
+            ((n - window + stride - 1) // stride + 1)).astype(np.int64)
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(len(df)), n_chunks)
+        first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_idx = np.arange(total) - np.repeat(first, n_chunks)
+        start = chunk_idx * stride
+        end = np.minimum(start + window, n[doc_idx])
+        a = doc_start[doc_idx] + start
+        b = doc_start[doc_idx] + end
+        chunks = [" ".join(flat[lo:hi]) for lo, hi in zip(a, b)]
+        return pa.table({
+            "doc_id": pa.array(df.doc_id.to_numpy()[doc_idx], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(end - start, pa.int64()),
+            "chunk": pa.array(chunks, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+n AS (SELECT doc_id, w, len(w) AS n FROM t),
+c AS (SELECT doc_id, w, n,
+        UNNEST(generate_series(0,
+          CASE WHEN n <= 32 THEN 0
+               ELSE CAST(CEIL((n - 32) / 24.0) AS BIGINT) END)) AS chunk_idx
+      FROM n)
+SELECT doc_id, chunk_idx,
+  LEAST(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS n_tokens,
+  array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk
+FROM c
+"""
+
+
+def pack_sequences_documents(sf_dir: str, budget: int = 512):
+    """GPT-style sequence packing: documents are concatenated in doc_id
+    order and cut into fixed ``budget``-token packs; each doc gets
+    ``pack_id = tokens_before // budget`` and its offset within the pack.
+
+    The global ordered prefix-sum is distributed as a two-level scan: docs
+    are range-bucketed by doc_id (order-preserving, unlike a hash), each
+    bucket's token SUM (one small row per bucket) is exclusive-prefix-summed
+    on the driver, and the per-bucket offsets go back into a per-bucket
+    vectorized cumsum. No stage holds more than one bucket; the driver holds
+    one row per bucket. The (doc_id, n_tokens, bkt) projection is
+    materialized once so the sum pass and the scan pass don't recount
+    tokens."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    max_id = ds.max("doc_id")
+    n_buckets = 64
+    rng = max(1, (int(max_id) + n_buckets) // n_buckets)
+
+    def count(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = _tokens(df.text).str.len().to_numpy(dtype=np.int64)
+        ids = df.doc_id.to_numpy()
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "bkt": pa.array(ids // rng, pa.int64())})
+
+    tagged = ds.map_batches(count, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    sums = tagged.groupby("bkt").sum("n_tokens").to_pandas().sort_values("bkt")
+    offs = dict(zip(sums.bkt.to_numpy(),
+                    np.concatenate(([0], np.cumsum(sums["sum(n_tokens)"]
+                                                   .to_numpy())[:-1]))))
+    offs_ref = ray.put(offs)  # small: one int per bucket
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(offs_ref)[int(df.bkt.iloc[0])]
+        df = df.sort_values("doc_id")
+        n = df.n_tokens.to_numpy()
+        before = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({"doc_id": df.doc_id.to_numpy(),
+                             "n_tokens": n,
+                             "pack_id": before // budget,
+                             "offset_in_pack": before % budget})
+
+    return tagged.groupby("bkt").map_groups(scan, batch_format="pandas")
+
+
+PACK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before
+  FROM t)
+SELECT doc_id, n_tokens, before // 512 AS pack_id,
+       before % 512 AS offset_in_pack
+FROM s
+"""
