@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": textops.normalize_text_documents,
         "chunk_documents": textops.chunk_documents,
         "pack_sequences_documents": textops.pack_sequences_documents,
+        "decontaminate_documents": textops.decontaminate_documents,
+        "mix_sources_documents": textops.mix_sources_documents,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -239,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text_documents": textops.NORMALIZE_SQL,
         "chunk_documents": textops.CHUNK_SQL,
         "pack_sequences_documents": textops.PACK_SQL,
+        "decontaminate_documents": textops.DECONTAMINATE_SQL,
+        "mix_sources_documents": textops.MIX_SOURCES_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,

@@ -1160,3 +1160,139 @@ SELECT doc_id, n_tokens, before // 512 AS pack_id,
        before % 512 AS offset_in_pack
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + source mixing (LLM corpus hygiene ops).
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SEEDS = splitmix64(np.arange(1, 65, dtype=np.uint64) ^ np.uint64(0xDECAF))
+
+
+def _shingle_hashes(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All n-token shingle hashes of each text: (uint64 hashes, doc index).
+
+    Token hashes are combined per window with position-seeded splitmix64
+    (vectorized over a (n_shingles, n) fancy-indexed matrix — no per-doc
+    loop). Injective w.r.t. the space-joined shingle string (tokens contain
+    no spaces), so hash equality == string equality up to negligible 64-bit
+    collisions; the oracle compares the strings directly."""
+    toks = _tokens(texts)
+    counts = toks.str.len().to_numpy(np.int64)
+    if counts.sum() == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    th = hash64(flat)
+    doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_sh = np.maximum(counts - (n - 1), 0)
+    total = int(n_sh.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    doc_idx = np.repeat(np.arange(len(counts)), n_sh)
+    first = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+    local = np.arange(total) - np.repeat(first, n_sh)
+    start = doc_start[doc_idx] + local
+    win = th[start[:, None] + np.arange(n)[None, :]]
+    h = np.zeros(total, np.uint64)
+    for j in range(n):
+        h ^= splitmix64(win[:, j] ^ _SHINGLE_SEEDS[j])
+    return splitmix64(h), doc_idx
+
+
+def decontaminate_documents(sf_dir: str, n: int = 8, eval_mod: int = 29):
+    """Benchmark decontamination: flag every training document that shares
+    any ``n``-token shingle with the eval set (docs with
+    ``doc_id % eval_mod == 0`` stand in for the benchmark corpus).
+
+    Scale shape: eval shingle hashes are built distributed (per-batch
+    filter + unique), collected once — bounded because eval sets are small
+    by construction (~1/eval_mod of the corpus here; real benchmarks are
+    KBs) — broadcast with ray.put, and probed per training batch with one
+    sorted-searchsorted membership test + bincount per-doc OR. The training
+    corpus itself never leaves its batches."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.doc_id % eval_mod == 0]
+        h, _ = _shingle_hashes(df.text, n)
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    ev = np.unique(
+        ds.map_batches(eval_shingles, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas().h.to_numpy()
+    ).astype(np.uint64)
+    ev_ref = ray.put(ev)  # sorted; small by construction
+
+    def probe(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df.doc_id % eval_mod != 0]
+        h, doc_idx = _shingle_hashes(df.text, n)
+        evs = ray.get(ev_ref)
+        pos = np.searchsorted(evs, h)
+        hit = (pos < evs.size) & (evs[np.minimum(pos, evs.size - 1)] == h)
+        cont = np.bincount(doc_idx[hit], minlength=len(df)) > 0
+        return pa.table({"doc_id": pa.array(df.doc_id.to_numpy(), pa.int64()),
+                         "contaminated": pa.array(cont)})
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DECONTAMINATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+ev AS (
+  SELECT DISTINCT array_to_string(w[s : s + 7], ' ') AS sh
+  FROM tok, LATERAL UNNEST(generate_series(1, GREATEST(len(w) - 7, 0))) AS g(s)
+  WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, w FROM tok WHERE doc_id % 29 <> 0),
+sh AS (
+  SELECT doc_id, array_to_string(w[s : s + 7], ' ') AS sh
+  FROM tr, LATERAL UNNEST(generate_series(1, GREATEST(len(w) - 7, 0))) AS g(s)),
+bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev e ON s.sh = e.sh)
+SELECT t.doc_id, (t.doc_id IN (SELECT doc_id FROM bad)) AS contaminated
+FROM tr t
+"""
+
+
+def mix_sources_documents(sf_dir: str):
+    """Deterministic source mixing (corpus reweighting): even-numbered
+    sources keep every doc, odd-numbered keep 25%, decided per row by the
+    same order-free Knuth-hash bucket the split/sample ops use — a pure
+    per-batch filter + per-source partial count, no payload shuffle, stable
+    under any task order / resume."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        srcnum = df.source.str[3:].astype(np.int64)
+        rate = np.where(srcnum % 2 == 0, 2**32, 2**30)  # 1.0 / 0.25 of 2^32
+        hv = ((df.doc_id.to_numpy() % 4096) * 2654435761) % 4294967296
+        g = (pd.DataFrame({"source": df.source,
+                           "keep": (hv < rate).astype(np.int64)})
+             .groupby("source").agg(n_in=("keep", "size"),
+                                    n_sampled=("keep", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("source").aggregate(
+        Sum("n_in", alias_name="n_in"),
+        Sum("n_sampled", alias_name="n_sampled"),
+    ).to_pandas()
+    out["n_in"] = out.n_in.astype(np.int64)
+    out["n_sampled"] = out.n_sampled.astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+MIX_SOURCES_SQL = """
+SELECT source, COUNT(*) AS n_in,
+  COUNT(*) FILTER (((doc_id % 4096) * 2654435761) % 4294967296 <
+    CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+         THEN 4294967296 ELSE 1073741824 END) AS n_sampled
+FROM documents GROUP BY source
+"""
