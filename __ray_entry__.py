@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
         "ann_ivf_cosine": ann.ann_ivf_cosine,
+        "kmeans_embeddings": ann.kmeans_embeddings,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,

@@ -792,3 +792,86 @@ def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
         })
 
     return partials.groupby("query_id").map_groups(merge_cells, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means — the canonical iterative broadcast + partial
+# aggregate (the IVF trainer above is driver-side over a bounded sample; this
+# one never collects the points).
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_rounds(sf_dir: str, k: int, iters: int):
+    """Run distributed Lloyd's k-means; returns (per-round inertia list,
+    final per-cluster DataFrame).
+
+    Per round the centroid matrix is broadcast (``ray.put``) and every batch
+    emits k partial rows (count, sum-vector, within-cluster SS) — the only
+    data moving per round is k x n_blocks tiny rows; points never shuffle.
+    Init is deterministic: the k corpus rows with the smallest
+    splitmix64(vec_id) keys (order-free, resume-stable). The projected
+    (vec_id, embedding) dataset is materialized once so ``iters`` passes
+    don't re-read parquet; the object store spills it when it outgrows
+    memory (at extreme scale swap for per-round re-reads)."""
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+
+    def seed_sample(batch: pa.Table) -> pa.Table:
+        keys = splitmix64(batch["vec_id"].to_numpy().astype(np.uint64))
+        order = np.argsort(keys, kind="stable")[:k]
+        sub = batch.take(pa.array(order))
+        return pa.table({"key": pa.array(keys[order].astype(np.int64)),
+                         "embedding": sub["embedding"]})
+
+    seeds = ds.map_batches(seed_sample, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    order = np.argsort(seeds.key.to_numpy().astype(np.uint64), kind="stable")[:k]
+    centroids = np.stack(seeds.embedding.to_numpy()[order]).astype(np.float64)
+
+    history = []
+    final = None
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)  # (k, d), zero-copy from the object store
+            x = _to_matrix(batch["embedding"])
+            d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+                  + (c * c).sum(1)[None, :])
+            a = d2.argmin(1)
+            best = d2[np.arange(len(x)), a]
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            wss = np.bincount(a, weights=best, minlength=k)
+            sums = np.zeros_like(c)
+            for j in range(k):  # k is small; the inner work is vectorized
+                sums[j] = x[a == j].sum(axis=0)
+            return pa.table({"cluster_id": pa.array(np.arange(k, dtype=np.int64)),
+                             "n_points": pa.array(counts),
+                             "wss": pa.array(wss, pa.float64()),
+                             "vsum": pa.array(list(sums))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        g = parts.groupby("cluster_id", sort=True)
+        counts = g.n_points.sum().to_numpy()
+        wss = g.wss.sum().to_numpy()
+        vsums = np.stack(g.vsum.apply(lambda vs: np.sum(np.stack(vs), axis=0)))
+        nonempty = counts > 0
+        centroids = np.where(nonempty[:, None],
+                             vsums / np.maximum(counts, 1)[:, None], centroids)
+        history.append(float(wss.sum()))
+        final = pd.DataFrame({"cluster_id": np.arange(k, dtype=np.int64),
+                              "n_points": counts.astype(np.int64),
+                              "wss": _round(wss, 4)})
+    return history, final
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed k-means cluster summary (rows-only: iterative, no SQL
+    equivalent). Determinism, monotone inertia, and parity with a pure-numpy
+    Lloyd run are pinned in tests."""
+    _, final = _kmeans_rounds(sf_dir, k, iters)
+    return pa.Table.from_pandas(final, preserve_index=False)

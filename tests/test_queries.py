@@ -69,7 +69,8 @@ def test_minhash_candidates_cover_exact_jaccard(ray_session):
 def test_rows_only_queries_deterministic(ray_session):
     import __ray_entry__ as e
 
-    for name in ["simhash_documents", "fingerprint_documents", "mmd_embeddings_drift"]:
+    for name in ["simhash_documents", "fingerprint_documents",
+                 "mmd_embeddings_drift", "kmeans_embeddings"]:
         a = _canon(_to_df(e.queries()[name](SF)))
         b = _canon(_to_df(e.queries()[name](SF)))
         pd.testing.assert_frame_equal(a, b)
@@ -136,6 +137,35 @@ def test_tdigest_quantiles_close_to_exact(ray_session):
     ex = _to_df(e.queries()["quantiles_extendedprice"](SF))
     rel = np.abs(td.value.to_numpy() - ex.value.to_numpy()) / ex.value.to_numpy()
     assert (rel < 0.005).all(), rel
+
+
+def test_kmeans_matches_numpy_lloyd_and_inertia_monotone(ray_session):
+    """Distributed k-means == a pure-numpy Lloyd run (same deterministic
+    smallest-hash init), and per-round inertia never increases."""
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.functions.hashing import splitmix64
+    from serverless_covariate_drift_detection_ray.pipelines.ann import _kmeans_rounds
+
+    k, iters = 8, 5
+    history, final = _kmeans_rounds(SF, k, iters)
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(history, history[1:])), history
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    x = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    order = np.argsort(splitmix64(ids.astype(np.uint64)), kind="stable")[:k]
+    c = x[order].copy()
+    for _ in range(iters):
+        d2 = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
+        a = d2.argmin(1)
+        counts = np.bincount(a, minlength=k)
+        for j in range(k):
+            if counts[j]:
+                c[j] = x[a == j].mean(axis=0)
+    np.testing.assert_array_equal(final.n_points.to_numpy(), counts)
+    wss = np.bincount(a, weights=d2[np.arange(len(x)), a], minlength=k)
+    np.testing.assert_allclose(final.wss.to_numpy(), wss, rtol=1e-6, atol=1e-4)
 
 
 def test_grouped_tdigest_quantiles_close_to_exact(ray_session):
