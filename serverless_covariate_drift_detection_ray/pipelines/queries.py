@@ -2568,10 +2568,15 @@ def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
     (dense_uid * span + rel_ts) composite int64 key. span exceeds
     max(rel_ts) + window, so a lower bound that underflows a user's range
     still lands strictly above every other user's keys — no per-user loop,
-    no clamp. Output size is bounded by the window's click-count support."""
+    no clamp. Output size is bounded by the window's click-count support.
+
+    Bucket count scales with row count (never a small-scale constant) both
+    for shuffle sizing and because the composite key needs
+    users_per_bucket * (time_span + window) < 2^63 — asserted per bucket."""
     from ..functions.hashing import hash64
 
-    n_buckets = 256
+    n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=250_000,
+                              floor=256)
     w_us = window_s * 1_000_000
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
@@ -2589,6 +2594,9 @@ def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
         _, dense = np.unique(df.user_id.to_numpy(), return_inverse=True)
         rel = ts - ts.min()
         span = int(rel.max()) + w_us + 2
+        if (dense.max(initial=0) + 1) * span >= 2**63:
+            raise ValueError("interval-join composite key overflow: raise "
+                             "n_buckets (users/bucket x time span too large)")
         key = dense.astype(np.int64) * span + rel
         ck = np.sort(key[is_click])
         pk = key[~is_click]

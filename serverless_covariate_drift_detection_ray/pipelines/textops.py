@@ -1112,9 +1112,13 @@ def pack_sequences_documents(sf_dir: str, budget: int = 512):
     tokens."""
     import ray
 
+    from .queries import _salt_buckets
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     max_id = ds.max("doc_id")
-    n_buckets = 64
+    # bucket count scales with rows so one bucket never outgrows a worker
+    n_buckets = _salt_buckets(sf_dir, "documents", rows_per_bucket=2_000_000,
+                              floor=64)
     rng = max(1, (int(max_id) + n_buckets) // n_buckets)
 
     def count(batch: pa.Table) -> pa.Table:
