@@ -830,6 +830,7 @@ def _kmeans_rounds(sf_dir: str, k: int, iters: int):
                            zero_copy_batch=True).to_pandas()
     order = np.argsort(seeds.key.to_numpy().astype(np.uint64), kind="stable")[:k]
     centroids = np.stack(seeds.embedding.to_numpy()[order]).astype(np.float64)
+    k = len(centroids)  # corpora smaller than k yield k' = n clusters
 
     history = []
     final = None

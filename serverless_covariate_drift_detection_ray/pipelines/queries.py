@@ -2594,7 +2594,7 @@ def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
         _, dense = np.unique(df.user_id.to_numpy(), return_inverse=True)
         rel = ts - ts.min()
         span = int(rel.max()) + w_us + 2
-        if (dense.max(initial=0) + 1) * span >= 2**63:
+        if (int(dense.max(initial=0)) + 1) * span >= 2**63:  # python ints: no wrap
             raise ValueError("interval-join composite key overflow: raise "
                              "n_buckets (users/bucket x time span too large)")
         key = dense.astype(np.int64) * span + rel

@@ -1115,7 +1115,8 @@ def pack_sequences_documents(sf_dir: str, budget: int = 512):
     from .queries import _salt_buckets
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    max_id = ds.max("doc_id")
+    # max over the id-only projection: never decode the text column for it
+    max_id = _read(sf_dir, "documents", ["doc_id"]).max("doc_id")
     # bucket count scales with rows so one bucket never outgrows a worker
     n_buckets = _salt_buckets(sf_dir, "documents", rows_per_bucket=2_000_000,
                               floor=64)
@@ -1235,8 +1236,11 @@ def decontaminate_documents(sf_dir: str, n: int = 8, eval_mod: int = 29):
         df = df[df.doc_id % eval_mod != 0]
         h, doc_idx = _shingle_hashes(df.text, n)
         evs = ray.get(ev_ref)
-        pos = np.searchsorted(evs, h)
-        hit = (pos < evs.size) & (evs[np.minimum(pos, evs.size - 1)] == h)
+        if evs.size == 0:
+            hit = np.zeros(h.shape, bool)
+        else:
+            pos = np.searchsorted(evs, h)
+            hit = (pos < evs.size) & (evs[np.minimum(pos, evs.size - 1)] == h)
         cont = np.bincount(doc_idx[hit], minlength=len(df)) > 0
         return pa.table({"doc_id": pa.array(df.doc_id.to_numpy(), pa.int64()),
                          "contaminated": pa.array(cont)})
@@ -1270,13 +1274,15 @@ def mix_sources_documents(sf_dir: str):
     under any task order / resume."""
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
+    from .queries import _knuth_bucket
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         srcnum = df.source.str[3:].astype(np.int64)
-        rate = np.where(srcnum % 2 == 0, 2**32, 2**30)  # 1.0 / 0.25 of 2^32
-        hv = ((df.doc_id.to_numpy() % 4096) * 2654435761) % 4294967296
+        pct = np.where(srcnum % 2 == 0, 100, 25)  # keep-rate in bucket points
+        bkt = _knuth_bucket(df.doc_id.to_numpy())
         g = (pd.DataFrame({"source": df.source,
-                           "keep": (hv < rate).astype(np.int64)})
+                           "keep": (bkt < pct).astype(np.int64)})
              .groupby("source").agg(n_in=("keep", "size"),
                                     n_sampled=("keep", "sum")).reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)

@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (73 queries, 61 oracled) runs in the driver's correctness
+The full sweep (87 queries, 73 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -156,13 +156,16 @@ def test_kmeans_matches_numpy_lloyd_and_inertia_monotone(ray_session):
     x = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
     order = np.argsort(splitmix64(ids.astype(np.uint64)), kind="stable")[:k]
     c = x[order].copy()
+    # sum/count update (not np.mean) and sf0.001's single-block embeddings
+    # table keep the oracle arithmetic bit-identical to the engine's
+    # per-block-partial path, so exact count equality below is stable
     for _ in range(iters):
         d2 = (x * x).sum(1)[:, None] - 2 * x @ c.T + (c * c).sum(1)[None, :]
         a = d2.argmin(1)
         counts = np.bincount(a, minlength=k)
         for j in range(k):
             if counts[j]:
-                c[j] = x[a == j].mean(axis=0)
+                c[j] = x[a == j].sum(axis=0) / counts[j]
     np.testing.assert_array_equal(final.n_points.to_numpy(), counts)
     wss = np.bincount(a, weights=d2[np.arange(len(x)), a], minlength=k)
     np.testing.assert_allclose(final.wss.to_numpy(), wss, rtol=1e-6, atol=1e-4)
