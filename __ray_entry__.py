@@ -22,6 +22,7 @@ from typing import Any
 from serverless_covariate_drift_detection_ray.pipelines import (
     ann,
     classify,
+    corpus,
     dimred,
     streaming,
     textops,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": textops.pack_sequences_documents,
         "decontaminate_documents": textops.decontaminate_documents,
         "mix_sources_documents": textops.mix_sources_documents,
+        "corpus_funnel_documents": corpus.corpus_funnel_documents,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -244,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": textops.PACK_SQL,
         "decontaminate_documents": textops.DECONTAMINATE_SQL,
         "mix_sources_documents": textops.MIX_SOURCES_SQL,
+        "corpus_funnel_documents": corpus.CORPUS_FUNNEL_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,
