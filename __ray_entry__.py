@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_status_by_priority": relq.pivot_status_by_priority,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
+        "profile_table_orders": relq.profile_table_orders,
         "uniqueness_pk": relq.uniqueness_pk,
         "referential_orphans": relq.referential_orphans,
         "chi2_event_type": relq.chi2_event_type,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_extendedprice": relq.HISTOGRAM_SQL,
         "topn_orders_per_priority": relq.TOPN_PER_KEY_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,
+        "profile_table_orders": relq.PROFILE_SQL,
         "uniqueness_pk": relq.UNIQUENESS_SQL,
         "referential_orphans": relq.REFERENTIAL_SQL,
         "chi2_event_type": relq.CHI2_SQL,

@@ -2652,3 +2652,102 @@ def grouped_quantiles_tdigest(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
                           ).groupby("l_returnflag").map_groups(
         merge, batch_format="pandas")
+
+
+def profile_table_orders(sf_dir: str):
+    """Whole-table single-scan auto-profiler (schema-driven, the
+    SUMMARIZE/describe shape): every column gets count + null count;
+    numeric and timestamp columns get min/max/mean (timestamps as epoch
+    seconds); string columns get an exact distinct count via per-batch
+    unique-set partials (cap-guarded — profile-grade string columns are
+    low-cardinality by assumption; ``approx_distinct_users_by_type``'s HLL
+    is the high-cardinality default). ONE pass over the table, mergeable
+    partials, the driver holds one partial row per (block, column)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    dtypes = {f: str(t) for f, t in zip(ds.schema().names, ds.schema().types)}
+    cap = 10_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in batch.column_names:
+            col = batch[c]
+            t = col.type
+            n_null = col.null_count
+            row = {"col_name": c, "n": len(col) - n_null, "n_null": n_null,
+                   "min_v": np.nan, "max_v": np.nan, "sum_v": np.nan,
+                   "uniques": []}
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                v = pc.drop_null(col).to_numpy(zero_copy_only=False
+                                               ).astype(np.float64)
+                if v.size:
+                    row.update(min_v=float(v.min()), max_v=float(v.max()),
+                               sum_v=float(v.sum()))
+            elif pa.types.is_timestamp(t):
+                v = pc.drop_null(col).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False).astype(np.float64) / 1e6
+                if v.size:
+                    row.update(min_v=float(v.min()), max_v=float(v.max()),
+                               sum_v=float(v.sum()))
+            else:
+                u = pc.unique(pc.drop_null(col)).to_pylist()
+                if len(u) > cap:
+                    raise ValueError(
+                        f"profile: string column {c} exceeds {cap} distinct "
+                        "values per block — use the HLL sketch path instead")
+                row["uniques"] = u
+            rows.append(row)
+        return pa.Table.from_pylist(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = []
+    for c in dtypes:
+        g = parts[parts.col_name == c]
+        uniq = set().union(*g.uniques)
+        if len(uniq) > cap:
+            raise ValueError(f"profile: string column {c} exceeds {cap} "
+                             "distinct values — use the HLL sketch path")
+        n = int(g.n.sum())
+        has_num = g.min_v.notna().any()
+        out.append({
+            "col_name": c, "dtype": dtypes[c], "n": n,
+            "n_null": int(g.n_null.sum()),
+            "min_v": float(g.min_v.min()) if has_num else np.nan,
+            "max_v": float(g.max_v.max()) if has_num else np.nan,
+            "avg_v": float(_round(g.sum_v.sum() / n, 4)) if has_num else np.nan,
+            "n_distinct": float(len(uniq)) if uniq else np.nan,
+        })
+    return pa.Table.from_pylist(out)
+
+
+_PROFILE_COL = """
+SELECT '{c}' AS col_name, '{t}' AS dtype, COUNT({c}) AS n,
+  COUNT(*) - COUNT({c}) AS n_null, {minv} AS min_v, {maxv} AS max_v,
+  {avgv} AS avg_v, {nd} AS n_distinct
+FROM orders
+"""
+
+
+def _profile_sql() -> str:
+    num = dict(minv="MIN({c})::DOUBLE", maxv="MAX({c})::DOUBLE",
+               avgv="FLOOR(SUM({c})::DOUBLE / COUNT({c}) * 10000 + 0.5) / 10000",
+               nd="CAST(NULL AS DOUBLE)")
+    ts = dict(minv="epoch(MIN({c}))", maxv="epoch(MAX({c}))",
+              avgv="FLOOR(SUM(epoch({c})) / COUNT({c}) * 10000 + 0.5) / 10000",
+              nd="CAST(NULL AS DOUBLE)")
+    s = dict(minv="CAST(NULL AS DOUBLE)", maxv="CAST(NULL AS DOUBLE)",
+             avgv="CAST(NULL AS DOUBLE)",
+             nd="CAST(COUNT(DISTINCT {c}) AS DOUBLE)")
+    cols = [("o_orderkey", "int64", num), ("o_custkey", "int64", num),
+            ("o_orderstatus", "string", s), ("o_totalprice", "double", num),
+            ("o_orderdate", "timestamp[us]", ts),
+            ("o_orderpriority", "string", s)]
+    return " UNION ALL ".join(
+        _PROFILE_COL.format(c=c, t=t, **{k: v.format(c=c)
+                                         for k, v in spec.items()})
+        for c, t, spec in cols)
+
+
+PROFILE_SQL = _profile_sql()
