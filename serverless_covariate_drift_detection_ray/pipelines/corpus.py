@@ -24,13 +24,19 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 from .queries import _read, _salt_buckets
-from .textops import _shingle_hashes, _tokens
+from .textops import (
+    LANG_MARKERS,
+    _shingle_hashes,
+    _tokens,
+    normalize_arrow,
+    shingle_hits,
+)
 
 EVAL_MOD = 29
 SHINGLE_N = 8
 MIN_TOKENS = 10
 MIN_UNIQ = 0.3
-EN_MARKERS = ("the", "a", "of")
+EN_MARKERS = LANG_MARKERS["en"]  # ('the', 'a', 'of') — one source of truth
 
 
 def corpus_funnel_documents(sf_dir: str):
@@ -61,23 +67,22 @@ def corpus_funnel_documents(sf_dir: str):
         mk = set(EN_MARKERS)
         has_en = toks.map(lambda ws: any(w in mk for w in ws)).to_numpy(bool)
         lang_ok = q & has_en
-        # normalized-text dedup key (identical kernels to NORMALIZE_SQL;
-        # 64-bit hash equality stands in for string equality — collisions
-        # are negligible and the oracle compares the strings)
-        t = pa.array(df.text.to_numpy(), pa.string())
-        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-            pc.replace_substring_regex(pc.utf8_lower(t), "[^a-z0-9 ]", ""),
-            " +", " "))
-        key = hash64(norm.to_numpy(zero_copy_only=False)).astype(np.int64)
-        # contamination probe on the raw text vs the broadcast eval set
-        h, doc_idx = _shingle_hashes(df.text, SHINGLE_N)
-        evs = ray.get(ev_ref)
-        if evs.size == 0:
-            hit = np.zeros(h.shape, bool)
-        else:
-            pos = np.searchsorted(evs, h)
-            hit = (pos < evs.size) & (evs[np.minimum(pos, evs.size - 1)] == h)
-        cont = np.bincount(doc_idx[hit], minlength=len(df)) > 0
+        # key/cont are only consumed for lang_ok survivors — compute the
+        # expensive normalization hash + shingle probe on that slice only
+        sub = df.text[lang_ok]
+        key = np.zeros(len(df), np.int64)
+        cont = np.zeros(len(df), bool)
+        if len(sub):
+            # normalized-text dedup key (the shared NORMALIZE_SQL-parity
+            # kernel; 64-bit hash equality stands in for string equality —
+            # collisions negligible, the oracle compares the strings)
+            norm = normalize_arrow(pa.array(sub.to_numpy(), pa.string()))
+            key[lang_ok] = hash64(
+                norm.to_numpy(zero_copy_only=False)).astype(np.int64)
+            # contamination probe on the raw text vs the broadcast eval set
+            h, doc_idx = _shingle_hashes(sub, SHINGLE_N)
+            hit = shingle_hits(ray.get(ev_ref), h)
+            cont[np.flatnonzero(lang_ok)[np.unique(doc_idx[hit])]] = True
         return pa.table({
             "doc_id": pa.array(df.doc_id.to_numpy(), pa.int64()),
             "key": pa.array(key),
@@ -122,14 +127,17 @@ def corpus_funnel_documents(sf_dir: str):
 
     dd = tagged.map_batches(survivors, batch_format="pyarrow",
                             zero_copy_batch=True).groupby("bkt").map_groups(
-        bucket_dedup, batch_format="pandas").to_pandas().sum()
+        bucket_dedup, batch_format="pandas").to_pandas()
+    # zero survivors ⇒ empty (possibly column-less) frame, matching the
+    # oracle's 0 counts
+    n_kept = int(dd.n_kept.sum()) if "n_kept" in dd.columns else 0
+    n_clean = int(dd.n_clean.sum()) if "n_clean" in dd.columns else 0
 
     return pa.table({
         "stage": pa.array(["input", "quality", "lang", "dedup",
                            "decontaminated"], pa.string()),
         "n_docs": pa.array([int(cp.n_input), int(cp.n_quality),
-                            int(cp.n_lang), int(dd.n_kept),
-                            int(dd.n_clean)], pa.int64()),
+                            int(cp.n_lang), n_kept, n_clean], pa.int64()),
     })
 
 

@@ -2677,8 +2677,18 @@ def profile_table_orders(sf_dir: str):
             n_null = col.null_count
             row = {"col_name": c, "n": len(col) - n_null, "n_null": n_null,
                    "min_v": np.nan, "max_v": np.nan, "sum_v": np.nan,
-                   "uniques": []}
-            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                   "sum_i": None, "uniques": []}
+            if pa.types.is_integer(t):
+                v = pc.drop_null(col).to_numpy(zero_copy_only=False)
+                if v.size:
+                    # exact per-block int64 sum shipped as decimal STRING
+                    # (arrow int64-with-nulls would round-trip to float64
+                    # via pandas); the driver re-parses and accumulates in
+                    # python ints so the mean matches the oracle's HUGEINT
+                    # arithmetic even past 2^53
+                    row.update(min_v=float(v.min()), max_v=float(v.max()),
+                               sum_i=str(int(v.sum(dtype=np.int64))))
+            elif pa.types.is_floating(t):
                 v = pc.drop_null(col).to_numpy(zero_copy_only=False
                                                ).astype(np.float64)
                 if v.size:
@@ -2703,21 +2713,29 @@ def profile_table_orders(sf_dir: str):
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
     out = []
-    for c in dtypes:
+    for c, dt in dtypes.items():
         g = parts[parts.col_name == c]
         uniq = set().union(*g.uniques)
         if len(uniq) > cap:
             raise ValueError(f"profile: string column {c} exceeds {cap} "
                              "distinct values — use the HLL sketch path")
         n = int(g.n.sum())
+        is_str = not (dt.startswith(("int", "uint", "float", "double",
+                                     "timestamp")))
         has_num = g.min_v.notna().any()
+        if g.sum_i.notna().any():
+            # exact python-int accumulation, then ONE cast to double before
+            # the divide — the oracle's SUM()::DOUBLE / COUNT() order
+            total = float(sum(int(s) for s in g.sum_i.dropna()))
+        else:
+            total = float(g.sum_v.sum())
         out.append({
-            "col_name": c, "dtype": dtypes[c], "n": n,
+            "col_name": c, "dtype": dt, "n": n,
             "n_null": int(g.n_null.sum()),
             "min_v": float(g.min_v.min()) if has_num else np.nan,
             "max_v": float(g.max_v.max()) if has_num else np.nan,
-            "avg_v": float(_round(g.sum_v.sum() / n, 4)) if has_num else np.nan,
-            "n_distinct": float(len(uniq)) if uniq else np.nan,
+            "avg_v": float(_round(total / n, 4)) if has_num else np.nan,
+            "n_distinct": float(len(uniq)) if is_str else np.nan,
         })
     return pa.Table.from_pylist(out)
 

@@ -1004,22 +1004,40 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) = 1
 # ---------------------------------------------------------------------------
 
 
-def normalize_text_documents(sf_dir: str):
-    """Canonical text cleanup: lowercase → strip non-[a-z0-9 ] → collapse
-    runs of spaces → trim. Pure zero-copy ``pyarrow.compute`` kernels (both
-    engines run RE2, so regex semantics match the oracle byte-for-byte) —
-    the shape of every normalization/parsing pass in a training-data ingest
-    pipeline: stateless, vectorized, no shuffle."""
+def normalize_arrow(x):
+    """Canonical text cleanup kernel: lowercase → strip non-[a-z0-9 ] →
+    collapse space runs → trim. The ONE implementation behind
+    ``normalize_text_documents`` and the corpus funnel's dedup key, so the
+    NORMALIZE_SQL regex parity holds everywhere it's used."""
     import pyarrow.compute as pc
 
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, "[^a-z0-9 ]", "")
+    x = pc.replace_substring_regex(x, " +", " ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def shingle_hits(evs: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Membership of shingle hashes ``h`` in the sorted eval set ``evs``
+    (empty-set safe). Shared by ``decontaminate_documents`` and the corpus
+    funnel so the probe semantics can't drift."""
+    if evs.size == 0:
+        return np.zeros(h.shape, bool)
+    pos = np.searchsorted(evs, h)
+    return (pos < evs.size) & (evs[np.minimum(pos, evs.size - 1)] == h)
+
+
+def normalize_text_documents(sf_dir: str):
+    """Canonical text cleanup via ``normalize_arrow``: pure zero-copy
+    ``pyarrow.compute`` kernels (both engines run RE2, so regex semantics
+    match the oracle byte-for-byte) — the shape of every
+    normalization/parsing pass in a training-data ingest pipeline:
+    stateless, vectorized, no shuffle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def norm(batch: pa.Table) -> pa.Table:
-        x = pc.utf8_lower(batch["text"])
-        x = pc.replace_substring_regex(x, "[^a-z0-9 ]", "")
-        x = pc.replace_substring_regex(x, " +", " ")
-        x = pc.utf8_trim_whitespace(x)
-        return pa.table({"doc_id": batch["doc_id"], "norm_text": x})
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_text": normalize_arrow(batch["text"])})
 
     return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1235,12 +1253,7 @@ def decontaminate_documents(sf_dir: str, n: int = 8, eval_mod: int = 29):
         df = batch.to_pandas()
         df = df[df.doc_id % eval_mod != 0]
         h, doc_idx = _shingle_hashes(df.text, n)
-        evs = ray.get(ev_ref)
-        if evs.size == 0:
-            hit = np.zeros(h.shape, bool)
-        else:
-            pos = np.searchsorted(evs, h)
-            hit = (pos < evs.size) & (evs[np.minimum(pos, evs.size - 1)] == h)
+        hit = shingle_hits(ray.get(ev_ref), h)
         cont = np.bincount(doc_idx[hit], minlength=len(df)) > 0
         return pa.table({"doc_id": pa.array(df.doc_id.to_numpy(), pa.int64()),
                          "contaminated": pa.array(cont)})

@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (87 queries, 73 oracled) runs in the driver's correctness
+The full sweep (89 queries, 75 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -169,6 +169,16 @@ def test_kmeans_matches_numpy_lloyd_and_inertia_monotone(ray_session):
     np.testing.assert_array_equal(final.n_points.to_numpy(), counts)
     wss = np.bincount(a, weights=d2[np.arange(len(x)), a], minlength=k)
     np.testing.assert_allclose(final.wss.to_numpy(), wss, rtol=1e-6, atol=1e-4)
+
+
+def test_corpus_funnel_zero_survivors(ray_session, monkeypatch):
+    """Empty funnel tail must report 0s, not crash on a column-less frame."""
+    import serverless_covariate_drift_detection_ray.pipelines.corpus as corpus
+
+    monkeypatch.setattr(corpus, "MIN_TOKENS", 10**9)
+    out = corpus.corpus_funnel_documents(SF).to_pandas()
+    assert out.n_docs.iloc[0] > 0
+    assert list(out.n_docs.iloc[1:]) == [0, 0, 0, 0]
 
 
 def test_grouped_tdigest_quantiles_close_to_exact(ray_session):
