@@ -171,6 +171,45 @@ def test_kmeans_matches_numpy_lloyd_and_inertia_monotone(ray_session):
     np.testing.assert_allclose(final.wss.to_numpy(), wss, rtol=1e-6, atol=1e-4)
 
 
+def test_chunk_documents_reconstructs_originals(ray_session):
+    """Inverse property: stride-prefixes of a doc's chunks + the last
+    chunk's tail re-concatenate to exactly the original token stream."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    stride = 24
+    chunks = _to_df(e.queries()["chunk_documents"](SF)).sort_values(
+        ["doc_id", "chunk_idx"])
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    rebuilt = {}
+    for doc_id, g in chunks.groupby("doc_id", sort=False):
+        toks = []
+        rows = list(g.itertuples())
+        for r in rows[:-1]:
+            toks.extend(r.chunk.split(" ")[:stride])
+        toks.extend(rows[-1].chunk.split(" ")) if rows[-1].chunk else None
+        rebuilt[doc_id] = [t for t in toks if t]
+    for _, row in docs.iterrows():
+        orig = [w for w in row.text.split(" ") if w]
+        assert rebuilt[row.doc_id] == orig, row.doc_id
+
+
+def test_pack_sequences_is_a_prefix_sum(ray_session):
+    """Inverse property: sorting by doc_id, tokens_before (pack_id * budget
+    + offset) must equal the running sum of n_tokens — the packing is a
+    bijective re-encoding of the global ordered prefix-sum."""
+    import __ray_entry__ as e
+
+    budget = 512
+    p = _to_df(e.queries()["pack_sequences_documents"](SF)).sort_values("doc_id")
+    before = p.pack_id.to_numpy() * budget + p.offset_in_pack.to_numpy()
+    expect = np.concatenate(([0], np.cumsum(p.n_tokens.to_numpy())[:-1]))
+    np.testing.assert_array_equal(before, expect)
+    assert (p.offset_in_pack.to_numpy() < budget).all()
+
+
 def test_corpus_funnel_zero_survivors(ray_session, monkeypatch):
     """Empty funnel tail must report 0s, not crash on a column-less frame."""
     import serverless_covariate_drift_detection_ray.pipelines.corpus as corpus
