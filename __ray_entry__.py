@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "profile_table_orders": relq.profile_table_orders,
+        "partition_roundtrip_events": relq.partition_roundtrip_events,
         "uniqueness_pk": relq.uniqueness_pk,
         "referential_orphans": relq.referential_orphans,
         "chi2_event_type": relq.chi2_event_type,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "topn_orders_per_priority": relq.TOPN_PER_KEY_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,
         "profile_table_orders": relq.PROFILE_SQL,
+        "partition_roundtrip_events": relq.PARTITION_ROUNDTRIP_SQL,
         "uniqueness_pk": relq.UNIQUENESS_SQL,
         "referential_orphans": relq.REFERENTIAL_SQL,
         "chi2_event_type": relq.CHI2_SQL,

@@ -2769,3 +2769,54 @@ def _profile_sql() -> str:
 
 
 PROFILE_SQL = _profile_sql()
+
+
+def partition_roundtrip_events(sf_dir: str):
+    """Partitioned-sink + pruned-source roundtrip (the resumable-output
+    contract, SURVEY §2.1 S4): events stream to hive-partitioned parquet —
+    one directory per event_type, never one giant file — and the readback
+    opens ONLY the wanted partition's directory, so the probe is file-level
+    pruning, not a full-table scan + filter. The write is staged to a tmp
+    dir and atomically renamed (a killed writer leaves no half partition)
+    and cached per (sf, row count) so repeated calls measure the pruned
+    read."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    root = f"/tmp/scdd_query/{tag}/events_by_type_{n_rows}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = root + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        _read(sf_dir, "events", ["event_type", "value"]).write_parquet(
+            tmp, partition_cols=["event_type"])
+        os.rename(tmp, root)
+        open(marker, "w").close()
+
+    part = ray.data.read_parquet(f"{root}/event_type=purchase")
+
+    def agg(batch: pa.Table) -> pa.Table:
+        s = pc.sum(batch["value"]).as_py()
+        return pa.table({"n": pa.array([len(batch)], pa.int64()),
+                         "s": pa.array([0.0 if s is None else float(s)],
+                                       pa.float64())})
+
+    p = part.map_batches(agg, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas().sum()
+    return pa.table({"event_type": pa.array(["purchase"], pa.string()),
+                     "n": pa.array([int(p.n)], pa.int64()),
+                     "sum_value": pa.array([float(_round(p.s, 2))],
+                                           pa.float64())})
+
+
+PARTITION_ROUNDTRIP_SQL = """
+SELECT 'purchase' AS event_type, COUNT(*) AS n,
+  FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+FROM events WHERE event_type = 'purchase'
+"""
