@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": textops.decontaminate_documents,
         "mix_sources_documents": textops.mix_sources_documents,
         "corpus_funnel_documents": corpus.corpus_funnel_documents,
+        "bpe_pair_counts": textops.bpe_pair_counts,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_documents": textops.DECONTAMINATE_SQL,
         "mix_sources_documents": textops.MIX_SOURCES_SQL,
         "corpus_funnel_documents": corpus.CORPUS_FUNNEL_SQL,
+        "bpe_pair_counts": textops.BPE_PAIRS_SQL,
         "quality_scores": textops.QUALITY_SQL,
         "langid_confusion": textops.LANGID_SQL,
         "classify_accuracy_embeddings": classify.CLASSIFY_SQL,

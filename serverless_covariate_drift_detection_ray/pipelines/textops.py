@@ -1319,3 +1319,54 @@ SELECT source, COUNT(*) AS n_in,
          THEN 4294967296 ELSE 1073741824 END) AS n_sampled
 FROM documents GROUP BY source
 """
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 20):
+    """Vocabulary induction's inner loop (byte-level BPE, GPT-2 style): the
+    top-k most frequent ADJACENT byte pairs within words across the corpus.
+
+    Per batch the whole text slice is joined with a space separator and
+    encoded once; pair codes are one vectorized ``b[:-1]*256 + b[1:]`` over
+    the byte buffer with separator-adjacent pairs masked out, counted with
+    one bincount(2^16). Each block emits only its nonzero (pair, n) rows —
+    a <= 65k-row partial regardless of block size — and the global merge is
+    a pair-cardinality groupby + driver top-k. Byte pairs == char pairs on
+    this ASCII corpus, which is what the character-based oracle compares."""
+    ds = _read(sf_dir, "documents", ["text"])
+    sep = ord(" ")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = " ".join(batch["text"].to_pylist())
+        b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+        if b.size < 2:
+            return pa.table({"pair_code": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lo, hi = b[:-1], b[1:]
+        mask = (lo != sep) & (hi != sep)
+        codes = lo[mask].astype(np.int64) * 256 + hi[mask]
+        counts = np.bincount(codes, minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table({"pair_code": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("pair_code").aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    agg["pair"] = [chr(c // 256) + chr(c % 256) for c in agg.pair_code]
+    agg = agg.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+    return pa.table({"pair": pa.array(agg.pair.to_numpy(), pa.string()),
+                     "n": pa.array(agg.n.to_numpy(), pa.int64())})
+
+
+BPE_PAIRS_SQL = """
+WITH w AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents),
+p AS (
+  SELECT substr(word, s, 2) AS pair
+  FROM w, LATERAL UNNEST(generate_series(1, len(word) - 1)) AS g(s))
+SELECT pair, COUNT(*) AS n FROM p
+GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
