@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_extendedprice": relq.quantiles_extendedprice,
         "grouped_quantiles_flag": relq.grouped_quantiles_flag,
         "grouped_quantiles_tdigest": relq.grouped_quantiles_tdigest,
+        "bin_prices_quartile": relq.bin_prices_quartile,
         "outlier_counts_lineitem": relq.outlier_counts_lineitem,
         "histogram_extendedprice": relq.histogram_extendedprice,
         # sketch-default variants (the at-scale paths; exact ones stay as
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_event_type": relq.CHI2_SQL,
         "ks_purchase_click": relq.KS_SQL,
         "quantiles_extendedprice": relq.QUANTILES_SQL,
+        "bin_prices_quartile": relq.BIN_QUARTILE_SQL,
         "ks_purchase_click_hist": relq.KS_HIST_SQL,
         "divergence_purchase_click": relq.DIVERGENCE_SQL,
         "embedding_neardup_pairs": ann.EMB_NEARDUP_SQL,

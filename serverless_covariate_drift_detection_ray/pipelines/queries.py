@@ -2820,3 +2820,51 @@ SELECT 'purchase' AS event_type, COUNT(*) AS n,
   FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
 FROM events WHERE event_type = 'purchase'
 """
+
+
+def bin_prices_quartile(sf_dir: str):
+    """Quantile feature binning (the discretization step of feature
+    engineering): PERCENTILE_DISC quartile boundaries are fit once —
+    driver-side on the one pruned column for oracle exactness; the t-digest
+    sketch is the at-scale fit path (accuracy pinned in tests) — then
+    broadcast, and the bin assignment is a distributed per-batch
+    searchsorted + bincount partial. Discrete (data-value) boundaries keep
+    the <= comparisons bit-identical on both engines."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    vals = np.sort(np.concatenate([
+        b["l_extendedprice"].to_numpy()
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]))
+    n = vals.size
+    bounds = np.array([vals[max(int(np.ceil(q * n)) - 1, 0)]
+                       for q in (0.25, 0.5, 0.75)])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy()
+        b = np.searchsorted(bounds, v, side="left")
+        cnt = np.bincount(b, minlength=4).astype(np.int64)
+        return pa.table({"bin": pa.array(["q1", "q2", "q3", "q4"]),
+                         "n": pa.array(cnt)})
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("bin").aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out.n.astype(np.int64)
+    return pa.Table.from_pandas(out[out.n > 0], preserve_index=False)
+
+
+BIN_QUARTILE_SQL = """
+WITH b AS (
+  SELECT quantile_disc(l_extendedprice, 0.25) AS p25,
+         quantile_disc(l_extendedprice, 0.50) AS p50,
+         quantile_disc(l_extendedprice, 0.75) AS p75
+  FROM lineitem)
+SELECT CASE WHEN l_extendedprice <= p25 THEN 'q1'
+            WHEN l_extendedprice <= p50 THEN 'q2'
+            WHEN l_extendedprice <= p75 THEN 'q3'
+            ELSE 'q4' END AS bin,
+       COUNT(*) AS n
+FROM lineitem, b GROUP BY 1
+"""
