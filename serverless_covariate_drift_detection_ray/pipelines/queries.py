@@ -629,28 +629,66 @@ FROM j, ga GROUP BY 1, 2
 """
 
 
+def _user_buckets(sf_dir: str, ds, cols_note: str = ""):
+    """Salt-bucket an events projection by hash(user_id): the per-user
+    stream ops below never run one Ray group per user (2 ms/group kills
+    high-cardinality keys — see event_gaps); buckets scale with row count
+    and each bucket's kernel is one vectorized multi-user pandas pass."""
+    from ..functions.hashing import hash64
+
+    nb = _salt_buckets(sf_dir, "events", rows_per_bucket=250_000, floor=256)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch["user_id"].to_numpy()) % nb).astype(np.int64)
+        return batch.append_column("bkt", pa.array(b))
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("bkt")
+
+
+def _user_time_key(d: pd.DataFrame, extra_us: int = 0):
+    """Collision-free (user, time) composite int64 key over a frame sorted
+    by (user_id, ts, ...): dense_uid * span + rel_ts with span exceeding
+    max(rel_ts) + extra, so a probe that underflows one user's range still
+    lands strictly above every other user's keys. Returns (dense, ts_us,
+    key). Overflow is guarded in python ints (no int64 wrap)."""
+    uid = d.user_id.to_numpy()
+    _, dense = np.unique(uid, return_inverse=True)
+    ts = d.ts.astype("int64").to_numpy()
+    rel = ts - ts.min() if len(ts) else ts
+    span = (int(rel.max()) if len(rel) else 0) + extra_us + 2
+    if (int(dense.max(initial=0)) + 1) * span >= 2**63:
+        raise ValueError("user-time composite key overflow: raise the "
+                         "bucket count (users/bucket x time span too large)")
+    return dense, ts, dense.astype(np.int64) * span + rel
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
-    """Session windows (gap-based) per user: groupby(user).map_groups over the
-    ts-sorted group — the Ray Data shape for stream-style windows (ray guide
-    "Streaming-shaped workloads"). Ordering assumption: within one user the
-    group is sorted by (ts, event_id) before sessionizing."""
+    """Session windows (gap-based) per user — the Ray Data shape for
+    stream-style windows (ray guide "Streaming-shaped workloads"), salt-
+    bucketed so the shuffle has a fixed group count; within a bucket ONE
+    vectorized pass sessionizes every user (session break = first event of
+    a user OR gap > threshold on the (user, ts, event_id)-sorted frame)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     gap = np.timedelta64(gap_minutes * 60 * 1000 * 1000, "us")
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        ts = df.ts.to_numpy()
-        new_session = np.ones(len(df), dtype=bool)
-        if len(df) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = d.ts.to_numpy()
+        uid = d.user_id.to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        g = pd.DataFrame({"user_id": uid, "new": new}).groupby(
+            "user_id", sort=False)
         return pd.DataFrame({
-            "user_id": [int(df.user_id.iloc[0])],
-            "n_sessions": [int(new_session.sum())],
-            "n_events": [len(df)],
-        })
+            "n_sessions": g.new.sum().astype(np.int64),
+            "n_events": g.size().astype(np.int64),
+        }).reset_index()
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _user_buckets(sf_dir, ds).map_groups(sessions,
+                                                batch_format="pandas")
 
 
 SESSIONIZE_SQL = """
@@ -667,19 +705,20 @@ FROM marked GROUP BY user_id
 
 
 def running_sum_events(sf_dir: str):
-    """Per-user running sum ordered by (ts, event_id) — cumulative window."""
+    """Per-user running sum ordered by (ts, event_id) — cumulative window;
+    salt-bucketed, one vectorized grouped-cumsum per bucket."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        out = pd.DataFrame({
-            "event_id": df.event_id.to_numpy(),
-            "user_id": df.user_id.to_numpy(),
-            "run_sum": _round(df.value.cumsum().to_numpy(), 2),
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rs = d.groupby("user_id", sort=False).value.cumsum().to_numpy()
+        return pd.DataFrame({
+            "event_id": d.event_id.to_numpy(),
+            "user_id": d.user_id.to_numpy(),
+            "run_sum": _round(rs, 2),
         })
-        return out
 
-    return ds.groupby("user_id").map_groups(run, batch_format="pandas")
+    return _user_buckets(sf_dir, ds).map_groups(run, batch_format="pandas")
 
 
 RUNNING_SUM_SQL = """
@@ -1352,11 +1391,12 @@ def asof_join_purchase_click(sf_dir: str):
     """As-of join: for each 'purchase' event, the most recent 'click' by the
     same user at or before its timestamp.
 
-    The Ray Data shape: filter inside map_batches (no raw-row shuffle of other
-    event types) -> hash-partition by the join key (groupby user_id) -> sort
-    within group -> one vectorized searchsorted merge per group. Partitioning
-    assumption: one key's history fits in a worker; salt hot keys by
-    time-range when a single key's volume breaks that."""
+    The Ray Data shape: filter inside map_batches (no raw-row shuffle of
+    other event types) -> salt-bucket by hash(user_id) (fixed group count —
+    never one Ray group per user) -> within a bucket ONE vectorized
+    searchsorted merge over the (user, time) composite key covers every
+    user: a purchase probe only matches clicks in its own user's key range
+    by construction."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -1364,22 +1404,30 @@ def asof_join_purchase_click(sf_dir: str):
             pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"])))
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        is_click = (df.event_type == "click").to_numpy()
-        clicks, purch = df[is_click], df[~is_click]
-        idx = np.searchsorted(clicks.ts.to_numpy(), purch.ts.to_numpy(),
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        dense, ts, key = _user_time_key(d)
+        is_click = (d.event_type == "click").to_numpy()
+        idx = np.searchsorted(key[is_click], key[~is_click],
                               side="right") - 1
         sel = idx >= 0
-        p, c = purch[sel], clicks.iloc[idx[sel]]
+        # same-user check: a probe below its user's first click resolves to
+        # another user's range — mask those out
+        sel[sel] = dense[is_click][idx[sel]] == dense[~is_click][sel]
+        p = d[~is_click][sel]
+        ci = idx[sel]
+        c_eid = d.event_id.to_numpy()[is_click][ci]
+        c_ts = ts[is_click][ci]
         return pd.DataFrame({
             "event_id": p.event_id.to_numpy(),
             "user_id": p.user_id.to_numpy(),
-            "click_event_id": c.event_id.to_numpy(),
-            "gap_us": (p.ts.to_numpy() - c.ts.to_numpy()).astype(np.int64),
+            "click_event_id": c_eid,
+            "gap_us": (p.ts.astype("int64").to_numpy() - c_ts).astype(np.int64),
         })
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True
-                          ).groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _user_buckets(
+        sf_dir, ds.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    ).map_groups(asof, batch_format="pandas")
 
 
 ASOF_SQL = """
@@ -1449,25 +1497,27 @@ FROM x GROUP BY 1, 2
 
 def rolling_1h_events(sf_dir: str):
     """Per-user rolling 1-hour window (count + sum of value over [ts-1h, ts]):
-    groupby(user) -> sort within group -> vectorized two-pointer via
-    searchsorted + cumsum — O(n log n) per group, no per-row Python loop."""
+    salt-bucketed; within a bucket ONE searchsorted + cumsum pass over the
+    (user, time) composite key covers every user — window probes that
+    underflow a user's range land between users by construction, so no
+    per-user loop and no boundary mask."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    hour = np.timedelta64(3_600_000_000, "us")
+    hour_us = 3_600_000_000
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        ts = df.ts.to_numpy()
-        lo = np.searchsorted(ts, ts - hour, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
-        cs = np.concatenate([[0.0], np.cumsum(df.value.to_numpy())])
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        _, _, key = _user_time_key(d, extra_us=hour_us)
+        lo = np.searchsorted(key, key - hour_us, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        cs = np.concatenate([[0.0], np.cumsum(d.value.to_numpy())])
         return pd.DataFrame({
-            "event_id": df.event_id.to_numpy(),
-            "user_id": df.user_id.to_numpy(),
+            "event_id": d.event_id.to_numpy(),
+            "user_id": d.user_id.to_numpy(),
             "n_1h": (hi - lo).astype(np.int64),
             "sum_1h": _round(cs[hi] - cs[lo], 2),
         })
 
-    return ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    return _user_buckets(sf_dir, ds).map_groups(roll, batch_format="pandas")
 
 
 ROLLING_SQL = """
