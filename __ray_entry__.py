@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_purchase_clicks": relq.interval_join_purchase_clicks,
         "range_join_price_bands": relq.range_join_price_bands,
         "semijoin_orders_build_nation": relq.semijoin_orders_build_nation,
+        "upsert_orders_scd": relq.upsert_orders_scd,
         "pivot_status_by_priority": relq.pivot_status_by_priority,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "setops_customer_orders": relq.SETOPS_SQL,
         "range_join_price_bands": relq.RANGE_JOIN_SQL,
         "semijoin_orders_build_nation": relq.SEMIJOIN_SQL,
+        "upsert_orders_scd": relq.UPSERT_SQL,
         "pivot_status_by_priority": relq.PIVOT_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,

@@ -2918,3 +2918,78 @@ SELECT CASE WHEN l_extendedprice <= p25 THEN 'q1'
        COUNT(*) AS n
 FROM lineitem, b GROUP BY 1
 """
+
+
+def upsert_orders_scd(sf_dir: str):
+    """MERGE INTO / SCD-1 upsert: apply a change-set to a base table with
+    last-write-wins-by-key, then summarize the merged state. Base and delta
+    are derived deterministically from orders (base: keys not divisible by
+    10; delta: keys divisible by 3, price bumped) so the op is self-
+    contained and oracle-exact.
+
+    Ray shape: both sides tagged with a priority column inside their read
+    map_batches, unioned, salt-bucketed on the key (never one Ray group per
+    key), and each bucket resolves winners with one vectorized
+    sort + drop_duplicates — at most one survivor row per key leaves the
+    bucket, already pre-aggregated per status."""
+    from ..functions.hashing import hash64
+
+    nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=500_000, floor=16)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.array(batch["o_orderkey"].to_numpy() % 10 != 0))
+        return pa.table({
+            "key": t["o_orderkey"], "status": t["o_orderstatus"],
+            "price": t["o_totalprice"],
+            "pri": pa.array(np.zeros(len(t), np.int8)),
+            "bkt": pa.array((hash64(t["o_orderkey"].to_numpy()) % nb
+                             ).astype(np.int64)),
+        })
+
+    def tag_delta(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.array(batch["o_orderkey"].to_numpy() % 3 == 0))
+        return pa.table({
+            "key": t["o_orderkey"], "status": t["o_orderstatus"],
+            "price": pc.add(t["o_totalprice"], pa.scalar(1.0)),
+            "pri": pa.array(np.ones(len(t), np.int8)),
+            "bkt": pa.array((hash64(t["o_orderkey"].to_numpy()) % nb
+                             ).astype(np.int64)),
+        })
+
+    base = _read(sf_dir, "orders", cols).map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True)
+    delta = _read(sf_dir, "orders", cols).map_batches(
+        tag_delta, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["key", "pri"], kind="mergesort"
+                           ).drop_duplicates("key", keep="last")
+        g = d.groupby("status", sort=False).agg(
+            n=("key", "size"), sum_price=("price", "sum")).reset_index()
+        return g
+
+    part = base.union(delta).groupby("bkt").map_groups(
+        resolve, batch_format="pandas").to_pandas()
+    out = part.groupby("status", as_index=False).agg(
+        n=("n", "sum"), sum_price=("sum_price", "sum"))
+    out = out.rename(columns={"status": "o_orderstatus"})
+    out["n"] = out.n.astype(np.int64)
+    out["sum_price"] = _round(out.sum_price, 2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS pri
+  FROM orders WHERE o_orderkey % 10 <> 0),
+delta AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1 AS o_totalprice, 1 AS pri
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) = 1)
+SELECT o_orderstatus, COUNT(*) AS n,
+  FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+FROM merged GROUP BY o_orderstatus
+"""
