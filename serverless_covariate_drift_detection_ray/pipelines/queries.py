@@ -629,14 +629,23 @@ FROM j, ga GROUP BY 1, 2
 """
 
 
-def _user_buckets(sf_dir: str, ds, cols_note: str = ""):
+def _ts_us(series: pd.Series) -> np.ndarray:
+    """Timestamp column → int64 microseconds, unit-safe: an explicit
+    datetime64[us] cast first, so a ns-stored batch (older pandas /
+    coerce_temporal_nanoseconds) can't silently scale windows 1000x."""
+    return series.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
+def _user_buckets(sf_dir: str, ds):
     """Salt-bucket an events projection by hash(user_id): the per-user
     stream ops below never run one Ray group per user (2 ms/group kills
     high-cardinality keys — see event_gaps); buckets scale with row count
-    and each bucket's kernel is one vectorized multi-user pandas pass."""
+    (floor 32 — a large fixed bucket count taxes small exchanges with the
+    blocks x partitions sort cost) and each bucket's kernel is one
+    vectorized multi-user pandas pass."""
     from ..functions.hashing import hash64
 
-    nb = _salt_buckets(sf_dir, "events", rows_per_bucket=250_000, floor=256)
+    nb = _salt_buckets(sf_dir, "events", rows_per_bucket=250_000, floor=32)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (hash64(batch["user_id"].to_numpy()) % nb).astype(np.int64)
@@ -654,7 +663,7 @@ def _user_time_key(d: pd.DataFrame, extra_us: int = 0):
     key). Overflow is guarded in python ints (no int64 wrap)."""
     uid = d.user_id.to_numpy()
     _, dense = np.unique(uid, return_inverse=True)
-    ts = d.ts.astype("int64").to_numpy()
+    ts = _ts_us(d.ts)
     rel = ts - ts.min() if len(ts) else ts
     span = (int(rel.max()) if len(rel) else 0) + extra_us + 2
     if (int(dense.max(initial=0)) + 1) * span >= 2**63:
@@ -1009,14 +1018,21 @@ FROM cum
 """
 
 
+def _sorted_column(sf_dir: str, table: str, col: str) -> np.ndarray:
+    """Driver-side sorted copy of ONE pruned column — the oracle-exact fit
+    path shared by the exact-quantile and quantile-binning ops (the t-digest
+    sketch is the at-scale default; accuracy pinned in unit tests)."""
+    ds = _read(sf_dir, table, [col])
+    return np.sort(np.concatenate([
+        b[col].to_numpy()
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]))
+
+
 def quantiles_extendedprice(sf_dir: str):
     """Exact quantiles (driver-side on one pruned column; the t-digest sketch
     is the at-scale path — its accuracy is pinned in unit tests)."""
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    vals = np.sort(np.concatenate([
-        b["l_extendedprice"].to_numpy()
-        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]))
+    vals = _sorted_column(sf_dir, "lineitem", "l_extendedprice")
     qs = [0.25, 0.5, 0.75, 0.95]
     out = np.quantile(vals, qs)  # linear interpolation == quantile_cont
     return pa.table({
@@ -1421,7 +1437,7 @@ def asof_join_purchase_click(sf_dir: str):
             "event_id": p.event_id.to_numpy(),
             "user_id": p.user_id.to_numpy(),
             "click_event_id": c_eid,
-            "gap_us": (p.ts.astype("int64").to_numpy() - c_ts).astype(np.int64),
+            "gap_us": (_ts_us(p.ts) - c_ts).astype(np.int64),
         })
 
     return _user_buckets(
@@ -2626,7 +2642,7 @@ def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
     from ..functions.hashing import hash64
 
     n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=250_000,
-                              floor=256)
+                              floor=32)
     w_us = window_s * 1_000_000
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
 
@@ -2639,7 +2655,7 @@ def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
                          "event_type": t["event_type"], "bkt": pa.array(b)})
 
     def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df.ts.astype("int64").to_numpy()
+        ts = _ts_us(df.ts)
         is_click = (df.event_type == "click").to_numpy()
         _, dense = np.unique(df.user_id.to_numpy(), return_inverse=True)
         rel = ts - ts.min()
@@ -2837,19 +2853,29 @@ def partition_roundtrip_events(sf_dir: str):
     import ray.data
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    root = f"/tmp/scdd_query/{tag}/events_by_type_{n_rows}"
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    # cache key = source content fingerprint (size + mtime), so a
+    # regenerated fixture with the same row count can't serve stale data
+    root = f"/tmp/scdd_query/{tag}/events_by_type_{st.st_size}_{int(st.st_mtime)}"
     marker = os.path.join(root, "_SUCCESS")
     if not os.path.exists(marker):
-        tmp = root + ".tmp"
+        tmp = f"{root}.tmp.{os.getpid()}"  # per-process staging: no races
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(root, ignore_errors=True)
         _read(sf_dir, "events", ["event_type", "value"]).write_parquet(
             tmp, partition_cols=["event_type"])
-        os.rename(tmp, root)
-        open(marker, "w").close()
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, root)
+        except OSError:  # concurrent writer won the rename; use its copy
+            shutil.rmtree(tmp, ignore_errors=True)
 
-    part = ray.data.read_parquet(f"{root}/event_type=purchase")
+    part_dir = f"{root}/event_type=purchase"
+    if not os.path.isdir(part_dir):  # no purchase rows: match the oracle
+        return pa.table({"event_type": pa.array(["purchase"], pa.string()),
+                         "n": pa.array([0], pa.int64()),
+                         "sum_value": pa.array([None], pa.float64())})
+    part = ray.data.read_parquet(part_dir)
 
     def agg(batch: pa.Table) -> pa.Table:
         s = pc.sum(batch["value"]).as_py()
@@ -2881,10 +2907,7 @@ def bin_prices_quartile(sf_dir: str):
     searchsorted + bincount partial. Discrete (data-value) boundaries keep
     the <= comparisons bit-identical on both engines."""
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    vals = np.sort(np.concatenate([
-        b["l_extendedprice"].to_numpy()
-        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]))
+    vals = _sorted_column(sf_dir, "lineitem", "l_extendedprice")
     n = vals.size
     bounds = np.array([vals[max(int(np.ceil(q * n)) - 1, 0)]
                        for q in (0.25, 0.5, 0.75)])
@@ -2937,30 +2960,25 @@ def upsert_orders_scd(sf_dir: str):
     nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=500_000, floor=16)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
 
-    def tag_base(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pa.array(batch["o_orderkey"].to_numpy() % 10 != 0))
-        return pa.table({
-            "key": t["o_orderkey"], "status": t["o_orderstatus"],
-            "price": t["o_totalprice"],
-            "pri": pa.array(np.zeros(len(t), np.int8)),
-            "bkt": pa.array((hash64(t["o_orderkey"].to_numpy()) % nb
-                             ).astype(np.int64)),
-        })
-
-    def tag_delta(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pa.array(batch["o_orderkey"].to_numpy() % 3 == 0))
-        return pa.table({
-            "key": t["o_orderkey"], "status": t["o_orderstatus"],
-            "price": pc.add(t["o_totalprice"], pa.scalar(1.0)),
-            "pri": pa.array(np.ones(len(t), np.int8)),
-            "bkt": pa.array((hash64(t["o_orderkey"].to_numpy()) % nb
-                             ).astype(np.int64)),
-        })
+    def make_tagger(mod: int, want: bool, bump: float, pri: int):
+        def tagger(batch: pa.Table) -> pa.Table:
+            m = batch["o_orderkey"].to_numpy() % mod == 0
+            t = batch.filter(pa.array(m == want))
+            return pa.table({
+                "key": t["o_orderkey"], "status": t["o_orderstatus"],
+                "price": pc.add(t["o_totalprice"], pa.scalar(bump)),
+                "pri": pa.array(np.full(len(t), pri, np.int8)),
+                "bkt": pa.array((hash64(t["o_orderkey"].to_numpy()) % nb
+                                 ).astype(np.int64)),
+            })
+        return tagger
 
     base = _read(sf_dir, "orders", cols).map_batches(
-        tag_base, batch_format="pyarrow", zero_copy_batch=True)
+        make_tagger(10, False, 0.0, 0), batch_format="pyarrow",
+        zero_copy_batch=True)
     delta = _read(sf_dir, "orders", cols).map_batches(
-        tag_delta, batch_format="pyarrow", zero_copy_batch=True)
+        make_tagger(3, True, 1.0, 1), batch_format="pyarrow",
+        zero_copy_batch=True)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["key", "pri"], kind="mergesort"

@@ -189,7 +189,8 @@ def test_chunk_documents_reconstructs_originals(ray_session):
         rows = list(g.itertuples())
         for r in rows[:-1]:
             toks.extend(r.chunk.split(" ")[:stride])
-        toks.extend(rows[-1].chunk.split(" ")) if rows[-1].chunk else None
+        if rows[-1].chunk:
+            toks.extend(rows[-1].chunk.split(" "))
         rebuilt[doc_id] = [t for t in toks if t]
     for _, row in docs.iterrows():
         orig = [w for w in row.text.split(" ") if w]
