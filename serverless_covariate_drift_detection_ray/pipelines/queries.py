@@ -2720,7 +2720,7 @@ def grouped_quantiles_tdigest(sf_dir: str):
         merge, batch_format="pandas")
 
 
-def profile_table_orders(sf_dir: str):
+def profile_table(sf_dir: str, table: str = "orders"):
     """Whole-table single-scan auto-profiler (schema-driven, the
     SUMMARIZE/describe shape): every column gets count + null count;
     numeric and timestamp columns get min/max/mean (timestamps as epoch
@@ -2731,7 +2731,7 @@ def profile_table_orders(sf_dir: str):
     partials, the driver holds one partial row per (block, column)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
     dtypes = {f: str(t) for f, t in zip(ds.schema().names, ds.schema().types)}
     cap = 10_000
 
@@ -2804,6 +2804,10 @@ def profile_table_orders(sf_dir: str):
             "n_distinct": float(len(uniq)) if is_str else np.nan,
         })
     return pa.Table.from_pylist(out)
+
+
+def profile_table_orders(sf_dir: str):
+    return profile_table(sf_dir, "orders")
 
 
 _PROFILE_COL = """

@@ -326,3 +326,29 @@ def test_tfidf_two_shuffle_matches_broadcast(ray_session):
     a = fast[key].sort_values(key).reset_index(drop=True)
     b = slow[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_profile_table_null_and_empty_edges(ray_session, tmp_path):
+    """Profiler on a null-heavy table: all-null string column gets
+    n_distinct=0 (COUNT(DISTINCT) semantics), all-null numeric column gets
+    NaN min/max/avg, and nulls are counted per column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        profile_table,
+    )
+
+    t = pa.table({
+        "i": pa.array([1, None, 3], pa.int64()),
+        "f": pa.array([None, None, None], pa.float64()),
+        "s": pa.array([None, None, None], pa.string()),
+        "s2": pa.array(["a", "a", None], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "edgy.parquet")
+    out = profile_table(str(tmp_path), "edgy").to_pandas().set_index("col_name")
+    assert out.loc["i", "n"] == 2 and out.loc["i", "n_null"] == 1
+    assert out.loc["i", "avg_v"] == 2.0
+    assert np.isnan(out.loc["f", "min_v"]) and np.isnan(out.loc["f", "avg_v"])
+    assert out.loc["s", "n_distinct"] == 0.0
+    assert out.loc["s2", "n_distinct"] == 1.0 and out.loc["s2", "n_null"] == 1
