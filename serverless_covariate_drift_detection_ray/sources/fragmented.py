@@ -126,3 +126,74 @@ def read_images(
     if not paths:
         return ray.data.from_arrow(IMAGES_SCHEMA.empty_table())
     return ray.data.read_parquet(paths, columns=columns)
+
+
+def compact_fragments(root: str, target_rows: int = 1_000_000) -> TableManifest:
+    """OPTIMIZE / small-file compaction: coalesce adjacent small fragments
+    into ~``target_rows`` files WITHOUT crossing partition boundaries (the
+    partition is the lineage/resume unit, so compaction must not change
+    partition membership). Single-fragment bins are left untouched — no
+    gratuitous rewrite.
+
+    Each bin rewrites as an independent Ray task (read N small files → one
+    new fragment with its ``fragment_id`` column rewritten), so compaction
+    parallelizes across bins and never holds more than one bin in memory
+    per task. Crash-safe ordering: new files land first, the manifest flips
+    via its atomic tmp+rename ``save()``, and only then are old files
+    removed best-effort — an interruption leaves either the old manifest +
+    orphan new files or the new manifest + orphan old files, never a
+    broken table."""
+    import ray
+
+    man = TableManifest.load(root)
+    next_id = max((f.id for f in man.fragments), default=-1) + 1
+    plan: list[tuple[int, list[FragmentInfo], int]] = []
+    keep: list[FragmentInfo] = []
+
+    def close_bin(pid: int, bin_: list[FragmentInfo]) -> None:
+        nonlocal next_id
+        if len(bin_) > 1:
+            plan.append((pid, bin_, next_id))
+            next_id += 1
+        else:
+            keep.extend(bin_)
+
+    for pid in man.partition_ids():
+        bin_, rows = [], 0
+        for f in (f for f in man.fragments if f.partition_id == pid):
+            bin_.append(f)
+            rows += f.rows
+            if rows >= target_rows:
+                close_bin(pid, bin_)
+                bin_, rows = [], 0
+        if bin_:
+            close_bin(pid, bin_)
+    if not plan:
+        return man
+
+    @ray.remote
+    def rewrite(root: str, pid: int, files: list[str], new_id: int) -> dict:
+        import numpy as np
+
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(root, f)) for f in files])
+        if "fragment_id" in t.column_names:
+            idx = t.column_names.index("fragment_id")
+            t = t.set_column(idx, "fragment_id", pa.array(
+                np.full(t.num_rows, new_id, dtype=np.int64)))
+        info = write_fragment(root, new_id, pid, t)
+        return {"id": info.id, "file": info.file, "rows": info.rows,
+                "partition_id": info.partition_id}
+
+    results = ray.get([rewrite.remote(root, pid, [f.file for f in bin_], nid)
+                       for pid, bin_, nid in plan])
+    old_files = [f.file for _, bin_, _ in plan for f in bin_]
+    man.fragments = sorted(keep + [FragmentInfo(**r) for r in results],
+                           key=lambda f: f.id)
+    man.save()
+    for f in old_files:
+        try:
+            os.remove(os.path.join(root, f))
+        except OSError:
+            pass
+    return man

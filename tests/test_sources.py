@@ -82,3 +82,61 @@ def test_write_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         write_table(src, str(tmp_path / "x"), "orc")
+
+
+def test_compact_fragments_preserves_table(ray_session, tmp_path):
+    """Compaction coalesces small fragments per partition, rewrites the
+    fragment_id column, flips the manifest atomically, removes old files,
+    and never changes the logical table content or partition membership."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        FragmentInfo,
+        TableManifest,
+        compact_fragments,
+        write_fragment,
+    )
+
+    root = str(tmp_path)
+    man = TableManifest(root=root)
+    for fid in range(6):
+        pid = fid // 3
+        t = pa.table({
+            "image_id": [f"im{fid}_{i}" for i in range(10)],
+            "v": pa.array(range(fid * 10, fid * 10 + 10), pa.int64()),
+            "fragment_id": pa.array([fid] * 10, pa.int64()),
+            "partition_id": pa.array([pid] * 10, pa.int32()),
+        })
+        man.fragments.append(write_fragment(root, fid, pid, t))
+    man.partitions = {0: {}, 1: {}}
+    man.save()
+
+    def snapshot(m):
+        import pandas as pd
+        parts = [pq.read_table(f"{root}/{f.file}").to_pandas()
+                 for f in m.fragments]
+        return pd.concat(parts).sort_values("image_id").reset_index(drop=True)
+
+    before = snapshot(man)[["image_id", "v", "partition_id"]]
+    man2 = compact_fragments(root, target_rows=25)
+    # 3 x 10-row fragments per partition, target 25 -> one 30-row bin each
+    assert len(man2.fragments) == 2
+    assert sorted(f.partition_id for f in man2.fragments) == [0, 1]
+    assert man2.num_rows == 60
+    after_full = snapshot(man2)
+    after = after_full[["image_id", "v", "partition_id"]]
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after)
+    # fragment_id column rewritten to the new manifest ids
+    for f in man2.fragments:
+        t = pq.read_table(f"{root}/{f.file}")
+        assert set(t["fragment_id"].to_pylist()) == {f.id}
+    # old files removed; manifest round-trips
+    import os
+    on_disk = {p for p in os.listdir(root) if p.endswith(".parquet")}
+    assert on_disk == {f.file for f in man2.fragments}
+    assert TableManifest.load(root).num_rows == 60
+    # an already-compacted table is a no-op (single-fragment bins untouched)
+    man3 = compact_fragments(root, target_rows=25)
+    assert [f.file for f in man3.fragments] == [f.file for f in man2.fragments]
