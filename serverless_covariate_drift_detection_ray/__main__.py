@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--path", default=None, help="write JSON here (default: stdout)")
 
+    c = sub.add_parser("compact", help="coalesce small fragments (OPTIMIZE)")
+    c.add_argument("--manifest", required=True, help="table dir (manifest.json)")
+    c.add_argument("--target-rows", type=int, default=1_000_000)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-fixture":
@@ -105,6 +109,17 @@ def main(argv: list[str] | None = None) -> int:
                               "meta": {k: v for k, v in ref.meta.items()
                                        if not isinstance(v, (bytes, bytearray))}},
                              default=str))
+            return 0
+
+        if args.cmd == "compact":
+            from .sources.fragmented import TableManifest, compact_fragments
+
+            before = len(TableManifest.load(args.manifest).fragments)
+            man = compact_fragments(args.manifest, target_rows=args.target_rows)
+            print(json.dumps({"manifest": args.manifest,
+                              "fragments_before": before,
+                              "fragments_after": len(man.fragments),
+                              "rows": man.num_rows}))
             return 0
 
         if args.cmd == "validate":

@@ -294,3 +294,69 @@ class TestResumeConfigInvalidation:
         vs = pd.concat([pq.read_table(f).to_pandas()
                         for f in glob.glob(f"{out}/verdicts/*/*.parquet")])
         assert (vs.check == "chi2").any()
+
+
+def test_compacted_table_validates_identically(run, tmp_path_factory):
+    """OPTIMIZE must be invisible to validation: fully compacting every
+    partition's fragments and re-running fit + validate yields identical
+    verdicts (same statistics, p-values, outcomes) and identical violation
+    sets — fragment boundaries are physical layout, not semantics."""
+    import shutil
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        compact_fragments,
+    )
+
+    base = tmp_path_factory.mktemp("compacted")
+    fix2 = str(base / "table")
+    shutil.copytree(run["fix"], fix2)
+
+    # the tiny fixture is already 1 fragment/partition: shatter each
+    # fragment into 3 small ones first so compaction genuinely merges
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        TableManifest,
+        write_fragment,
+    )
+
+    man0 = TableManifest.load(fix2)
+    nid = max(f.id for f in man0.fragments) + 1
+    shattered = []
+    for f in man0.fragments:
+        t = pq.read_table(os.path.join(fix2, f.file))
+        third = max(t.num_rows // 3, 1)
+        for lo in range(0, t.num_rows, third):
+            piece = t.slice(lo, third)
+            import pyarrow as pa
+            piece = piece.set_column(
+                piece.column_names.index("fragment_id"), "fragment_id",
+                pa.array([nid] * piece.num_rows, pa.int64()))
+            shattered.append(write_fragment(fix2, nid, f.partition_id, piece))
+            nid += 1
+        os.remove(os.path.join(fix2, f.file))
+    man0.fragments = shattered
+    man0.save()
+    assert len(TableManifest.load(fix2).fragments) >= 3 * len(man0.partitions)
+
+    man = compact_fragments(fix2, target_rows=10**9)
+    assert len(man.fragments) == len(man.partition_ids())
+
+    ref2, out2 = str(base / "ref"), str(base / "out")
+    fit(fix2, ref2, run["cfg"])
+    validate(fix2, ref2, out2, run["cfg"])
+    v2 = pd.concat([
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(out2, "verdicts", "*", "*.parquet")))
+    ])
+    cols = ["partition_id", "check", "column", "passed", "statistic", "p_value"]
+    a = run["verdicts"][cols].sort_values(cols).reset_index(drop=True)
+    b = v2[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    viol2 = pd.concat([
+        pq.read_table(f).to_pandas()
+        for f in sorted(glob.glob(os.path.join(out2, "violations", "*", "*.parquet")))
+    ])
+    vcols = ["partition_id", "check", "image_id", "column"]
+    pd.testing.assert_frame_equal(
+        run["violations"][vcols].sort_values(vcols).reset_index(drop=True),
+        viol2[vcols].sort_values(vcols).reset_index(drop=True))
