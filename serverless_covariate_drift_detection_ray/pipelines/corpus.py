@@ -91,8 +91,14 @@ def corpus_funnel_documents(sf_dir: str):
             "cont": pa.array(cont),
         })
 
+    nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=2_000_000,
+                       floor=16)
+    # cap the tagged projection's block count before materializing: the
+    # read inherits one block per CPU, and both downstream consumers pay
+    # blocks x partitions fixed cost (the groupby sort) / per-block task
+    # overhead — at 32 CPUs that tax tripled this query's wall clock
     tagged = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
+                            zero_copy_batch=True).repartition(nb).materialize()
 
     def count_partial(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -104,9 +110,6 @@ def corpus_funnel_documents(sf_dir: str):
 
     cp = tagged.map_batches(count_partial, batch_format="pyarrow",
                             zero_copy_batch=True).to_pandas().sum()
-
-    nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=2_000_000,
-                       floor=16)
 
     def survivors(batch: pa.Table) -> pa.Table:
         t = batch.filter(batch["lang_ok"])
