@@ -1148,8 +1148,11 @@ def pack_sequences_documents(sf_dir: str, budget: int = 512):
                          "n_tokens": pa.array(n, pa.int64()),
                          "bkt": pa.array(ids // rng, pa.int64())})
 
+    # cap the int-projection's block count before materializing: both
+    # consumers (bucket sums + the scan) pay per-block fixed costs
     tagged = ds.map_batches(count, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
+                            zero_copy_batch=True).repartition(
+        n_buckets).materialize()
     sums = tagged.groupby("bkt").sum("n_tokens").to_pandas().sort_values("bkt")
     offs = dict(zip(sums.bkt.to_numpy(),
                     np.concatenate(([0], np.cumsum(sums["sum(n_tokens)"]
