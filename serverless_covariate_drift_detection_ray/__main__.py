@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="coalesce small fragments (OPTIMIZE)")
     c.add_argument("--manifest", required=True, help="table dir (manifest.json)")
     c.add_argument("--target-rows", type=int, default=1_000_000)
+    c.add_argument("--gc", action="store_true",
+                   help="also delete unreferenced old fragments (only when "
+                        "no concurrent reader holds the old manifest)")
 
     args = p.parse_args(argv)
 
@@ -115,7 +118,8 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.fragmented import TableManifest, compact_fragments
 
             before = len(TableManifest.load(args.manifest).fragments)
-            man = compact_fragments(args.manifest, target_rows=args.target_rows)
+            man = compact_fragments(args.manifest, target_rows=args.target_rows,
+                                    gc=args.gc)
             print(json.dumps({"manifest": args.manifest,
                               "fragments_before": before,
                               "fragments_after": len(man.fragments),

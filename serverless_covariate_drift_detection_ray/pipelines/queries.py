@@ -2732,7 +2732,14 @@ def profile_table(sf_dir: str, table: str = "orders"):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
-    dtypes = {f: str(t) for f, t in zip(ds.schema().names, ds.schema().types)}
+    schema = ds.schema()
+    dtypes = {f: str(t) for f, t in zip(schema.names, schema.types)}
+    # string-vs-numeric decided from the SAME arrow-type predicates the
+    # per-block partial branches on — never from dtype-string prefixes
+    # (a float16 prints 'halffloat' and would misclassify)
+    str_cols = {f for f, t in zip(schema.names, schema.types)
+                if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                        or pa.types.is_timestamp(t))}
     cap = 10_000
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2747,13 +2754,20 @@ def profile_table(sf_dir: str, table: str = "orders"):
             if pa.types.is_integer(t):
                 v = pc.drop_null(col).to_numpy(zero_copy_only=False)
                 if v.size:
-                    # exact per-block int64 sum shipped as decimal STRING
+                    # exact per-block int sum shipped as decimal STRING
                     # (arrow int64-with-nulls would round-trip to float64
                     # via pandas); the driver re-parses and accumulates in
                     # python ints so the mean matches the oracle's HUGEINT
-                    # arithmetic even past 2^53
+                    # arithmetic even past 2^53. The numpy fast path wraps
+                    # silently past 2^63, so it only runs when the bound
+                    # |max| * n proves it can't overflow.
+                    # python-int bound (np.abs wraps on INT64_MIN)
+                    if max(abs(int(v.min())), abs(int(v.max()))) * v.size < 2**63:
+                        s = int(v.sum(dtype=np.int64))
+                    else:
+                        s = sum(int(x) for x in v)
                     row.update(min_v=float(v.min()), max_v=float(v.max()),
-                               sum_i=str(int(v.sum(dtype=np.int64))))
+                               sum_i=str(s))
             elif pa.types.is_floating(t):
                 v = pc.drop_null(col).to_numpy(zero_copy_only=False
                                                ).astype(np.float64)
@@ -2786,8 +2800,7 @@ def profile_table(sf_dir: str, table: str = "orders"):
             raise ValueError(f"profile: string column {c} exceeds {cap} "
                              "distinct values — use the HLL sketch path")
         n = int(g.n.sum())
-        is_str = not (dt.startswith(("int", "uint", "float", "double",
-                                     "timestamp")))
+        is_str = c in str_cols
         has_num = g.min_v.notna().any()
         if g.sum_i.notna().any():
             # exact python-int accumulation, then ONE cast to double before

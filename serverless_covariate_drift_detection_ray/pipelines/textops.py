@@ -1056,6 +1056,15 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def chunk_counts(n: np.ndarray, window: int, stride: int) -> np.ndarray:
+    """Chunks per document: 1 when n <= window, else
+    ceil((n - window) / stride) + 1 — the ONE implementation behind
+    chunk_documents and its property tests."""
+    return np.where(np.asarray(n) <= window, 1,
+                    ((np.asarray(n) - window + stride - 1) // stride + 1)
+                    ).astype(np.int64)
+
+
 def chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
     """Overlapping token-window chunking — the flat-map every LLM training
     pipeline runs before tokenization: each document expands to
@@ -1076,9 +1085,7 @@ def chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
         flat = np.concatenate([np.array(t, dtype=object) for t in toks]
                               ) if n.sum() else np.array([], dtype=object)
         doc_start = np.concatenate(([0], np.cumsum(n)[:-1]))
-        n_chunks = np.where(
-            n <= window, 1,
-            ((n - window + stride - 1) // stride + 1)).astype(np.int64)
+        n_chunks = chunk_counts(n, window, stride)
         total = int(n_chunks.sum())
         doc_idx = np.repeat(np.arange(len(df)), n_chunks)
         first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))

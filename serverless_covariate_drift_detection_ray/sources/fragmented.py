@@ -96,14 +96,16 @@ class TableManifest:
         )
 
 
-def write_fragment(root: str, fragment_id: int, partition_id: int, table: pa.Table) -> FragmentInfo:
+def write_fragment(root: str, fragment_id: int, partition_id: int, table: pa.Table,
+                   row_group_rows: int | None = None) -> FragmentInfo:
     fname = f"frag-{fragment_id:05d}.parquet"
     # the bytes column holds already-compressed codec payloads (PNG/lossy8):
     # zstd on top saved a measured 0.3% size while charging a full
     # decompress of the table's dominant column on EVERY read — store it
     # uncompressed, keep zstd for the (compressible) metadata columns
     comp = {c: ("NONE" if c == "bytes" else "ZSTD") for c in table.column_names}
-    pq.write_table(table, os.path.join(root, fname), compression=comp)
+    kwargs = {"row_group_size": row_group_rows} if row_group_rows else {}
+    pq.write_table(table, os.path.join(root, fname), compression=comp, **kwargs)
     return FragmentInfo(id=fragment_id, file=fname, rows=table.num_rows, partition_id=partition_id)
 
 
@@ -128,21 +130,47 @@ def read_images(
     return ray.data.read_parquet(paths, columns=columns)
 
 
-def compact_fragments(root: str, target_rows: int = 1_000_000) -> TableManifest:
+def gc_orphans(root: str) -> list[str]:
+    """Delete every ``frag-*.parquet`` the manifest does not reference —
+    the reclamation step for compaction (old fragments stay on disk by
+    default so in-flight readers of the pre-compaction manifest never lose
+    files; run GC once no reader can hold the old manifest). Converges:
+    covers files leaked by any earlier interrupted compaction too."""
+    man = TableManifest.load(root)
+    live = {f.file for f in man.fragments}
+    removed = []
+    for name in os.listdir(root):
+        if name.startswith("frag-") and name.endswith(".parquet") \
+                and name not in live:
+            try:
+                os.remove(os.path.join(root, name))
+                removed.append(name)
+            except OSError:
+                pass
+    return removed
+
+
+def compact_fragments(root: str, target_rows: int = 1_000_000,
+                      target_bytes: int = 512 << 20,
+                      row_group_rows: int = 10_000,
+                      gc: bool = False) -> TableManifest:
     """OPTIMIZE / small-file compaction: coalesce adjacent small fragments
-    into ~``target_rows`` files WITHOUT crossing partition boundaries (the
-    partition is the lineage/resume unit, so compaction must not change
-    partition membership). Single-fragment bins are left untouched — no
-    gratuitous rewrite.
+    into ~``target_rows``-row / ~``target_bytes``-file fragments WITHOUT
+    crossing partition boundaries (the partition is the lineage/resume
+    unit, so compaction must not change partition membership). Bins close
+    on whichever cap hits first — the byte cap (from on-disk file sizes)
+    bounds the rewrite task's memory for wide-row tables like the images
+    table. Single-fragment bins are left untouched — no gratuitous rewrite.
 
     Each bin rewrites as an independent Ray task (read N small files → one
-    new fragment with its ``fragment_id`` column rewritten), so compaction
-    parallelizes across bins and never holds more than one bin in memory
-    per task. Crash-safe ordering: new files land first, the manifest flips
-    via its atomic tmp+rename ``save()``, and only then are old files
-    removed best-effort — an interruption leaves either the old manifest +
-    orphan new files or the new manifest + orphan old files, never a
-    broken table."""
+    new fragment, ``fragment_id`` column rewritten, bounded
+    ``row_group_rows`` row groups so the post-compaction read still splits
+    into streamable blocks). Crash-safe ordering: new files land first, the
+    manifest flips via its atomic tmp+rename ``save()``. Old files are NOT
+    deleted by default — a long-running reader that resolved the old
+    manifest keeps its files (Lance-style snapshot semantics); reclamation
+    is ``gc_orphans`` (or ``gc=True`` when no concurrent reader exists),
+    which also converges over files leaked by interrupted runs."""
     import ray
 
     man = TableManifest.load(root)
@@ -159,16 +187,19 @@ def compact_fragments(root: str, target_rows: int = 1_000_000) -> TableManifest:
             keep.extend(bin_)
 
     for pid in man.partition_ids():
-        bin_, rows = [], 0
+        bin_, rows, nbytes = [], 0, 0
         for f in (f for f in man.fragments if f.partition_id == pid):
             bin_.append(f)
             rows += f.rows
-            if rows >= target_rows:
+            nbytes += os.path.getsize(os.path.join(root, f.file))
+            if rows >= target_rows or nbytes >= target_bytes:
                 close_bin(pid, bin_)
-                bin_, rows = [], 0
+                bin_, rows, nbytes = [], 0, 0
         if bin_:
             close_bin(pid, bin_)
     if not plan:
+        if gc:
+            gc_orphans(root)
         return man
 
     @ray.remote
@@ -181,19 +212,16 @@ def compact_fragments(root: str, target_rows: int = 1_000_000) -> TableManifest:
             idx = t.column_names.index("fragment_id")
             t = t.set_column(idx, "fragment_id", pa.array(
                 np.full(t.num_rows, new_id, dtype=np.int64)))
-        info = write_fragment(root, new_id, pid, t)
+        info = write_fragment(root, new_id, pid, t,
+                              row_group_rows=row_group_rows)
         return {"id": info.id, "file": info.file, "rows": info.rows,
                 "partition_id": info.partition_id}
 
     results = ray.get([rewrite.remote(root, pid, [f.file for f in bin_], nid)
                        for pid, bin_, nid in plan])
-    old_files = [f.file for _, bin_, _ in plan for f in bin_]
     man.fragments = sorted(keep + [FragmentInfo(**r) for r in results],
                            key=lambda f: f.id)
     man.save()
-    for f in old_files:
-        try:
-            os.remove(os.path.join(root, f))
-        except OSError:
-            pass
+    if gc:
+        gc_orphans(root)
     return man

@@ -11,6 +11,7 @@ from hypothesis import strategies as st
 from serverless_covariate_drift_detection_ray.pipelines.queries import (
     _user_time_key,
 )
+from serverless_covariate_drift_detection_ray.pipelines.textops import chunk_counts
 
 US = 10**6
 
@@ -58,9 +59,9 @@ def test_user_time_key_window_probe_never_crosses_users(pairs, w):
 @settings(max_examples=60, deadline=None)
 @given(st.integers(0, 500), st.integers(1, 64), st.integers(1, 64))
 def test_chunk_count_formula_matches_reference_loop(n, window, stride):
-    """ceil((n-window)/stride)+1 (n>window; else 1) == the naive loop count
-    of starts 0, stride, 2*stride, ... until a chunk reaches the end."""
-    fast = 1 if n <= window else (n - window + stride - 1) // stride + 1
+    """The PRODUCTION chunk_counts kernel == the naive loop count of starts
+    0, stride, 2*stride, ... until a chunk reaches the end."""
+    fast = int(chunk_counts(np.array([n]), window, stride)[0])
     starts, s = [], 0
     while True:
         starts.append(s)

@@ -119,7 +119,7 @@ def test_compact_fragments_preserves_table(ray_session, tmp_path):
         return pd.concat(parts).sort_values("image_id").reset_index(drop=True)
 
     before = snapshot(man)[["image_id", "v", "partition_id"]]
-    man2 = compact_fragments(root, target_rows=25)
+    man2 = compact_fragments(root, target_rows=25, gc=True)
     # 3 x 10-row fragments per partition, target 25 -> one 30-row bin each
     assert len(man2.fragments) == 2
     assert sorted(f.partition_id for f in man2.fragments) == [0, 1]
@@ -140,3 +140,11 @@ def test_compact_fragments_preserves_table(ray_session, tmp_path):
     # an already-compacted table is a no-op (single-fragment bins untouched)
     man3 = compact_fragments(root, target_rows=25)
     assert [f.file for f in man3.fragments] == [f.file for f in man2.fragments]
+    # default (no gc) keeps old files for in-flight readers; gc_orphans
+    # reclaims them later and converges over interrupted-run leaks
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        gc_orphans,
+    )
+    open(os.path.join(root, "frag-99999.parquet"), "wb").close()  # fake leak
+    removed = gc_orphans(root)
+    assert removed == ["frag-99999.parquet"]
