@@ -118,6 +118,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semijoin_orders_build_nation": relq.semijoin_orders_build_nation,
         "upsert_orders_scd": relq.upsert_orders_scd,
         "pivot_status_by_priority": relq.pivot_status_by_priority,
+        "q3_shipping_priority": relq.q3_shipping_priority,
+        "mode_priority_by_status": relq.mode_priority_by_status,
+        "bloom_semijoin_lineitem": relq.bloom_semijoin_lineitem,
+        "event_path_per_user": relq.event_path_per_user,
+        "redact_numbers_events": relq.redact_numbers_events,
+        "cap_per_source_documents": textops.cap_per_source_documents,
+        "bigram_repetition_documents": textops.bigram_repetition_documents,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "profile_table_orders": relq.profile_table_orders,
@@ -209,6 +216,13 @@ def oracle_sql() -> dict[str, str]:
         "semijoin_orders_build_nation": relq.SEMIJOIN_SQL,
         "upsert_orders_scd": relq.UPSERT_SQL,
         "pivot_status_by_priority": relq.PIVOT_SQL,
+        "q3_shipping_priority": relq.Q3_SQL,
+        "mode_priority_by_status": relq.MODE_SQL,
+        "bloom_semijoin_lineitem": relq.BLOOM_SEMIJOIN_SQL,
+        "event_path_per_user": relq.EVENT_PATH_SQL,
+        "redact_numbers_events": relq.REDACT_SQL,
+        "cap_per_source_documents": textops.CAP_PER_SOURCE_SQL,
+        "bigram_repetition_documents": textops.BIGRAM_REP_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

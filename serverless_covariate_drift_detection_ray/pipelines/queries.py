@@ -3028,3 +3028,350 @@ SELECT o_orderstatus, COUNT(*) AS n,
   FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS sum_price
 FROM merged GROUP BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-table join pipeline (TPC-H Q3 shape): dimension filter broadcast,
+# fact-fact salted-bucket join, grouped aggregate, global top-k
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10,
+                         segment: str = "BUILDING",
+                         cutoff: str = "1998-01-01"):
+    """customer ⋈ orders ⋈ lineitem with filters on all three tables, revenue
+    per order, global top-k — the classic 3-table analytical join.
+
+    Ray shape: (1) the filtered customer keys (smallest side after its
+    selective filter) are collected as ONE sorted int64 array and broadcast
+    via ``ray.put`` — a searchsorted probe inside the orders scan replaces a
+    full shuffle join (at 10^9+ customers this side would instead reuse the
+    salted-bucket join below). (2) orders and lineitem never meet in a Ray
+    ``join`` operator: both are filtered + projected at the read, lineitem is
+    pre-aggregated to (orderkey, revenue-partial) per block, and both sides
+    are salt-bucketed on hash(orderkey) so ONE groupby shuffle co-locates
+    each order with all its lineitem partials. (3) each bucket emits only its
+    local top-k, so the driver merges n_buckets × k rows."""
+    import ray
+
+    from ..functions.hashing import hash64
+
+    nb = _salt_buckets(sf_dir, "lineitem", rows_per_bucket=1_000_000, floor=16)
+    cut = np.datetime64(cutoff, "us")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def ckeys(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["c_mktsegment"], pa.scalar(segment)))
+        return t.select(["c_custkey"])
+
+    blocks = [b["c_custkey"].to_numpy() for b in
+              cust.map_batches(ckeys, batch_format="pyarrow",
+                               zero_copy_batch=True
+                               ).iter_batches(batch_format="pyarrow")]
+    ck = np.sort(np.concatenate(blocks)) if blocks else np.empty(0, np.int64)
+    ck_ref = {"ref": ray.put(ck)}
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def otag(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref["ref"])
+        od = batch["o_orderdate"].to_numpy().astype("datetime64[us]")
+        keep = od < cut
+        ckey = batch["o_custkey"].to_numpy()
+        if keys.size:
+            pos = np.searchsorted(keys, ckey)
+            keep &= (pos < keys.size) & (keys[np.minimum(pos, keys.size - 1)]
+                                         == ckey)
+        else:
+            keep[:] = False
+        t = batch.filter(pa.array(keep))
+        ok = t["o_orderkey"].to_numpy()
+        dates = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        return pa.table({
+            "key": pa.array(ok.astype(np.int64)),
+            "rev": pa.array(np.zeros(ok.size, np.float64)),
+            "o_orderdate": dates,
+            "o_orderpriority": t["o_orderpriority"],
+            "side": pa.array(np.ones(ok.size, np.int8)),
+            "bkt": pa.array((hash64(ok) % nb).astype(np.int64)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def ltag(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+        t = batch.filter(pa.array(sd > cut))
+        keys = t["l_orderkey"].to_numpy()
+        r = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        uk, inv = np.unique(keys, return_inverse=True)
+        partial = np.bincount(inv, weights=r, minlength=uk.size)
+        return pa.table({
+            "key": pa.array(uk.astype(np.int64)),
+            "rev": pa.array(partial),
+            "o_orderdate": pa.array([""] * uk.size, pa.string()),
+            "o_orderpriority": pa.array([""] * uk.size, pa.string()),
+            "side": pa.array(np.zeros(uk.size, np.int8)),
+            "bkt": pa.array((hash64(uk) % nb).astype(np.int64)),
+        })
+
+    o = orders.map_batches(otag, batch_format="pyarrow", zero_copy_batch=True)
+    l = li.map_batches(ltag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_join(df: pd.DataFrame) -> pd.DataFrame:
+        ords = df[df.side == 1]
+        rev = df[df.side == 0].groupby("key", sort=False).rev.sum()
+        m = ords.drop(columns=["rev", "side", "bkt"]).merge(
+            rev.rename("revenue"), left_on="key", right_index=True)
+        m["revenue"] = _round(m.revenue, 2)
+        m = m.sort_values(["revenue", "key"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return m.rename(columns={"key": "l_orderkey"})
+
+    part = o.union(l).groupby("bkt").map_groups(
+        bucket_join, batch_format="pandas").to_pandas()
+    out = part.sort_values(["revenue", "l_orderkey"],
+                           ascending=[False, True], kind="mergesort").head(k)
+    return pa.Table.from_pandas(
+        out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]],
+        preserve_index=False)
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+  FLOOR(SUM(l_extendedprice*(1-l_discount))*100+0.5)/100 AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode / argmax-count (low-cardinality categorical summary)
+# ---------------------------------------------------------------------------
+
+
+def mode_priority_by_status(sf_dir: str):
+    """Most frequent o_orderpriority per o_orderstatus (ties → lexicographic
+    smallest). Per-block vectorized (status, priority) counts shrink each
+    block to ≤|status|×|priority| rows — the driver merges blocks × ~15-row
+    partials and argmaxes; nothing shuffles. The at-scale contract holds
+    because the partial size is bounded by the CATEGORY cross product, not
+    the row count."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            ["o_orderstatus", "o_orderpriority"], sort=False
+        ).size().rename("n").reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    tot = part.groupby(["o_orderstatus", "o_orderpriority"],
+                       as_index=False).n.sum()
+    tot = tot.sort_values(["o_orderstatus", "n", "o_orderpriority"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = tot.drop_duplicates("o_orderstatus", keep="first").rename(
+        columns={"o_orderpriority": "mode_priority"})
+    out["n"] = out.n.astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+MODE_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter screened semi-join (screen-then-exact, SURVEY §2.5) — the
+# broadcast-side compression for semi-joins whose key set outgrows ray.put
+# ---------------------------------------------------------------------------
+
+
+def bloom_semijoin_lineitem(sf_dir: str, priority: str = "1-URGENT"):
+    """Revenue by returnflag for lineitems of urgent orders, as a Bloom-
+    screened semi-join: (1) the filtered order keys build a Bloom filter via
+    per-block PARTIAL BITSETS OR-merged on the driver (~m/8 bytes per block,
+    never the keys themselves), (2) the ~1.2-bytes/key filter is broadcast
+    and probed vectorized inside the lineitem scan — survivors are
+    pre-aggregated per (orderkey, flag) per block, (3) false positives are
+    removed by an EXACT salted-bucket semi-join of the survivors against the
+    key set, (4) a tiny final groupby sums per flag. At 10^9 build keys the
+    exact set is GBs but the filter is ~1 GB→MBs tunable via fpp; the
+    screen's job is shrinking the shuffle input to (2)'s survivors."""
+    import ray
+
+    from ..functions.bloom import BloomFilter
+    from ..functions.hashing import hash64
+
+    _LN2SQ = float(np.log(2.0)) ** 2
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderpriority"],
+                                  pa.scalar(priority)))
+        return t.select(["o_orderkey"])
+
+    keys_ds = orders.map_batches(keys_only, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    n_keys = max(1, keys_ds.count())
+    fpp = 0.01
+    m_bits = int(-n_keys * np.log(fpp) / _LN2SQ) + 1
+    k_hashes = max(1, int(round(m_bits / n_keys * np.log(2.0))))
+
+    def block_bits(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k_hashes)
+        bf.add(batch["o_orderkey"].to_numpy())
+        return pa.table({"bits": pa.array([bf.bits], pa.list_(pa.uint64()))})
+
+    bf = BloomFilter(m_bits, k_hashes)
+    for b in keys_ds.map_batches(block_bits, batch_format="pyarrow",
+                                 zero_copy_batch=True
+                                 ).iter_batches(batch_format="pyarrow"):
+        for row in b["bits"]:
+            bf.bits |= np.asarray(row.as_py(), dtype=np.uint64)
+    bf_ref = {"ref": ray.put(bf)}
+
+    nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=16)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        filt: BloomFilter = ray.get(bf_ref["ref"])
+        keys = batch["l_orderkey"].to_numpy()
+        hit = filt.contains(keys)
+        t = batch.filter(pa.array(hit))
+        keys = t["l_orderkey"].to_numpy()
+        rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        df = pd.DataFrame({"key": keys, "flag": t["l_returnflag"].to_pandas(),
+                           "rev": rev})
+        g = df.groupby(["key", "flag"], sort=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")).reset_index()
+        g["side"] = np.int8(0)
+        g["bkt"] = (hash64(g.key.to_numpy()) % nb).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    survivors = li.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        kk = batch["o_orderkey"].to_numpy()
+        return pa.table({
+            "key": pa.array(kk.astype(np.int64)),
+            "flag": pa.array([""] * kk.size, pa.string()),
+            "rev": pa.array(np.zeros(kk.size, np.float64)),
+            "n": pa.array(np.zeros(kk.size, np.int64)),
+            "side": pa.array(np.ones(kk.size, np.int8)),
+            "bkt": pa.array((hash64(kk) % nb).astype(np.int64)),
+        })
+
+    exact = keys_ds.map_batches(tag_keys, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        real = df[df.side == 1].key.unique()
+        s = df[df.side == 0]
+        s = s[np.isin(s.key.to_numpy(), real)]
+        return s.groupby("flag", sort=False).agg(
+            revenue=("rev", "sum"), n_items=("n", "sum")).reset_index()
+
+    part = survivors.union(exact).groupby("bkt").map_groups(
+        verify, batch_format="pandas").to_pandas()
+    out = part.groupby("flag", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+    out = out.rename(columns={"flag": "l_returnflag"})
+    out["revenue"] = _round(out.revenue, 2)
+    out["n_items"] = out.n_items.astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+BLOOM_SEMIJOIN_SQL = """
+SELECT l_returnflag,
+  FLOOR(SUM(l_extendedprice*(1-l_discount))*100+0.5)/100 AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered collect per key (STRING_AGG ... ORDER BY): event-path assembly
+# ---------------------------------------------------------------------------
+
+
+def event_path_per_user(sf_dir: str):
+    """Per-user ordered event-type path (the thread/conversation-assembly
+    shape an LLM data pipeline uses to stitch per-key records into one
+    training document): salt-bucketed by hash(user_id) — never one Ray group
+    per user — and each bucket does ONE (user, ts, event_id) mergesort, then
+    a per-user join of the already-ordered slices."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = d.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "path": g.event_type.agg(">".join),
+            "n_events": g.size().astype(np.int64),
+        }).reset_index()
+
+    return _user_buckets(sf_dir, ds).map_groups(paths, batch_format="pandas")
+
+
+EVENT_PATH_SQL = """
+SELECT user_id, STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex redaction (PII-scrub shape): masked projection + per-row match count
+# ---------------------------------------------------------------------------
+
+
+def redact_numbers_events(sf_dir: str):
+    """Mask every digit run in the props payload ('#') and count the masked
+    runs — the PII-scrub operator shape (emails/phones/ids at a real corpus;
+    the pattern here is RE2/Python-re agreeing `[0-9]+`). Pure stateless
+    map_batches over two pruned columns; vectorized pandas str kernels."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        s = batch["props"].to_pandas()
+        return pa.table({
+            "event_id": batch["event_id"],
+            "props_redacted": pa.array(
+                s.str.replace(r"[0-9]+", "#", regex=True), pa.string()),
+            "n_masked": pa.array(
+                s.str.count(r"[0-9]+").astype(np.int64)),
+        })
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+REDACT_SQL = """
+SELECT event_id, REGEXP_REPLACE(props, '[0-9]+', '#', 'g') AS props_redacted,
+       LEN(REGEXP_EXTRACT_ALL(props, '[0-9]+'))::BIGINT AS n_masked
+FROM events
+"""

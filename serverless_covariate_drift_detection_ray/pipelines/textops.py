@@ -1380,3 +1380,98 @@ p AS (
 SELECT pair, COUNT(*) AS n FROM p
 GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap (domain-cap sampling): keep at most N docs per source
+# ---------------------------------------------------------------------------
+
+
+def cap_per_source_documents(sf_dir: str, n: int = 10):
+    """Deterministic per-source cap — the "at most N pages per domain"
+    corpus-balancing op: keep the n smallest doc_ids of every source.
+
+    Ray shape: per-block partial cap first (each block can contribute at
+    most n rows per source it touches), then a salted-bucket groupby on
+    hash(source) — never one Ray group per source, so 10^7 web domains cost
+    a fixed bucket count — with one vectorized sort + groupby-head per
+    bucket. Shuffle volume is ≤ n × sources × blocks rows, independent of
+    corpus size."""
+    from .queries import _salt_buckets
+
+    nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=1_000_000,
+                       floor=16)
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("doc_id", kind="mergesort")
+        df = df.groupby("source", sort=False).head(n)
+        df["bkt"] = (hash64(df.source.to_numpy()) % nb).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("doc_id", kind="mergesort")
+        return d.groupby("source", sort=False).head(n)[["doc_id", "source"]]
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("bkt").map_groups(
+        final, batch_format="pandas")
+
+
+CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition signal: top-bigram fraction per document (quality filtering)
+# ---------------------------------------------------------------------------
+
+
+def bigram_repetition_documents(sf_dir: str):
+    """Fraction of a doc's word-bigrams taken by its most frequent bigram —
+    the repetition quality signal (boilerplate/spam detector) from published
+    corpus-filtering recipes. Stateless map_batches; per doc the bigram
+    counting is one np.unique over the hashed token pairs. Docs with < 2
+    tokens have no bigrams and are excluded (both engines)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        toks = _tokens(batch["text"].to_pandas())
+        out_id, out_frac = [], []
+        for i, ws in zip(ids, toks):
+            if len(ws) < 2:
+                continue
+            h = hash64(np.asarray(ws, dtype=object))
+            # collision-safe within a doc: pair-code over the doc's own
+            # token vocabulary, not the raw 64-bit hashes
+            _, codes = np.unique(h, return_inverse=True)
+            pair = codes[:-1].astype(np.int64) * (codes.max() + 1) + codes[1:]
+            counts = np.bincount(pair - pair.min())
+            top, tot = counts.max(), len(ws) - 1
+            out_id.append(i)
+            # same op order as the oracle's FLOOR(MAX(c)*1e6/SUM(c)+0.5)/1e6
+            out_frac.append(
+                np.floor(float(top) * 1e6 / float(tot) + 0.5) / 1e6)
+        return pa.table({"doc_id": pa.array(np.asarray(out_id, np.int64)),
+                         "top_bigram_frac": pa.array(
+                             np.asarray(out_frac, np.float64))})
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BIGRAM_REP_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2),
+c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg)
+SELECT doc_id, FLOOR(MAX(c) * 1e6 / SUM(c) + 0.5) / 1e6 AS top_bigram_frac
+FROM c GROUP BY doc_id
+"""
