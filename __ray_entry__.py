@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_path_per_user": relq.event_path_per_user,
         "redact_numbers_events": relq.redact_numbers_events,
         "cap_per_source_documents": textops.cap_per_source_documents,
+        "duplicate_ngram_spans": textops.duplicate_ngram_spans,
         "bigram_repetition_documents": textops.bigram_repetition_documents,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "event_path_per_user": relq.EVENT_PATH_SQL,
         "redact_numbers_events": relq.REDACT_SQL,
         "cap_per_source_documents": textops.CAP_PER_SOURCE_SQL,
+        "duplicate_ngram_spans": textops.DUP_NGRAM_SQL,
         "bigram_repetition_documents": textops.BIGRAM_REP_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,

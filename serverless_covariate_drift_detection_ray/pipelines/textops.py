@@ -1475,3 +1475,72 @@ c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg)
 SELECT doc_id, FLOOR(MAX(c) * 1e6 / SUM(c) + 0.5) / 1e6 AS top_bigram_frac
 FROM c GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram spans (exact passage-level dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_spans(sf_dir: str, n: int = 8):
+    """Per-doc count of n-token shingle positions whose shingle occurs ≥2
+    times corpus-wide — the exact duplicated-passage signal of
+    substring-level training-data dedup (Lee et al. 2022's "train on unique
+    substrings" preprocessing, reduced to span counting).
+
+    Ray shape: (1) per-block `_shingle_hashes` + per-(shingle, doc) partial
+    counts, salted on hash(shingle) so every occurrence of one shingle
+    lands in one bucket; (2) per-bucket vectorized total-count filter
+    (total ≥ 2) emits (doc_id, span-count) partials; (3) a second salted
+    bucket pass sums per doc. Shuffle volume is unique-(shingle, doc) pairs
+    — text itself never shuffles; 64-bit shingle hashing stands in for the
+    strings (collision odds ~n²/2^64, the same contract MinHash/
+    decontaminate use)."""
+    from .queries import _salt_buckets
+
+    nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000, floor=32)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        h, doc_idx = _shingle_hashes(df.text, n)
+        docs = df.doc_id.to_numpy()[doc_idx]
+        g = pd.DataFrame({"h": h.astype(np.int64), "doc_id": docs}).groupby(
+            ["h", "doc_id"], sort=False).size().rename("c").reset_index()
+        g["bkt"] = (g.h.to_numpy().astype(np.uint64) % nb).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("h", sort=False).c.transform("sum")
+        d = df[tot >= 2]
+        out = d.groupby("doc_id", sort=False).c.sum().rename(
+            "n_dup_spans").reset_index()
+        out["dbkt"] = (out.doc_id.to_numpy().astype(np.uint64) % nb
+                       ).astype(np.int64)
+        return out
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).n_dup_spans.sum().reset_index()
+        g["n_dup_spans"] = g.n_dup_spans.astype(np.int64)
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bkt").map_groups(bucket_dups, batch_format="pandas")
+            .groupby("dbkt").map_groups(doc_sum, batch_format="pandas")
+            .select_columns(["doc_id", "n_dup_spans"]))
+
+
+DUP_NGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[s : s + 7], ' ') AS sh
+  FROM tok, LATERAL UNNEST(generate_series(1, GREATEST(len(w) - 7, 0))) AS g(s)),
+tot AS (SELECT sh, COUNT(*) AS c FROM sh GROUP BY sh)
+SELECT s.doc_id, COUNT(*)::BIGINT AS n_dup_spans
+FROM sh s JOIN tot t ON s.sh = t.sh
+WHERE t.c >= 2
+GROUP BY s.doc_id
+"""
