@@ -126,6 +126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_documents": textops.cap_per_source_documents,
         "duplicate_ngram_spans": textops.duplicate_ngram_spans,
         "bigram_repetition_documents": textops.bigram_repetition_documents,
+        "skyline_orders": relq.skyline_orders,
+        "ntile_orders": relq.ntile_orders,
+        "checksum_orders": relq.checksum_orders,
+        "weighted_sample_orders": relq.weighted_sample_orders,
+        "fuzzy_match_parts": relq.fuzzy_match_parts,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "profile_table_orders": relq.profile_table_orders,
@@ -225,6 +230,11 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source_documents": textops.CAP_PER_SOURCE_SQL,
         "duplicate_ngram_spans": textops.DUP_NGRAM_SQL,
         "bigram_repetition_documents": textops.BIGRAM_REP_SQL,
+        "skyline_orders": relq.SKYLINE_SQL,
+        "ntile_orders": relq.NTILE_SQL,
+        "checksum_orders": relq.CHECKSUM_SQL,
+        "weighted_sample_orders": relq.WEIGHTED_SAMPLE_SQL,
+        "fuzzy_match_parts": relq.FUZZY_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

@@ -3375,3 +3375,308 @@ SELECT event_id, REGEXP_REPLACE(props, '[0-9]+', '#', 'g') AS props_redacted,
        LEN(REGEXP_EXTRACT_ALL(props, '[0-9]+'))::BIGINT AS n_masked
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (dominance frontier) — engine-new; SURVEY.md §2.6.
+# ---------------------------------------------------------------------------
+
+
+def _skyline_mask(prices: np.ndarray, dates: np.ndarray) -> np.ndarray:
+    """Boolean mask of rows on the (maximize price, minimize date) frontier.
+
+    A row is dominated iff another row has price >= AND date <= with one
+    strict. One lexsort (price desc, date asc) + prefix mins — O(n log n),
+    no pairwise comparisons. Equal (price, date) duplicates all survive
+    (no strict inequality), matching the SQL NOT EXISTS semantics.
+    """
+    n = len(prices)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((dates, -prices))
+    p, d = prices[order], dates[order]
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = p[1:] != p[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    cm = np.minimum.accumulate(d)
+    prev_min = np.where(grp_start > 0, cm[np.maximum(grp_start - 1, 0)],
+                        np.iinfo(np.int64).max)
+    keep = (prev_min > d) & (d == d[grp_start])  # date asc within group
+    mask = np.zeros(n, bool)
+    mask[order] = keep
+    return mask
+
+
+def skyline_orders(sf_dir: str):
+    """2-D Pareto skyline of orders (maximize o_totalprice, minimize
+    o_orderdate): per-block local skyline inside map_batches (the skyline of
+    a union is a subset of the union of local skylines), then one final
+    exact pass over the tiny survivor set. Only frontier candidates ever
+    shuffle — for independent dimensions the local skyline is O(log n) rows
+    per block, so the final pass input is ~blocks x log(block_rows) rows
+    regardless of table size."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        prices = batch["o_totalprice"].to_numpy()
+        dates = batch["o_orderdate"].cast(pa.int64()).to_numpy()
+        return batch.filter(pa.array(_skyline_mask(prices, dates)))
+
+    def final(batch: pa.Table) -> pa.Table:
+        return local(batch)
+
+    return ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True
+                          ).repartition(1).map_batches(
+        final, batch_format="pyarrow")
+
+
+SKYLINE_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+    MIN(o_orderdate) OVER (ORDER BY o_totalprice DESC
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS m_gt,
+    MIN(o_orderdate) OVER (PARTITION BY o_totalprice) AS m_eq
+  FROM orders)
+SELECT o_orderkey, o_totalprice, o_orderdate FROM s
+WHERE (m_gt IS NULL OR m_gt > o_orderdate) AND o_orderdate = m_eq
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE via distributed ordered rank — the two-level prefix-sum pattern
+# (same scan shape as pack_sequences_documents) on a range-bucketed sort key.
+# ---------------------------------------------------------------------------
+
+
+def ntile_orders(sf_dir: str, tiles: int = 4):
+    """NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice,
+    o_orderkey) without a global sort: rows are range-bucketed on the ORDER
+    BY prefix (order-preserving between buckets), per-(priority, bucket)
+    counts are exclusive-prefix-summed on the driver (one tiny row per
+    bucket), and each bucket assigns its global row numbers with one
+    in-bucket vectorized sort. NTILE's uneven-tile rule (first n%k tiles get
+    one extra row) is applied from the per-priority totals."""
+    import ray
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    lo, hi = ds.min("o_totalprice"), ds.max("o_totalprice")
+    n_buckets = _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000,
+                              floor=16)
+    scale = n_buckets / max(hi - lo, 1e-9)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy()
+        bkt = np.clip((p - lo) * scale, 0, n_buckets - 1).astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).repartition(
+        n_buckets).materialize()
+    counts = tagged.groupby(["o_orderpriority", "bkt"]).count().to_pandas()
+    counts = counts.sort_values(["o_orderpriority", "bkt"])
+    offs: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for prio, sub in counts.groupby("o_orderpriority", sort=True):
+        c = sub["count()"].to_numpy()
+        base = np.concatenate(([0], np.cumsum(c)[:-1]))
+        for b, o in zip(sub.bkt.to_numpy(), base):
+            offs[(prio, int(b))] = int(o)
+        totals[prio] = int(c.sum())
+    shared = ray.put((offs, totals))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        offs_, totals_ = ray.get(shared)
+        prio = df.o_orderpriority.iloc[0]
+        base = offs_[(prio, int(df.bkt.iloc[0]))]
+        n, k = totals_[prio], tiles
+        df = df.sort_values(["o_totalprice", "o_orderkey"])
+        i = base + np.arange(len(df), dtype=np.int64)
+        q, r = divmod(n, k)
+        big = r * (q + 1)
+        tile = np.where(i < big, i // max(q + 1, 1) + 1,
+                        r + (i - big) // max(q, 1) + 1)
+        return pd.DataFrame({"o_orderkey": df.o_orderkey.to_numpy(),
+                             "o_orderpriority": df.o_orderpriority.to_numpy(),
+                             "tile": tile.astype(np.int64)})
+
+    return tagged.groupby(["o_orderpriority", "bkt"]).map_groups(
+        assign, batch_format="pandas")
+
+
+NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)::BIGINT AS tile
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table content fingerprint (anti-entropy checksum) — engine-new. The
+# validation-engine use case: compare two replicas / a table before and
+# after a migration without moving rows (order-independent SUM + XOR of a
+# deterministic per-row hash; one tiny partial per block).
+# ---------------------------------------------------------------------------
+
+
+def checksum_orders(sf_dir: str):
+    """Per-status order-independent content checksum of orders: each row
+    hashes (orderkey, custkey, cents(totalprice), epoch_us(orderdate)) into
+    a 32-bit lane with exact integer ops shared by the SQL oracle, then SUM
+    and BIT_XOR fold per o_orderstatus. Commutative -> per-block partials,
+    one 3-row final groupby; bit-identical across engines and row orders."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+                "o_orderstatus"])
+    M = np.int64(4294967296)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        c = batch["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5
+                         ).astype(np.int64)
+        ep = batch["o_orderdate"].cast(pa.int64()).to_numpy() % M
+        h = ((k * 2654435761) % M) ^ ((c * 2246822519) % M) \
+            ^ ((cents * 3266489917) % M) ^ ep
+        df = pd.DataFrame({"o_orderstatus": batch["o_orderstatus"].to_pandas(),
+                           "h": h})
+        g = df.groupby("o_orderstatus", sort=False)
+        out = pd.DataFrame({
+            "o_orderstatus": list(g.groups),
+            "n_rows": g.size().to_numpy().astype(np.int64),
+            "sum_hash": g.h.sum().to_numpy().astype(np.int64),
+            "xor_hash": g.h.agg(lambda s: np.bitwise_xor.reduce(
+                s.to_numpy())).to_numpy().astype(np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": [df.o_orderstatus.iloc[0]],
+            "n_rows": [np.int64(df.n_rows.sum())],
+            "sum_hash": [np.int64(df.sum_hash.sum())],
+            "xor_hash": [np.int64(np.bitwise_xor.reduce(
+                df.xor_hash.to_numpy()))],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby(
+        "o_orderstatus").map_groups(final, batch_format="pandas")
+
+
+CHECKSUM_SQL = """
+WITH h AS (
+  SELECT o_orderstatus,
+    xor(xor(xor((o_orderkey * 2654435761) % 4294967296,
+                (o_custkey * 2246822519) % 4294967296),
+            (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 3266489917)
+             % 4294967296),
+        epoch_us(o_orderdate) % 4294967296) AS rh
+  FROM orders)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n_rows,
+       SUM(rh)::BIGINT AS sum_hash, BIT_XOR(rh)::BIGINT AS xor_hash
+FROM h GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted (priority) sample — Duffield/Lund/Thorup priority
+# sampling with a hash-derived uniform, so the Ray and SQL sides pick the
+# identical k rows (only exactly-rounded IEEE ops: one divide per row).
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_orders(sf_dir: str, k: int = 100):
+    """Weight-proportional k-row sample of orders (weight = o_totalprice):
+    priority = u / w with u = hash(o_orderkey) in (0,1]; the k smallest
+    priorities win. Per-block bottom-k partials (argpartition) -> one tiny
+    final bottom-k — the exact top-k exchange shape, ~k x n_blocks rows
+    moved total."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    M = np.int64(4294967296)
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+        w = batch["o_totalprice"].to_numpy()
+        u = (((keys * 2654435761) % M) + 1).astype(np.float64) / 4294967296.0
+        pri = u / w
+        if len(pri) > k:
+            idx = np.argpartition(pri, k)[:k]
+        else:
+            idx = np.arange(len(pri))
+        return pa.table({"o_orderkey": pa.array(keys[idx]),
+                         "o_totalprice": pa.array(w[idx]),
+                         "priority": pa.array(pri[idx])})
+
+    def final(batch: pa.Table) -> pa.Table:
+        pri = batch["priority"].to_numpy()
+        idx = np.argpartition(pri, k)[:k] if len(pri) > k else np.arange(len(pri))
+        return batch.take(pa.array(np.sort(idx)))
+
+    return ds.map_batches(bottomk, batch_format="pyarrow",
+                          zero_copy_batch=True).repartition(1).map_batches(
+        final, batch_format="pyarrow")
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       (((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967296.0
+         / o_totalprice AS priority
+FROM orders
+ORDER BY priority LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join (edit-distance near-dup) — engine-new; the
+# record-linkage operator shape (block -> pair -> verify).
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
+    """Same-brand part-name pairs within Levenshtein distance 2: one
+    shuffle on the blocking key (p_brand), all-pairs-within-block candidate
+    generation pre-filtered by |len diff| <= max_dist, then the vectorized
+    shared-shape DP kernel (functions/editdist.py) verifies every candidate
+    in a handful of numpy passes. Blocking bounds the quadratic term to
+    block size — at corpus scale the blocking key must keep groups under a
+    few thousand rows (add a secondary key — first token, length band — or
+    salt + cross-bucket band pass, as the phash near-dup stage does)."""
+    from ..functions.editdist import levenshtein_pairs
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.p_partkey.to_numpy()
+        names = df.p_name.to_numpy()
+        lens = np.fromiter((len(s) for s in names), np.int64, len(names))
+        i, j = np.triu_indices(len(df), k=1)
+        keep = np.abs(lens[i] - lens[j]) <= max_dist
+        i, j = i[keep], j[keep]
+        # contract: key_a < key_b
+        swap = keys[i] > keys[j]
+        i, j = np.where(swap, j, i), np.where(swap, i, j)
+        d = levenshtein_pairs(names[i], names[j])
+        hit = d <= max_dist
+        return pd.DataFrame({
+            "key_a": keys[i][hit].astype(np.int64),
+            "key_b": keys[j][hit].astype(np.int64),
+            "name_a": names[i][hit],
+            "name_b": names[j][hit],
+            "dist": d[hit],
+        })
+
+    return ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+
+
+FUZZY_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
