@@ -131,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checksum_orders": relq.checksum_orders,
         "weighted_sample_orders": relq.weighted_sample_orders,
         "fuzzy_match_parts": relq.fuzzy_match_parts,
+        "fk_cardinality_customers": relq.fk_cardinality_customers,
+        "freshness_events": relq.freshness_events,
+        "gap_hours_events": relq.gap_hours_events,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "profile_table_orders": relq.profile_table_orders,
@@ -235,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
         "checksum_orders": relq.CHECKSUM_SQL,
         "weighted_sample_orders": relq.WEIGHTED_SAMPLE_SQL,
         "fuzzy_match_parts": relq.FUZZY_SQL,
+        "fk_cardinality_customers": relq.FK_CARDINALITY_SQL,
+        "freshness_events": relq.FRESHNESS_SQL,
+        "gap_hours_events": relq.GAP_HOURS_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

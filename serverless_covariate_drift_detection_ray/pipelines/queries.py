@@ -3680,3 +3680,147 @@ FROM part a JOIN part b
  AND abs(length(a.p_name) - length(b.p_name)) <= 2
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Validation-suite profile checks (SURVEY.md §2.7 family, engine-new):
+# FK-cardinality profile, freshness lag, and time-coverage gap detection —
+# the three table-health checks a production validation run adds on top of
+# stats/drift/uniqueness.
+# ---------------------------------------------------------------------------
+
+
+def fk_cardinality_customers(sf_dir: str):
+    """Distribution of orders-per-customer INCLUDING zero-order customers
+    (the FK fan-out profile; a spike at 0 or a long tail flags ingest bugs).
+    One salted-bucket shuffle co-locates each customer key with its order
+    rows' per-block partial counts; buckets emit (n_orders, partial customer
+    count) and a tiny final groupby sums the histogram. No driver-side key
+    set, no broadcast of the big side."""
+    from ..functions.hashing import hash64
+
+    n_buckets = max(_salt_buckets(sf_dir, "customer", rows_per_bucket=250_000),
+                    _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cust_tag(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(k),
+                         "n": pa.array(np.zeros(k.size, np.int64)),
+                         "is_cust": pa.array(np.ones(k.size, np.int64)),
+                         "bkt": pa.array((hash64(k) % n_buckets).astype(np.int64))})
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(batch["o_custkey"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"k": pa.array(k), "n": pa.array(c.astype(np.int64)),
+                         "is_cust": pa.array(np.zeros(k.size, np.int64)),
+                         "bkt": pa.array((hash64(k) % n_buckets).astype(np.int64))})
+
+    both = cust.map_batches(cust_tag, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        orders.map_batches(order_partial, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False).agg(n=("n", "sum"),
+                                            is_cust=("is_cust", "max"))
+        g = g[g.is_cust == 1]  # LEFT-join semantics: keys must be customers
+        counts = g.n.value_counts()
+        return pd.DataFrame({"n_orders": counts.index.to_numpy(np.int64),
+                             "n_customers": counts.to_numpy(np.int64)})
+
+    hist = both.groupby("bkt").map_groups(bucket_hist, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_orders": [np.int64(df.n_orders.iloc[0])],
+            "n_customers": [np.int64(df.n_customers.sum())]})
+
+    return hist.groupby("n_orders").map_groups(final, batch_format="pandas")
+
+
+FK_CARDINALITY_SQL = """
+WITH n AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+SELECT n_orders, count(*)::BIGINT AS n_customers FROM n GROUP BY n_orders
+"""
+
+
+def freshness_events(sf_dir: str):
+    """Per-source freshness check: event count, latest timestamp, and lag
+    (µs) behind the globally freshest source. Per-block (type, count, max)
+    partials -> per-type final -> the global max is a driver-side max over
+    the handful of type rows. The stalest source is the broken feed."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "t": batch["ts"].cast(pa.int64()).to_numpy()})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("t", "size"), mx=("t", "max"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [df.event_type.iloc[0]],
+                             "n": [np.int64(df.n.sum())],
+                             "mx": [np.int64(df.mx.max())]})
+
+    per_type = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby(
+        "event_type").map_groups(final, batch_format="pandas").to_pandas()
+    gmax = int(per_type.mx.max())
+    return pd.DataFrame({
+        "event_type": per_type.event_type,
+        "n": per_type.n.astype(np.int64),
+        "latest": pd.to_datetime(per_type.mx, unit="us").astype("datetime64[us]"),
+        "lag_us": (gmax - per_type.mx).astype(np.int64),
+    })
+
+
+FRESHNESS_SQL = """
+SELECT event_type, count(*)::BIGINT AS n, max(ts) AS latest,
+       (epoch_us((SELECT max(ts) FROM events)) - epoch_us(max(ts)))::BIGINT
+         AS lag_us
+FROM events GROUP BY event_type
+"""
+
+
+def gap_hours_events(sf_dir: str):
+    """Time-coverage completeness: per event_type, hours with zero events
+    inside the type's own [min, max] span (ingest-gap detection). Blocks
+    emit deduped (type, hour-bucket) pairs — bounded by types x span-hours,
+    independent of row count — and the per-type final counts distinct hours
+    against the span width."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    HOUR = np.int64(3_600_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "h": batch["ts"].cast(pa.int64()).to_numpy() // HOUR})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(df.h.to_numpy())
+        span = int(h[-1] - h[0] + 1)
+        return pd.DataFrame({"event_type": [df.event_type.iloc[0]],
+                             "n_hours": [np.int64(h.size)],
+                             "n_gap_hours": [np.int64(span - h.size)]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby(
+        "event_type").map_groups(final, batch_format="pandas")
+
+
+GAP_HOURS_SQL = """
+SELECT event_type,
+       count(DISTINCT date_trunc('hour', ts))::BIGINT AS n_hours,
+       (datediff('hour', date_trunc('hour', min(ts)),
+                 date_trunc('hour', max(ts))) + 1
+        - count(DISTINCT date_trunc('hour', ts)))::BIGINT AS n_gap_hours
+FROM events GROUP BY event_type
+"""
