@@ -47,6 +47,40 @@ class FragmentInfo:
     file: str
     rows: int
     partition_id: int
+    # zone map: {column: [min, max]} over JSON-representable scalar columns;
+    # None on fragments written before stats existed (never pruned)
+    stats: dict | None = None
+
+
+_PRUNE_OPS = {
+    "==": lambda lo, hi, v: lo <= v <= hi,
+    ">=": lambda lo, hi, v: hi >= v,
+    ">": lambda lo, hi, v: hi > v,
+    "<=": lambda lo, hi, v: lo <= v,
+    "<": lambda lo, hi, v: lo < v,
+}
+
+
+def _column_stats(table: pa.Table) -> dict:
+    """Per-column [min, max] zone map for scalar columns (the Lance/parquet
+    footer-stats analogue, lifted into the manifest so pruning needs no file
+    opens). Binary/nested columns and all-null columns are skipped."""
+    import pyarrow.compute as pc
+
+    stats: dict = {}
+    for name in table.column_names:
+        col = table[name]
+        t = col.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_string(t)):
+            continue
+        if col.null_count == len(col):
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is not None and hi is not None:
+            stats[name] = [lo, hi]
+    return stats
 
 
 @dataclass
@@ -55,12 +89,34 @@ class TableManifest:
     fragments: list[FragmentInfo] = field(default_factory=list)
     partitions: dict[int, dict] = field(default_factory=dict)
 
-    def fragment_paths(self, partition_ids: set[int] | None = None) -> list[str]:
+    def fragment_paths(self, partition_ids: set[int] | None = None,
+                       predicate: tuple | None = None) -> list[str]:
         return [
             os.path.join(self.root, f.file)
-            for f in self.fragments
-            if partition_ids is None or f.partition_id in partition_ids
+            for f in self.select_fragments(partition_ids, predicate)
         ]
+
+    def select_fragments(self, partition_ids: set[int] | None = None,
+                         predicate: tuple | None = None) -> list[FragmentInfo]:
+        """Fragments surviving partition selection + zone-map pruning.
+
+        ``predicate`` is ``(column, op, value)`` with op in ``== >= > <= <``;
+        a fragment is skipped only when its [min, max] for that column proves
+        no row can match. Fragments without stats (legacy manifests, pruned
+        columns) are always kept — pruning is an optimization, never a
+        filter."""
+        frags = [f for f in self.fragments
+                 if partition_ids is None or f.partition_id in partition_ids]
+        if predicate is None:
+            return frags
+        col, op, val = predicate
+        keep_fn = _PRUNE_OPS[op]
+        out = []
+        for f in frags:
+            s = (f.stats or {}).get(col)
+            if s is None or keep_fn(s[0], s[1], val):
+                out.append(f)
+        return out
 
     def partition_ids(self) -> list[int]:
         return sorted({f.partition_id for f in self.fragments})
@@ -75,7 +131,9 @@ class TableManifest:
     def save(self) -> None:
         payload = {
             "fragments": [
-                {"id": f.id, "file": f.file, "rows": f.rows, "partition_id": f.partition_id}
+                {"id": f.id, "file": f.file, "rows": f.rows,
+                 "partition_id": f.partition_id,
+                 **({"stats": f.stats} if f.stats else {})}
                 for f in self.fragments
             ],
             "partitions": {str(k): v for k, v in self.partitions.items()},
@@ -106,28 +164,44 @@ def write_fragment(root: str, fragment_id: int, partition_id: int, table: pa.Tab
     comp = {c: ("NONE" if c == "bytes" else "ZSTD") for c in table.column_names}
     kwargs = {"row_group_size": row_group_rows} if row_group_rows else {}
     pq.write_table(table, os.path.join(root, fname), compression=comp, **kwargs)
-    return FragmentInfo(id=fragment_id, file=fname, rows=table.num_rows, partition_id=partition_id)
+    return FragmentInfo(id=fragment_id, file=fname, rows=table.num_rows,
+                        partition_id=partition_id, stats=_column_stats(table))
 
 
 def read_images(
     manifest: TableManifest,
     columns: list[str] | None = None,
     skip_partitions: set[int] | None = None,
+    predicate: tuple | None = None,
 ):
     """Ray Dataset over the table's fragments, with column pruning at the read.
 
     ``skip_partitions`` implements resume: finished partitions never leave disk
     (the driver filters the fragment list before the read — SURVEY.md §4).
+    ``predicate=(col, op, value)`` prunes whole fragments via the manifest's
+    zone maps before any file opens, then pushes the same predicate down to
+    the parquet scan so surviving fragments drop non-matching row groups and
+    rows — the scan-level half of the filter, so the returned Dataset
+    contains exactly the matching rows.
     """
     import ray.data
 
     keep = None
     if skip_partitions:
         keep = {p for p in manifest.partition_ids() if p not in skip_partitions}
-    paths = manifest.fragment_paths(keep)
+    paths = manifest.fragment_paths(keep, predicate)
     if not paths:
         return ray.data.from_arrow(IMAGES_SCHEMA.empty_table())
-    return ray.data.read_parquet(paths, columns=columns)
+    kwargs = {}
+    if predicate is not None:
+        import pyarrow.compute as pc
+
+        col, op, val = predicate
+        f = pc.field(col)
+        expr = {"==": f == val, ">=": f >= val, ">": f > val,
+                "<=": f <= val, "<": f < val}[op]
+        kwargs["filter"] = expr
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 def gc_orphans(root: str) -> list[str]:
@@ -215,7 +289,7 @@ def compact_fragments(root: str, target_rows: int = 1_000_000,
         info = write_fragment(root, new_id, pid, t,
                               row_group_rows=row_group_rows)
         return {"id": info.id, "file": info.file, "rows": info.rows,
-                "partition_id": info.partition_id}
+                "partition_id": info.partition_id, "stats": info.stats}
 
     results = ray.get([rewrite.remote(root, pid, [f.file for f in bin_], nid)
                        for pid, bin_, nid in plan])

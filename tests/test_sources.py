@@ -148,3 +148,55 @@ def test_compact_fragments_preserves_table(ray_session, tmp_path):
     open(os.path.join(root, "frag-99999.parquet"), "wb").close()  # fake leak
     removed = gc_orphans(root)
     assert removed == ["frag-99999.parquet"]
+
+
+def test_zone_map_pruning(ray_session, tmp_path):
+    """Manifest zone maps prune fragments whose [min, max] cannot match the
+    predicate, the scan-level pushdown drops remaining non-matching rows,
+    and legacy stats-less fragments are never pruned."""
+    import numpy as np
+    import pyarrow as pa
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        TableManifest,
+        read_images,
+        write_fragment,
+    )
+
+    root = str(tmp_path / "zm")
+    os.makedirs(root)
+    man = TableManifest(root=root)
+    # 4 fragments range-partitioned on v: [0..9], [10..19], [20..29], [30..39]
+    for fid in range(4):
+        v = np.arange(fid * 10, fid * 10 + 10, dtype=np.int64)
+        t = pa.table({
+            "image_id": pa.array([f"i{x:03d}" for x in v]),
+            "v": pa.array(v),
+            "fragment_id": pa.array(np.full(10, fid, np.int64)),
+            "partition_id": pa.array(np.zeros(10, np.int32)),
+        })
+        man.fragments.append(write_fragment(root, fid, 0, t))
+    man.partitions = {0: {}}
+    man.save()
+
+    man = TableManifest.load(root)  # stats survive the JSON round-trip
+    assert man.fragments[0].stats["v"] == [0, 9]
+    assert man.fragments[0].stats["image_id"] == ["i000", "i009"]
+    assert "bytes" not in (man.fragments[0].stats or {})
+
+    # prune: v >= 25 can only live in fragments 2 and 3
+    sel = man.select_fragments(predicate=("v", ">=", 25))
+    assert [f.id for f in sel] == [2, 3]
+    ds = read_images(man, columns=["image_id", "v"], predicate=("v", ">=", 25))
+    vals = sorted(r["v"] for r in ds.take_all())
+    assert vals == list(range(25, 40))  # row-level pushdown inside frag 2
+
+    # equality hits exactly one fragment
+    assert [f.id for f in man.select_fragments(predicate=("v", "==", 15))] == [1]
+    # out-of-range predicate prunes everything
+    assert man.select_fragments(predicate=("v", ">", 100)) == []
+    assert read_images(man, predicate=("v", ">", 100)).count() == 0
+
+    # a legacy fragment without stats is always kept
+    man.fragments[0].stats = None
+    assert [f.id for f in man.select_fragments(predicate=("v", "==", 15))] == [0, 1]
