@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_cardinality_customers": relq.fk_cardinality_customers,
         "freshness_events": relq.freshness_events,
         "gap_hours_events": relq.gap_hours_events,
+        "table_diff_orders": relq.table_diff_orders,
+        "late_events_watermark": relq.late_events_watermark,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "profile_table_orders": relq.profile_table_orders,
@@ -241,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_cardinality_customers": relq.FK_CARDINALITY_SQL,
         "freshness_events": relq.FRESHNESS_SQL,
         "gap_hours_events": relq.GAP_HOURS_SQL,
+        "table_diff_orders": relq.TABLE_DIFF_SQL,
+        "late_events_watermark": relq.LATE_EVENTS_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

@@ -3824,3 +3824,179 @@ SELECT event_type,
         - count(DISTINCT date_trunc('hour', ts)))::BIGINT AS n_gap_hours
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC shape) — the row-level complement of checksum_orders:
+# once the anti-entropy checksum says two snapshots differ, this finds the
+# rows. Snapshot B is derived deterministically from orders (hash-selected
+# deletes, +1.00 price updates, negative-key inserts) so the Ray and SQL
+# sides diff identical inputs.
+# ---------------------------------------------------------------------------
+
+
+def table_diff_orders(sf_dir: str):
+    """FULL-OUTER-JOIN diff of two snapshots keyed on o_orderkey, emitting
+    (key, change_type, price_a, price_b) for added / removed / changed rows
+    only. One pass derives BOTH sides from each input block (no second
+    read), then one salted-bucket shuffle co-locates each key's two sides;
+    per-bucket compare is a vectorized pandas merge. Unchanged rows never
+    leave their bucket — output is proportional to the delta, not the
+    table."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n_buckets = _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000,
+                              floor=16)
+    M = np.int64(4294967296)
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.int64)
+        p = batch["o_totalprice"].to_numpy()
+        h = (k * 2654435761) % M
+        # side A: the base snapshot, verbatim
+        ka, pa_, sa = k, p, np.zeros(k.size, np.int64)
+        # side B: deletes (h%37==0), +1.00 updates (h%41==0), inserts
+        # (negative keys for h%43==0 rows)
+        keep = h % 37 != 0
+        kb = k[keep]
+        pb = np.where(h[keep] % 41 == 0, p[keep] + 1.0, p[keep])
+        ins = h % 43 == 0
+        ki, pi = -k[ins], p[ins]
+        return pa.table({
+            "k": pa.array(np.concatenate([ka, kb, ki])),
+            "price": pa.array(np.concatenate([pa_, pb, pi])),
+            "side": pa.array(np.concatenate(
+                [sa, np.ones(kb.size + ki.size, np.int64)])),
+            "bkt": pa.array(hash64(np.concatenate([ka, kb, ki])) % n_buckets),
+        })
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df.side == 0].set_index("k").price
+        b = df[df.side == 1].set_index("k").price
+        m = a.to_frame("price_a").join(b.to_frame("price_b"), how="outer")
+        m = m[~(m.price_a == m.price_b)]  # NaN != NaN keeps added/removed
+        ct = np.where(m.price_a.isna(), "added",
+                      np.where(m.price_b.isna(), "removed", "changed"))
+        return pd.DataFrame({"o_orderkey": m.index.to_numpy(np.int64),
+                             "change_type": ct,
+                             "price_a": m.price_a.to_numpy(),
+                             "price_b": m.price_b.to_numpy()})
+
+    return ds.map_batches(both_sides, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("bkt").map_groups(
+        diff, batch_format="pandas")
+
+
+TABLE_DIFF_SQL = """
+WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+h AS (SELECT o_orderkey, o_totalprice,
+             (o_orderkey * 2654435761) % 4294967296 AS hh FROM orders),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN hh % 41 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM h WHERE hh % 37 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_totalprice FROM h WHERE hh % 43 = 0),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_totalprice AS price_a, b.o_totalprice AS price_b
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN price_a IS NULL THEN 'added'
+            WHEN price_b IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       price_a, price_b
+FROM j WHERE price_a IS DISTINCT FROM price_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Watermark / late-data accounting (streaming semantics, engine-new). The
+# watermark is the running max event-time over ARRIVAL order (event_id)
+# minus an allowed lateness; an event is late when it arrives after the
+# watermark passed its timestamp. Same two-level ordered-scan shape as
+# pack_sequences: order-preserving range buckets, one tiny carry row per
+# bucket through the driver, vectorized in-bucket prefix max.
+# ---------------------------------------------------------------------------
+
+
+def late_events_watermark(sf_dir: str, lateness_s: int = 300):
+    """Per-type count and worst lateness of events arriving behind the
+    watermark (running prior max ts over ARRIVAL order, minus
+    ``lateness_s``). The synthetic log is written in event-time order, so
+    arrival is modeled as the deterministic hash shuffle of event_id —
+    the out-of-order network-arrival case watermarks exist for. The driver
+    holds one max per bucket; no stage sees more than one bucket."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000,
+                              floor=32)
+    M = np.int64(4294967296)
+    rng = max(1, (int(M) + n_buckets) // n_buckets)
+    D = np.int64(lateness_s * 1_000_000)
+    NEG = np.int64(np.iinfo(np.int64).min // 2)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy().astype(np.int64)
+        arr = (ids * 2654435761) % M  # arrival sequence (hash of event_id)
+        return pa.table({
+            "event_id": pa.array(ids),
+            "arrival": pa.array(arr),
+            "event_type": batch["event_type"],
+            "t": pa.array(batch["ts"].cast(pa.int64()).to_numpy()),
+            "bkt": pa.array(arr // rng),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).repartition(
+        n_buckets).materialize()
+    mx = tagged.groupby("bkt").max("t").to_pandas().sort_values("bkt")
+    run = np.maximum.accumulate(mx["max(t)"].to_numpy())
+    carry = dict(zip(mx.bkt.to_numpy(),
+                     np.concatenate(([NEG], run[:-1]))))
+    carry_ref = ray.put(carry)
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(carry_ref)[int(df.bkt.iloc[0])]
+        df = df.sort_values(["arrival", "event_id"])
+        t = df.t.to_numpy()
+        wm_src = np.concatenate(([base], np.maximum.accumulate(t)[:-1]))
+        wm_src = np.maximum(wm_src, base)
+        late = t < wm_src - D
+        if not late.any():
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_late": pd.Series([], dtype=np.int64),
+                                 "max_lateness_us": pd.Series([], dtype=np.int64)})
+        sub = pd.DataFrame({"event_type": df.event_type.to_numpy()[late],
+                            "lateness": (wm_src - D - t)[late]})
+        g = sub.groupby("event_type", sort=False).lateness
+        return pd.DataFrame({"event_type": list(g.groups),
+                             "n_late": g.size().to_numpy().astype(np.int64),
+                             "max_lateness_us": g.max().to_numpy().astype(np.int64)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [df.event_type.iloc[0]],
+            "n_late": [np.int64(df.n_late.sum())],
+            "max_lateness_us": [np.int64(df.max_lateness_us.max())]})
+
+    return tagged.groupby("bkt").map_groups(
+        late_partial, batch_format="pandas").groupby(
+        "event_type").map_groups(final, batch_format="pandas")
+
+
+LATE_EVENTS_SQL = """
+WITH s AS (
+  SELECT event_type, ts,
+    MAX(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_src
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n_late,
+       max(epoch_us(wm_src) - 300000000 - epoch_us(ts))::BIGINT
+         AS max_lateness_us
+FROM s WHERE ts < wm_src - INTERVAL 300 SECONDS
+GROUP BY event_type
+"""
