@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_hours_events": relq.gap_hours_events,
         "table_diff_orders": relq.table_diff_orders,
         "late_events_watermark": relq.late_events_watermark,
+        "envelope_anomalies_events": relq.envelope_anomalies_events,
+        "above_avg_customers": relq.above_avg_customers,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "profile_table_orders": relq.profile_table_orders,
@@ -245,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "gap_hours_events": relq.GAP_HOURS_SQL,
         "table_diff_orders": relq.TABLE_DIFF_SQL,
         "late_events_watermark": relq.LATE_EVENTS_SQL,
+        "envelope_anomalies_events": relq.ENVELOPE_SQL,
+        "above_avg_customers": relq.ABOVE_AVG_SQL,
         "heavy_hitter_users": relq.HEAVY_HITTERS_SQL,
         "heavy_hitters_screened": relq.HEAVY_HITTERS_SQL,
         "window_tumbling_events": relq.WINDOW_SQL,

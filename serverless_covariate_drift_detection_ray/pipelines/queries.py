@@ -4000,3 +4000,175 @@ SELECT event_type, count(*)::BIGINT AS n_late,
 FROM s WHERE ts < wm_src - INTERVAL 300 SECONDS
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Trailing-envelope anomaly detection — ordered scan with BOUNDED carry
+# (engine-new): unlike the prefix-sum scans (pack/watermark) whose carry is
+# one scalar per bucket, a trailing-window statistic needs the previous
+# bucket's last W rows. The carry is still O(W x types x buckets), driver-
+# bounded and row-count-independent.
+# ---------------------------------------------------------------------------
+
+
+def envelope_anomalies_events(sf_dir: str, window: int = 100):
+    """Per-type count of events whose value breaches the min/max envelope of
+    the trailing ``window`` events (event-time order). Min/max comparisons
+    on raw doubles are exactly reproducible cross-engine (no accumulation),
+    so the oracle is hash-exact — unlike a rolling mean/std rule. Buckets
+    are ts ranges; each bucket prepends the carry tail (previous bucket's
+    last ``window`` rows per type) before a vectorized pandas rolling
+    min/max."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000,
+                              floor=32)
+    lo = ds.min("ts")
+    hi = ds.max("ts")
+    lo_us = int(pd.Timestamp(lo).value // 1000)
+    hi_us = int(pd.Timestamp(hi).value // 1000)
+    rng = max(1, (hi_us - lo_us + n_buckets) // n_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "t": pa.array(t),
+            "value": batch["value"],
+            "bkt": pa.array((t - lo_us) // rng),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).repartition(
+        n_buckets).materialize()
+
+    # pass 1: per-(bucket, type) tail of the last `window` rows — bounded
+    def tail(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["t", "event_id"])
+        return df.groupby("event_type", sort=False).tail(window)[
+            ["bkt", "event_type", "t", "event_id", "value"]]
+
+    tails = tagged.groupby("bkt").map_groups(
+        tail, batch_format="pandas").to_pandas()
+    # driver: for bucket b, carry = last `window` rows per type among all
+    # tails with bkt < b (tails are per-bucket suffixes, so their union's
+    # suffix is the true global suffix)
+    tails = tails.sort_values(["t", "event_id"])
+    carries: dict[int, dict] = {}
+    bkts = sorted(tagged.unique("bkt"))
+    for b in bkts:
+        prior = tails[tails.bkt < b]
+        carries[int(b)] = {
+            et: list(zip(sub.t.to_numpy()[-window:],
+                         sub.event_id.to_numpy()[-window:],
+                         sub.value.to_numpy()[-window:]))
+            for et, sub in prior.groupby("event_type", sort=False)}
+    carry_ref = ray.put(carries)
+
+    def breaches(df: pd.DataFrame) -> pd.DataFrame:
+        carry = ray.get(carry_ref)[int(df.bkt.iloc[0])]
+        out_t, out_n, out_tot = [], [], []
+        for et, sub in df.groupby("event_type", sort=False):
+            sub = sub.sort_values(["t", "event_id"])
+            pre = carry.get(et, [])
+            v = np.concatenate([[x[2] for x in pre], sub.value.to_numpy()])
+            s = pd.Series(v)
+            roll_max = s.rolling(window, min_periods=1).max().shift(1).to_numpy()
+            roll_min = s.rolling(window, min_periods=1).min().shift(1).to_numpy()
+            own = v[len(pre):]
+            mx, mn = roll_max[len(pre):], roll_min[len(pre):]
+            seen = ~np.isnan(mx)
+            brk = seen & ((own > mx) | (own < mn))
+            out_t.append(et)
+            out_n.append(int(brk.sum()))
+            out_tot.append(len(own))
+        return pd.DataFrame({"event_type": out_t,
+                             "n_breaches": np.array(out_n, np.int64),
+                             "n": np.array(out_tot, np.int64)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [df.event_type.iloc[0]],
+                             "n_breaches": [np.int64(df.n_breaches.sum())],
+                             "n": [np.int64(df.n.sum())]})
+
+    return tagged.groupby("bkt").map_groups(
+        breaches, batch_format="pandas").groupby("event_type").map_groups(
+        final, batch_format="pandas")
+
+
+ENVELOPE_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+    MAX(value) OVER w AS mx, MIN(value) OVER w AS mn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+SELECT event_type,
+       count(*) FILTER (mx IS NOT NULL AND (value > mx OR value < mn))::BIGINT
+         AS n_breaches,
+       count(*)::BIGINT AS n
+FROM s GROUP BY event_type
+"""
+
+
+def above_avg_customers(sf_dir: str):
+    """Correlated-subquery shape (HAVING vs a global aggregate): how many
+    customers' total spend exceeds the average per-customer total. One
+    salted-bucket shuffle builds per-customer totals; per-bucket (sum,
+    count) partials give the driver the global average (rounded to cents on
+    both engines so the threshold is bit-identical); buckets then count
+    their above-average customers against the broadcast threshold."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    n_buckets = _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000,
+                              floor=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": batch["o_custkey"].to_numpy().astype(np.int64),
+                           "p": batch["o_totalprice"].to_numpy()})
+        g = df.groupby("k", sort=False).p.sum()
+        k = g.index.to_numpy(np.int64)
+        return pa.table({"k": pa.array(k), "total": pa.array(g.to_numpy()),
+                         "bkt": pa.array(hash64(k) % n_buckets)})
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False).total.sum()
+        return pd.DataFrame({"bkt": np.full(len(g), df.bkt.iloc[0], np.int64),
+                             "k": g.index.to_numpy(np.int64),
+                             "total": g.to_numpy()})
+
+    per_cust = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]
+                     ).map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).groupby(
+        "bkt").map_groups(totals, batch_format="pandas").materialize()
+    agg = per_cust.map_batches(
+        lambda b: pa.table({"s": pa.array([float(np.sum(b["total"].to_numpy()))]),
+                            "n": pa.array([np.int64(b.num_rows)])}),
+        batch_format="pyarrow").to_pandas()
+    threshold = _round(agg.s.sum() / agg.n.sum(), 2)
+
+    def count_above(batch: pa.Table) -> pa.Table:
+        t = _round(batch["total"].to_numpy(), 2)
+        return pa.table({"n_above": pa.array([np.int64((t > threshold).sum())]),
+                         "n_customers": pa.array([np.int64(len(t))])})
+
+    out = per_cust.map_batches(count_above, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"n_above": [np.int64(out.n_above.sum())],
+                         "n_customers": [np.int64(out.n_customers.sum())],
+                         "avg_total": [float(threshold)]})
+
+
+ABOVE_AVG_SQL = """
+WITH t AS (
+  SELECT o_custkey, SUM(o_totalprice) AS total
+  FROM orders GROUP BY o_custkey),
+a AS (SELECT FLOOR(AVG(total) * 100 + 0.5) / 100 AS thr FROM t)
+SELECT count(*) FILTER (FLOOR(total * 100 + 0.5) / 100
+                        > (SELECT thr FROM a))::BIGINT AS n_above,
+       count(*)::BIGINT AS n_customers,
+       (SELECT thr FROM a) AS avg_total
+FROM t
+"""
