@@ -360,3 +360,47 @@ def test_compacted_table_validates_identically(run, tmp_path_factory):
     pd.testing.assert_frame_equal(
         run["violations"][vcols].sort_values(vcols).reset_index(drop=True),
         viol2[vcols].sort_values(vcols).reset_index(drop=True))
+
+
+def test_append_then_resume_validates_only_new(run, tmp_path_factory):
+    """Incremental ingest: appending a new partition to an already-validated
+    table and re-running validate processes ONLY the new partition — the
+    lineage checkpoint turns a full re-run into an incremental one."""
+    import shutil
+
+    import pyarrow as pa
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        write_fragment,
+    )
+
+    base = tmp_path_factory.mktemp("append")
+    fix2 = str(base / "table")
+    shutil.copytree(run["fix"], fix2)
+    out2 = str(base / "out")
+    s1 = validate(fix2, run["ref_dir"], out2, run["cfg"])
+    n_done = s1["partitions_processed"]
+    assert n_done > 0
+
+    # append: clone partition 0's rows as a brand-new partition
+    man = TableManifest.load(fix2)
+    new_pid = max(man.partition_ids()) + 1
+    new_fid = max(f.id for f in man.fragments) + 1
+    src = pq.read_table(os.path.join(fix2, man.fragments[0].file))
+    src = src.set_column(src.column_names.index("partition_id"), "partition_id",
+                         pa.array(np.full(src.num_rows, new_pid, np.int32)))
+    src = src.set_column(src.column_names.index("fragment_id"), "fragment_id",
+                         pa.array(np.full(src.num_rows, new_fid, np.int64)))
+    man.fragments.append(write_fragment(fix2, new_fid, new_pid, src))
+    man.partitions[new_pid] = {"kind": "appended-clean"}
+    man.save()
+
+    s2 = validate(fix2, run["ref_dir"], out2, run["cfg"])
+    assert s2["partitions_processed"] == 1
+    assert s2["partitions_skipped"] == n_done
+    vfiles = glob.glob(os.path.join(out2, "verdicts",
+                                    f"partition_id={new_pid}", "*.parquet"))
+    assert vfiles, "appended partition produced no verdicts"
+    v = pq.read_table(vfiles[0]).to_pandas()
+    assert set(v.partition_id) == {new_pid}
+    assert len(v) > 0
