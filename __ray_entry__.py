@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events_watermark": relq.late_events_watermark,
         "envelope_anomalies_events": relq.envelope_anomalies_events,
         "above_avg_customers": relq.above_avg_customers,
+        "ann_ivf_persistent": ann.ann_ivf_persistent,
         # validation-engine checks (SURVEY §2.7)
         "column_stats_lineitem": relq.column_stats_lineitem,
         "profile_table_orders": relq.profile_table_orders,

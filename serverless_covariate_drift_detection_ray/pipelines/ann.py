@@ -10,6 +10,8 @@ the oracle-checked baseline).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -876,3 +878,185 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     Lloyd run are pinned in tests."""
     _, final = _kmeans_rounds(sf_dir, k, iters)
     return pa.Table.from_pandas(final, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index — the build-once / query-many scale path. The build
+# writes centroids + a cell-partitioned hive layout; queries read ONLY the
+# probed cells' files (storage-level pruning, the disk analogue of the
+# in-flight cell groupby above). At 10^12 rows the index build is the one
+# full-table pass; every subsequent query touches nprobe/n_cells of the
+# bytes.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(sf_dir: str, index_dir: str,
+                    n_cells: int = IVF_N_CELLS) -> dict:
+    """Build (or reuse) the on-disk IVF index for the embeddings table.
+
+    Layout: ``index_dir/meta.json`` (centroids + source fingerprint),
+    ``index_dir/cells/cell=NN/*.parquet`` (corpus rows hive-partitioned by
+    nearest-centroid cell). Crash-safe: cells land under a tmp dir first and
+    the meta.json write publishes the index last; a stale/partial build
+    (fingerprint mismatch or missing meta) is rebuilt."""
+    import json
+
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    import pyarrow.parquet as pq_
+
+    n_rows = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("source_rows") == n_rows and meta.get("sf_dir") == sf_dir:
+            return meta
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cap = IVF_TRAIN_CAP
+
+    def train_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        keys = splitmix64(ids.astype(np.uint64))
+        order = np.argsort(keys, kind="stable")[:cap]
+        sub = batch.take(pa.array(order))
+        return pa.table({"key": pa.array(keys[order].astype(np.int64)),
+                         "embedding": sub["embedding"]})
+
+    sampled = ds.map_batches(train_sample, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    order = np.argsort(sampled.key.to_numpy().astype(np.uint64),
+                       kind="stable")[:cap]
+    train = np.stack(sampled.embedding.to_numpy()[order]).astype(np.float64)
+    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True),
+                               1e-12)
+    centroids = _spherical_kmeans(train, n_cells, IVF_KMEANS_ITERS, seed=11)
+    wrapped = {"ref": ray.put(centroids)}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(wrapped["ref"])
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        corpus = ids >= N_QUERIES  # queries never enter the index
+        sub = batch.filter(pa.array(corpus))
+        if sub.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "vec_id": sub["vec_id"],
+                             "embedding": sub["embedding"]})
+        x = _to_matrix(sub["embedding"])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pa.table({"cell": pa.array(np.argmax(x @ c.T, axis=1
+                                                    ).astype(np.int64)),
+                         "vec_id": sub["vec_id"],
+                         "embedding": sub["embedding"]})
+
+    cells_tmp = os.path.join(index_dir, "cells.tmp")
+    cells_dir = os.path.join(index_dir, "cells")
+    import shutil
+
+    shutil.rmtree(cells_tmp, ignore_errors=True)
+    shutil.rmtree(cells_dir, ignore_errors=True)
+    os.makedirs(cells_tmp, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
+                   ).repartition(n_cells).write_parquet(
+        cells_tmp, partition_cols=["cell"])
+    os.replace(cells_tmp, cells_dir)
+    meta = {"sf_dir": sf_dir, "source_rows": n_rows, "n_cells": n_cells,
+            "centroids": centroids.tolist()}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def ann_ivf_persistent(sf_dir: str, nprobe: int = IVF_NPROBE):
+    """Top-k cosine via the persistent IVF index: build once per
+    (source, row-count) into /tmp, then answer queries by reading ONLY the
+    probed ``cell=NN`` directories — nprobe/n_cells of the index bytes —
+    plus the tiny query rows. Same exact within-cell math and per-query
+    merge as ann_ivf_cosine, so results match it wherever probes agree."""
+    import ray
+    import ray.data
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/scdd_ivf/{tag}"
+    os.makedirs(index_dir, exist_ok=True)
+    meta = build_ivf_index(sf_dir, index_dir)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+
+    # queries: a bounded id-pruned read (N_QUERIES rows)
+    qt = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        lambda r: r["vec_id"] < N_QUERIES).to_pandas()
+    q = np.stack(qt.embedding.to_numpy()).astype(np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    qids = qt.vec_id.to_numpy().astype(np.int64)
+    sim = q @ centroids.T
+    p = min(nprobe, sim.shape[1])
+    probes = np.argpartition(-sim, p - 1, axis=1)[:, :p]  # (nq, p)
+
+    # prune at the read: only probed cell directories are opened
+    needed = sorted({int(c) for c in probes.ravel()})
+    paths = []
+    for c in needed:
+        d = os.path.join(index_dir, "cells", f"cell={c}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    cell_of_query: dict[int, list[int]] = {}
+    for qi, row in zip(qids, probes):
+        for c in row:
+            cell_of_query.setdefault(int(c), []).append(int(qi))
+    shared = ray.put((q, qids, cell_of_query))
+
+    def cell_topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        q_, qids_, cq = _ray.get(shared)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        out_q, out_n, out_c = [], [], []
+        # a read task may coalesce several cell files into one block —
+        # process per cell so each query scans only its probed cells
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        for cell in np.unique(cells):
+            want = cq.get(int(cell), [])
+            if not want:
+                continue
+            sub = batch.filter(pa.array(cells == cell))
+            x = _to_matrix(sub["embedding"])
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            nids = sub["vec_id"].to_numpy().astype(np.int64)
+            qsel = np.isin(qids_, want)
+            cos = q_[qsel] @ x.T
+            k = min(TOP_K, nids.size)
+            for row, qid in zip(cos, qids_[qsel]):
+                top = np.argpartition(-row, k - 1)[:k]
+                out_q.append(np.full(k, qid, np.int64))
+                out_n.append(nids[top])
+                out_c.append(row[top])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "cos": pa.array(np.concatenate(out_c))})
+
+    partials = ray.data.read_parquet(paths).map_batches(
+        cell_topk, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("neighbor_id")
+        df = df.sort_values(["cos", "neighbor_id"],
+                            ascending=[False, True]).head(TOP_K)
+        return pd.DataFrame({"query_id": df.query_id.to_numpy(),
+                             "neighbor_id": df.neighbor_id.to_numpy(),
+                             "cos": _round(df.cos.to_numpy(), 6)})
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -352,3 +352,36 @@ def test_profile_table_null_and_empty_edges(ray_session, tmp_path):
     assert np.isnan(out.loc["f", "min_v"]) and np.isnan(out.loc["f", "avg_v"])
     assert out.loc["s", "n_distinct"] == 0.0
     assert out.loc["s2", "n_distinct"] == 1.0 and out.loc["s2", "n_null"] == 1
+
+
+def test_ann_ivf_persistent_index_reuse_and_recall(ray_session, tmp_path):
+    """The on-disk IVF index builds once, is reused on the second query
+    (meta fingerprint short-circuit), matches the in-flight IVF variant
+    wherever probes agree, and keeps recall vs exact."""
+    import os
+    import shutil
+
+    import __ray_entry__ as e
+    from serverless_covariate_drift_detection_ray.pipelines import ann
+
+    idx = f"/tmp/scdd_ivf/{os.path.basename(SF)}"
+    shutil.rmtree(idx, ignore_errors=True)
+    first = _to_df(e.queries()["ann_ivf_persistent"](SF))
+    meta_mtime = os.path.getmtime(os.path.join(idx, "meta.json"))
+    second = _to_df(e.queries()["ann_ivf_persistent"](SF))
+    assert os.path.getmtime(os.path.join(idx, "meta.json")) == meta_mtime
+    pd.testing.assert_frame_equal(_canon(first), _canon(second))
+
+    inflight = _to_df(e.queries()["ann_ivf_cosine"](SF))
+    ppairs = set(zip(first.query_id, first.neighbor_id))
+    ipairs = set(zip(inflight.query_id, inflight.neighbor_id))
+    assert ppairs == ipairs  # same centroids, probes, and exact math
+
+    exact = _to_df(e.queries()["ann_topk_cosine"](SF))
+    epairs = set(zip(exact.query_id, exact.neighbor_id))
+    assert len(ppairs & epairs) >= len(epairs) * 0.5
+    assert (first.neighbor_id >= 10).all()
+
+    # a row-count change invalidates the fingerprint -> rebuild
+    meta = ann.build_ivf_index(SF, idx)
+    assert meta["source_rows"] > 0
