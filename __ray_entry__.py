@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_repetition_documents": textops.bigram_repetition_documents,
         "skyline_orders": relq.skyline_orders,
         "ntile_orders": relq.ntile_orders,
+        "percent_rank_orders": relq.percent_rank_orders,
         "checksum_orders": relq.checksum_orders,
         "weighted_sample_orders": relq.weighted_sample_orders,
         "fuzzy_match_parts": relq.fuzzy_match_parts,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_repetition_documents": textops.BIGRAM_REP_SQL,
         "skyline_orders": relq.SKYLINE_SQL,
         "ntile_orders": relq.NTILE_SQL,
+        "percent_rank_orders": relq.PERCENT_RANK_SQL,
         "checksum_orders": relq.CHECKSUM_SQL,
         "weighted_sample_orders": relq.WEIGHTED_SAMPLE_SQL,
         "fuzzy_match_parts": relq.FUZZY_SQL,

@@ -3449,14 +3449,15 @@ WHERE (m_gt IS NULL OR m_gt > o_orderdate) AND o_orderdate = m_eq
 # ---------------------------------------------------------------------------
 
 
-def ntile_orders(sf_dir: str, tiles: int = 4):
-    """NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice,
-    o_orderkey) without a global sort: rows are range-bucketed on the ORDER
-    BY prefix (order-preserving between buckets), per-(priority, bucket)
-    counts are exclusive-prefix-summed on the driver (one tiny row per
-    bucket), and each bucket assigns its global row numbers with one
-    in-bucket vectorized sort. NTILE's uneven-tile rule (first n%k tiles get
-    one extra row) is applied from the per-priority totals."""
+def _ranked_orders(sf_dir: str, make_cols):
+    """Shared distributed-rank machinery: global 0-based row number i and
+    per-priority total n for ORDER BY (o_totalprice, o_orderkey) PARTITION BY
+    o_orderpriority, without a global sort. Rows are range-bucketed on the
+    ORDER BY prefix (order-preserving between buckets), per-(priority,
+    bucket) counts are exclusive-prefix-summed on the driver (one tiny row
+    per bucket), and each bucket assigns its row numbers with one in-bucket
+    vectorized sort. ``make_cols(i, n)`` maps (row numbers, total) to the
+    output column dict; backs NTILE / PERCENT_RANK / CUME_DIST."""
     import ray
 
     ds = _read(sf_dir, "orders",
@@ -3490,19 +3491,53 @@ def ntile_orders(sf_dir: str, tiles: int = 4):
         offs_, totals_ = ray.get(shared)
         prio = df.o_orderpriority.iloc[0]
         base = offs_[(prio, int(df.bkt.iloc[0]))]
-        n, k = totals_[prio], tiles
         df = df.sort_values(["o_totalprice", "o_orderkey"])
         i = base + np.arange(len(df), dtype=np.int64)
-        q, r = divmod(n, k)
-        big = r * (q + 1)
-        tile = np.where(i < big, i // max(q + 1, 1) + 1,
-                        r + (i - big) // max(q, 1) + 1)
         return pd.DataFrame({"o_orderkey": df.o_orderkey.to_numpy(),
                              "o_orderpriority": df.o_orderpriority.to_numpy(),
-                             "tile": tile.astype(np.int64)})
+                             **make_cols(i, totals_[prio])})
 
     return tagged.groupby(["o_orderpriority", "bkt"]).map_groups(
         assign, batch_format="pandas")
+
+
+def ntile_orders(sf_dir: str, tiles: int = 4):
+    """NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice,
+    o_orderkey) via the distributed rank scan; NTILE's uneven-tile rule
+    (first n%k tiles get one extra row) is applied from the per-priority
+    totals."""
+
+    def cols(i: np.ndarray, n: int) -> dict:
+        q, r = divmod(n, tiles)
+        big = r * (q + 1)
+        tile = np.where(i < big, i // max(q + 1, 1) + 1,
+                        r + (i - big) // max(q, 1) + 1)
+        return {"tile": tile.astype(np.int64)}
+
+    return _ranked_orders(sf_dir, cols)
+
+
+def percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST over the same partitioned order — the
+    rank-to-quantile projections ((rank-1)/(n-1) and rownum/n). The ORDER BY
+    key is unique (o_orderkey tie-break), so RANK == ROW_NUMBER and both
+    divisions are single exactly-rounded IEEE ops, hash-identical to the
+    oracle."""
+
+    def cols(i: np.ndarray, n: int) -> dict:
+        pr = i / max(n - 1, 1) if n > 1 else np.zeros(len(i))
+        return {"pct_rank": pr, "cume_dist": (i + 1) / n}
+
+    return _ranked_orders(sf_dir, cols)
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
 
 
 NTILE_SQL = """
