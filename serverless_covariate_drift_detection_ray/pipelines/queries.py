@@ -3597,7 +3597,7 @@ def checksum_orders(sf_dir: str):
         })
 
     return ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).groupby(
+                          zero_copy_batch=True).repartition(4).groupby(
         "o_orderstatus").map_groups(final, batch_format="pandas")
 
 
@@ -3773,7 +3773,8 @@ def fk_cardinality_customers(sf_dir: str):
             "n_orders": [np.int64(df.n_orders.iloc[0])],
             "n_customers": [np.int64(df.n_customers.sum())]})
 
-    return hist.groupby("n_orders").map_groups(final, batch_format="pandas")
+    return hist.repartition(4).groupby("n_orders").map_groups(
+        final, batch_format="pandas")
 
 
 FK_CARDINALITY_SQL = """
@@ -3804,8 +3805,11 @@ def freshness_events(sf_dir: str):
                              "n": [np.int64(df.n.sum())],
                              "mx": [np.int64(df.mx.max())]})
 
+    # cap the tiny-partial block count before the groupby: Ray's sort
+    # shuffle charges per (input block x output partition), which dwarfs a
+    # rows-per-type exchange at many read blocks (repo-wide lesson)
     per_type = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).groupby(
+                              zero_copy_batch=True).repartition(4).groupby(
         "event_type").map_groups(final, batch_format="pandas").to_pandas()
     gmax = int(per_type.mx.max())
     return pd.DataFrame({
@@ -3847,7 +3851,7 @@ def gap_hours_events(sf_dir: str):
                              "n_gap_hours": [np.int64(span - h.size)]})
 
     return ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).groupby(
+                          zero_copy_batch=True).repartition(4).groupby(
         "event_type").map_groups(final, batch_format="pandas")
 
 
@@ -4019,7 +4023,7 @@ def late_events_watermark(sf_dir: str, lateness_s: int = 300):
             "max_lateness_us": [np.int64(df.max_lateness_us.max())]})
 
     return tagged.groupby("bkt").map_groups(
-        late_partial, batch_format="pandas").groupby(
+        late_partial, batch_format="pandas").repartition(4).groupby(
         "event_type").map_groups(final, batch_format="pandas")
 
 
@@ -4129,8 +4133,8 @@ def envelope_anomalies_events(sf_dir: str, window: int = 100):
                              "n": [np.int64(df.n.sum())]})
 
     return tagged.groupby("bkt").map_groups(
-        breaches, batch_format="pandas").groupby("event_type").map_groups(
-        final, batch_format="pandas")
+        breaches, batch_format="pandas").repartition(4).groupby(
+        "event_type").map_groups(final, batch_format="pandas")
 
 
 ENVELOPE_SQL = """
