@@ -4211,3 +4211,83 @@ SELECT count(*) FILTER (FLOOR(total * 100 + 0.5) / 100
        (SELECT thr FROM a) AS avg_total
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (block -> pair -> cluster): the fuzzy join's pair graph
+# collapsed into entity clusters by distributed connected components — the
+# full record-linkage composition, reusing the Pregel-style CC stage that
+# backs semantic dedup (pipelines/ann.py cc_labels_distributed).
+# ---------------------------------------------------------------------------
+
+
+ENTITY_CC_MAX_PAIRS = 5_000_000  # 16 B/pair -> <= 80 MB edge list on driver
+
+
+def entity_clusters_parts(sf_dir: str):
+    """Cluster ids for every part that fuzzy-matches another (same brand,
+    Levenshtein <= 2): fuzzy pairs -> min-label CC -> (p_partkey,
+    cluster_id = component min key, cluster_size). Singletons (no match)
+    are omitted — they are their own entity. Same two-tier CC as semantic
+    dedup: below ENTITY_CC_MAX_PAIRS the gated edge list (2 int64/pair,
+    counted as metadata before any collect) solves on the driver kernel;
+    above it the Pregel-style cc_labels_distributed runs with a
+    bucket-by-label size/assembly pass. The oracle walks the same pair
+    graph with a recursive CTE."""
+    from ..functions.graph import cc_min_label
+    from .ann import _cc_bkt, cc_labels_distributed
+
+    pairs = fuzzy_match_parts(sf_dir).map_batches(
+        lambda b: pa.table({"vec_a": b["key_a"], "vec_b": b["key_b"]}),
+        batch_format="pyarrow").materialize()
+    if pairs.count() <= ENTITY_CC_MAX_PAIRS:
+        edges = pairs.to_pandas()
+        if not len(edges):
+            return pd.DataFrame({"p_partkey": pd.Series([], dtype=np.int64),
+                                 "cluster_id": pd.Series([], dtype=np.int64),
+                                 "cluster_size": pd.Series([], dtype=np.int64)})
+        nodes, reps = cc_min_label(edges.vec_a.to_numpy(np.int64),
+                                   edges.vec_b.to_numpy(np.int64))
+        rep_ids, inv, sizes = np.unique(reps, return_inverse=True,
+                                        return_counts=True)
+        return pd.DataFrame({"p_partkey": nodes.astype(np.int64),
+                             "cluster_id": reps.astype(np.int64),
+                             "cluster_size": sizes[inv].astype(np.int64)})
+
+    labels = cc_labels_distributed(pairs)  # (node, lab)
+    nb = max(8, pairs.count() // 2_000_000)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lab = batch["lab"].to_numpy().astype(np.int64)
+        return pa.table({"node": batch["node"], "lab": pa.array(lab),
+                         "lbkt": pa.array(_cc_bkt(lab, nb))})
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("lab", sort=False).lab.transform("size")
+        return pd.DataFrame({
+            "p_partkey": df.node.to_numpy().astype(np.int64),
+            "cluster_id": df.lab.to_numpy().astype(np.int64),
+            "cluster_size": sizes.to_numpy().astype(np.int64)})
+
+    return labels.map_batches(tag, batch_format="pyarrow").repartition(
+        4).groupby("lbkt").map_groups(assemble, batch_format="pandas")
+
+
+ENTITY_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS u, b.p_partkey AS v
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, rep) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v AS node, w.rep FROM walk w JOIN edges e ON e.u = w.node),
+label AS (SELECT node, MIN(rep) AS rep FROM walk GROUP BY node),
+sizes AS (SELECT rep, COUNT(*)::BIGINT AS cluster_size FROM label GROUP BY rep)
+SELECT l.node AS p_partkey, l.rep AS cluster_id, s.cluster_size
+FROM label l JOIN sizes s ON s.rep = l.rep
+"""

@@ -385,3 +385,15 @@ def test_ann_ivf_persistent_index_reuse_and_recall(ray_session, tmp_path):
     # a row-count change invalidates the fingerprint -> rebuild
     meta = ann.build_ivf_index(SF, idx)
     assert meta["source_rows"] > 0
+
+
+def test_entity_clusters_distributed_path_matches_driver(ray_session, monkeypatch):
+    """Forcing the pair gate to 0 routes entity clustering through the
+    distributed CC; output must match the driver-kernel path exactly."""
+    import __ray_entry__ as e
+    from serverless_covariate_drift_detection_ray.pipelines import queries as Q
+
+    driver = _canon(_to_df(e.queries()["entity_clusters_parts"](SF)))
+    monkeypatch.setattr(Q, "ENTITY_CC_MAX_PAIRS", 0)
+    dist = _canon(_to_df(Q.entity_clusters_parts(SF)))
+    pd.testing.assert_frame_equal(driver, dist, check_dtype=False)
