@@ -61,10 +61,12 @@ def levenshtein_pairs(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     la = np.fromiter((len(s) for s in left), np.int64, len(left))
     lb = np.fromiter((len(s) for s in right), np.int64, len(right))
     out = np.zeros(len(left), np.int64)
-    combo = la * 10_000 + lb
+    # (len_a << 32) | len_b: alias-free for any string under 2^32 chars
+    # (a plain la*K + lb combo would silently truncate strings >= K long)
+    combo = (la << 32) | lb
     for c in np.unique(combo):
         sel = np.nonzero(combo == c)[0]
-        m, n = int(c // 10_000), int(c % 10_000)
+        m, n = int(c >> 32), int(c & 0xFFFFFFFF)
         if m == 0 or n == 0:
             out[sel] = max(m, n)
             continue

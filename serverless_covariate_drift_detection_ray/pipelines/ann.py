@@ -687,19 +687,11 @@ def _spherical_kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarra
     return c
 
 
-def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
-                   nprobe: int = IVF_NPROBE):
-    """IVF ANN over the embeddings table.
-
-    Train: per-block deterministic smallest-hash sample partials -> driver
-    k-means over <= IVF_TRAIN_CAP rows (bounded regardless of table size).
-    Index: broadcast centroids; one actor-pool pass assigns each corpus row to
-    its nearest cell (1 row through the shuffle) and each query to its nprobe
-    nearest cells (nprobe rows). Search: exact cosine only within (cell)
-    groups, then the per-query dedup merge. Recall vs the exact baseline is
-    pinned in tests; exact top-k stays the oracle anchor."""
-    import ray
-
+def _ivf_train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Shared IVF training pass: per-block deterministic smallest-hash
+    sample partials -> driver re-cap -> L2 normalize -> seeded spherical
+    k-means. Single source of truth for the in-flight (ann_ivf_cosine) and
+    persistent (build_ivf_index) paths so their centroids stay identical."""
     from ..functions.hashing import splitmix64
 
     cap = IVF_TRAIN_CAP
@@ -715,10 +707,40 @@ def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
 
     sampled = ds.map_batches(train_sample, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas()
-    order = np.argsort(sampled.key.to_numpy().astype(np.uint64), kind="stable")[:cap]
+    order = np.argsort(sampled.key.to_numpy().astype(np.uint64),
+                       kind="stable")[:cap]
     train = np.stack(sampled.embedding.to_numpy()[order]).astype(np.float64)
-    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-    centroids = _spherical_kmeans(train, n_cells, IVF_KMEANS_ITERS, seed=11)
+    train = train / np.maximum(
+        np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    return _spherical_kmeans(train, n_cells, IVF_KMEANS_ITERS, seed=11)
+
+
+def _merge_cell_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-query merge of within-cell top-k partials (dedup, re-rank,
+    head-k). Shared by the in-flight and persistent IVF paths."""
+    df = df.drop_duplicates("neighbor_id")
+    df = df.sort_values(["cos", "neighbor_id"],
+                        ascending=[False, True]).head(TOP_K)
+    return pd.DataFrame({"query_id": df.query_id.to_numpy(),
+                         "neighbor_id": df.neighbor_id.to_numpy(),
+                         "cos": _round(df.cos.to_numpy(), 6)})
+
+
+def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
+                   nprobe: int = IVF_NPROBE):
+    """IVF ANN over the embeddings table.
+
+    Train: per-block deterministic smallest-hash sample partials -> driver
+    k-means over <= IVF_TRAIN_CAP rows (bounded regardless of table size).
+    Index: broadcast centroids; one actor-pool pass assigns each corpus row to
+    its nearest cell (1 row through the shuffle) and each query to its nprobe
+    nearest cells (nprobe rows). Search: exact cosine only within (cell)
+    groups, then the per-query dedup merge. Recall vs the exact baseline is
+    pinned in tests; exact top-k stays the oracle anchor."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centroids = _ivf_train_centroids(sf_dir, n_cells)
     wrapped = {"ref": ray.put(centroids)}
 
     def assign_cells(batch: pa.Table) -> pa.Table:
@@ -784,16 +806,8 @@ def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
     partials = assigned.groupby("cell").map_groups(
         within_cell_topk, batch_format="pandas")
 
-    def merge_cells(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("neighbor_id")
-        df = df.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(TOP_K)
-        return pd.DataFrame({
-            "query_id": df.query_id.to_numpy(),
-            "neighbor_id": df.neighbor_id.to_numpy(),
-            "cos": _round(df.cos.to_numpy(), 6),
-        })
-
-    return partials.groupby("query_id").map_groups(merge_cells, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _merge_cell_partials, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -903,37 +917,26 @@ def build_ivf_index(sf_dir: str, index_dir: str,
 
     import ray
 
-    from ..functions.hashing import splitmix64
-
     import pyarrow.parquet as pq_
 
-    n_rows = pq_.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    # content fingerprint: rows + file size + mtime of the source parquet.
+    # Row count alone is NOT enough — a regenerated fixture with the same
+    # scale factor keeps num_rows but changes content, and serving the old
+    # cells would silently return wrong neighbors.
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    n_rows = pq_.ParquetFile(src).metadata.num_rows
+    fingerprint = f"{n_rows}:{st.st_size}:{st.st_mtime_ns}"
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("source_rows") == n_rows and meta.get("sf_dir") == sf_dir:
+        if (meta.get("fingerprint") == fingerprint
+                and meta.get("sf_dir") == sf_dir):
             return meta
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cap = IVF_TRAIN_CAP
-
-    def train_sample(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        keys = splitmix64(ids.astype(np.uint64))
-        order = np.argsort(keys, kind="stable")[:cap]
-        sub = batch.take(pa.array(order))
-        return pa.table({"key": pa.array(keys[order].astype(np.int64)),
-                         "embedding": sub["embedding"]})
-
-    sampled = ds.map_batches(train_sample, batch_format="pyarrow",
-                             zero_copy_batch=True).to_pandas()
-    order = np.argsort(sampled.key.to_numpy().astype(np.uint64),
-                       kind="stable")[:cap]
-    train = np.stack(sampled.embedding.to_numpy()[order]).astype(np.float64)
-    train = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True),
-                               1e-12)
-    centroids = _spherical_kmeans(train, n_cells, IVF_KMEANS_ITERS, seed=11)
+    centroids = _ivf_train_centroids(sf_dir, n_cells)
     wrapped = {"ref": ray.put(centroids)}
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -965,7 +968,8 @@ def build_ivf_index(sf_dir: str, index_dir: str,
                    ).repartition(n_cells).write_parquet(
         cells_tmp, partition_cols=["cell"])
     os.replace(cells_tmp, cells_dir)
-    meta = {"sf_dir": sf_dir, "source_rows": n_rows, "n_cells": n_cells,
+    meta = {"sf_dir": sf_dir, "source_rows": n_rows,
+            "fingerprint": fingerprint, "n_cells": n_cells,
             "centroids": centroids.tolist()}
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
@@ -1051,12 +1055,5 @@ def ann_ivf_persistent(sf_dir: str, nprobe: int = IVF_NPROBE):
     partials = ray.data.read_parquet(paths).map_batches(
         cell_topk, batch_format="pyarrow", batch_size=None)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("neighbor_id")
-        df = df.sort_values(["cos", "neighbor_id"],
-                            ascending=[False, True]).head(TOP_K)
-        return pd.DataFrame({"query_id": df.query_id.to_numpy(),
-                             "neighbor_id": df.neighbor_id.to_numpy(),
-                             "cos": _round(df.cos.to_numpy(), 6)})
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _merge_cell_partials, batch_format="pandas")

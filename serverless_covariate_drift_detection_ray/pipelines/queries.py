@@ -3462,7 +3462,11 @@ def _ranked_orders(sf_dir: str, make_cols):
 
     ds = _read(sf_dir, "orders",
                ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    lo, hi = ds.min("o_totalprice"), ds.max("o_totalprice")
+    from ray.data.aggregate import Max, Min
+
+    # one combined aggregate pass, not two full-table scans
+    agg = ds.aggregate(Min("o_totalprice"), Max("o_totalprice"))
+    lo, hi = agg["min(o_totalprice)"], agg["max(o_totalprice)"]
     n_buckets = _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000,
                               floor=16)
     scale = n_buckets / max(hi - lo, 1e-9)
@@ -3573,8 +3577,13 @@ def checksum_orders(sf_dir: str):
         cents = np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5
                          ).astype(np.int64)
         ep = batch["o_orderdate"].cast(pa.int64()).to_numpy() % M
-        h = ((k * 2654435761) % M) ^ ((c * 2246822519) % M) \
-            ^ ((cents * 3266489917) % M) ^ ep
+        # pre-reduce mod 2^31 before the Knuth multiply: max product
+        # (2^31-1)*3266489917 < 2^63, so the int64 math never wraps and
+        # the DuckDB oracle (which raises on BIGINT overflow) agrees at
+        # any key magnitude
+        R = np.int64(2147483648)
+        h = (((k % R) * 2654435761) % M) ^ (((c % R) * 2246822519) % M) \
+            ^ (((cents % R) * 3266489917) % M) ^ ep
         df = pd.DataFrame({"o_orderstatus": batch["o_orderstatus"].to_pandas(),
                            "h": h})
         g = df.groupby("o_orderstatus", sort=False)
@@ -3604,10 +3613,10 @@ def checksum_orders(sf_dir: str):
 CHECKSUM_SQL = """
 WITH h AS (
   SELECT o_orderstatus,
-    xor(xor(xor((o_orderkey * 2654435761) % 4294967296,
-                (o_custkey * 2246822519) % 4294967296),
-            (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 3266489917)
-             % 4294967296),
+    xor(xor(xor(((o_orderkey % 2147483648) * 2654435761) % 4294967296,
+                ((o_custkey % 2147483648) * 2246822519) % 4294967296),
+            ((CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 2147483648)
+             * 3266489917) % 4294967296),
         epoch_us(o_orderdate) % 4294967296) AS rh
   FROM orders)
 SELECT o_orderstatus, COUNT(*)::BIGINT AS n_rows,
@@ -3635,7 +3644,10 @@ def weighted_sample_orders(sf_dir: str, k: int = 100):
     def bottomk(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy().astype(np.int64)
         w = batch["o_totalprice"].to_numpy()
-        u = (((keys * 2654435761) % M) + 1).astype(np.float64) / 4294967296.0
+        # mod-2^31 pre-reduction keeps the multiply int64-safe (see
+        # checksum_orders); identical expression in the SQL oracle
+        u = ((((keys % 2147483648) * 2654435761) % M) + 1
+             ).astype(np.float64) / 4294967296.0
         pri = u / w
         if len(pri) > k:
             idx = np.argpartition(pri, k)[:k]
@@ -3657,8 +3669,8 @@ def weighted_sample_orders(sf_dir: str, k: int = 100):
 
 WEIGHTED_SAMPLE_SQL = """
 SELECT o_orderkey, o_totalprice,
-       (((o_orderkey * 2654435761) % 4294967296) + 1) / 4294967296.0
-         / o_totalprice AS priority
+       ((((o_orderkey % 2147483648) * 2654435761) % 4294967296) + 1)
+         / 4294967296.0 / o_totalprice AS priority
 FROM orders
 ORDER BY priority LIMIT 100
 """
@@ -3892,7 +3904,7 @@ def table_diff_orders(sf_dir: str):
     def both_sides(batch: pa.Table) -> pa.Table:
         k = batch["o_orderkey"].to_numpy().astype(np.int64)
         p = batch["o_totalprice"].to_numpy()
-        h = (k * 2654435761) % M
+        h = ((k % 2147483648) * 2654435761) % M  # int64-safe pre-reduce
         # side A: the base snapshot, verbatim
         ka, pa_, sa = k, p, np.zeros(k.size, np.int64)
         # side B: deletes (h%37==0), +1.00 updates (h%41==0), inserts
@@ -3930,7 +3942,8 @@ def table_diff_orders(sf_dir: str):
 TABLE_DIFF_SQL = """
 WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
 h AS (SELECT o_orderkey, o_totalprice,
-             (o_orderkey * 2654435761) % 4294967296 AS hh FROM orders),
+             ((o_orderkey % 2147483648) * 2654435761) % 4294967296
+               AS hh FROM orders),
 b AS (
   SELECT o_orderkey,
          CASE WHEN hh % 41 = 0 THEN o_totalprice + 1.0
@@ -3980,7 +3993,9 @@ def late_events_watermark(sf_dir: str, lateness_s: int = 300):
 
     def tag(batch: pa.Table) -> pa.Table:
         ids = batch["event_id"].to_numpy().astype(np.int64)
-        arr = (ids * 2654435761) % M  # arrival sequence (hash of event_id)
+        # arrival sequence = int64-safe hash of event_id (pre-reduced
+        # mod 2^31 so the multiply never wraps; matches the SQL oracle)
+        arr = ((ids % 2147483648) * 2654435761) % M
         return pa.table({
             "event_id": pa.array(ids),
             "arrival": pa.array(arr),
@@ -4030,7 +4045,8 @@ def late_events_watermark(sf_dir: str, lateness_s: int = 300):
 LATE_EVENTS_SQL = """
 WITH s AS (
   SELECT event_type, ts,
-    MAX(ts) OVER (ORDER BY (event_id * 2654435761) % 4294967296, event_id
+    MAX(ts) OVER (ORDER BY ((event_id % 2147483648) * 2654435761)
+                               % 4294967296, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_src
   FROM events)
 SELECT event_type, count(*)::BIGINT AS n_late,
@@ -4063,8 +4079,10 @@ def envelope_anomalies_events(sf_dir: str, window: int = 100):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
     n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000,
                               floor=32)
-    lo = ds.min("ts")
-    hi = ds.max("ts")
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min("ts"), Max("ts"))  # one scan for both bounds
+    lo, hi = agg["min(ts)"], agg["max(ts)"]
     lo_us = int(pd.Timestamp(lo).value // 1000)
     hi_us = int(pd.Timestamp(hi).value // 1000)
     rng = max(1, (hi_us - lo_us + n_buckets) // n_buckets)

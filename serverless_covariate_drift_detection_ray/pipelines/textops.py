@@ -1449,8 +1449,10 @@ def bigram_repetition_documents(sf_dir: str):
             # token vocabulary, not the raw 64-bit hashes
             _, codes = np.unique(h, return_inverse=True)
             pair = codes[:-1].astype(np.int64) * (codes.max() + 1) + codes[1:]
-            counts = np.bincount(pair - pair.min())
-            top, tot = counts.max(), len(ws) - 1
+            # np.unique counts are O(P log P) in the number of bigrams;
+            # bincount here would allocate O(vocab^2) and OOM on long docs
+            top = int(np.unique(pair, return_counts=True)[1].max())
+            tot = len(ws) - 1
             out_id.append(i)
             # same op order as the oracle's FLOOR(MAX(c)*1e6/SUM(c)+0.5)/1e6
             out_frac.append(
