@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": relq.weighted_sample_orders,
         "fuzzy_match_parts": relq.fuzzy_match_parts,
         "entity_clusters_parts": relq.entity_clusters_parts,
+        "pagerank_customers": relq.pagerank_customers,
         "fk_cardinality_customers": relq.fk_cardinality_customers,
         "freshness_events": relq.freshness_events,
         "gap_hours_events": relq.gap_hours_events,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_orders": relq.WEIGHTED_SAMPLE_SQL,
         "fuzzy_match_parts": relq.FUZZY_SQL,
         "entity_clusters_parts": relq.ENTITY_CLUSTERS_SQL,
+        "pagerank_customers": relq.PAGERANK_SQL,
         "fk_cardinality_customers": relq.FK_CARDINALITY_SQL,
         "freshness_events": relq.FRESHNESS_SQL,
         "gap_hours_events": relq.GAP_HOURS_SQL,

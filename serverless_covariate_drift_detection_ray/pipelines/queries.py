@@ -4309,3 +4309,219 @@ sizes AS (SELECT rep, COUNT(*)::BIGINT AS cluster_size FROM label GROUP BY rep)
 SELECT l.node AS p_partkey, l.rep AS cluster_id, s.cluster_size
 FROM label l JOIN sizes s ON s.rep = l.rep
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank — fixed-iteration distributed message passing, the canonical
+# iterative join-aggregate graph shape (k-means covers iterative broadcast;
+# connected components covers label propagation; this adds degree-normalized
+# rank flow with dangling-mass redistribution). Engine-new per the build
+# brief; the reference has no graph ops.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+
+
+PAGERANK_DRIVER_MAX_EDGES = 5_000_000
+
+
+def pagerank_customers(sf_dir: str, iters: int = PAGERANK_ITERS, k: int = 20):
+    """Top-k PageRank over a deterministic customer referral graph.
+
+    Edges: one per order, src = o_custkey, dst = int64-safe Knuth hash of
+    o_orderkey mod |customer| (same expression in the SQL oracle). Damping
+    0.85, ``iters`` fixed iterations, dangling mass redistributed uniformly.
+
+    Scale gate (the entity-resolution / uniqueness-screen pattern): an edge
+    list under PAGERANK_DRIVER_MAX_EDGES (two int64 columns, ~80 MB at the
+    gate — known from parquet metadata, nothing is collected to decide) runs
+    the numpy driver kernel; larger graphs run the distributed loop
+    (``pagerank_customers_distributed``), whose per-iteration cost is two
+    salted-bucket shuffles — parity between the paths is pinned in tests.
+    Rank values round to 8 decimals (FP summation-order noise ~1e-15)."""
+    import pyarrow.parquet as pq_
+
+    n_edges = pq_.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_edges > PAGERANK_DRIVER_MAX_EDGES:
+        return pagerank_customers_distributed(sf_dir, iters, k)
+    N = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    M = np.int64(4294967296)
+    t = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    src = t.o_custkey.to_numpy().astype(np.int64)
+    okey = t.o_orderkey.to_numpy().astype(np.int64)
+    dst = ((((okey % 2147483648) * 2654435761) % M) % N).astype(np.int64)
+    deg = np.bincount(src, minlength=N).astype(np.float64)
+    r = np.full(N, 1.0 / N)
+    dangling = deg == 0.0
+    safe_deg = np.where(dangling, 1.0, deg)
+    for _ in range(iters):
+        dm = float(r[dangling].sum())
+        contrib = np.bincount(dst, weights=r[src] / safe_deg[src], minlength=N)
+        r = 0.15 / N + 0.85 * (contrib + dm / N)
+    pr = _round(r, 8)
+    order = np.lexsort((np.arange(N), -pr))[:k]
+    return pa.table({"c_custkey": pa.array(order.astype(np.int64)),
+                     "pagerank": pa.array(pr[order])})
+
+
+def pagerank_customers_distributed(sf_dir: str, iters: int = PAGERANK_ITERS,
+                                   k: int = 20):
+    """Distributed PageRank: per iteration (1) the dangling mass is one tiny
+    partial aggregate over the state table; (2) contributions co-locate
+    edges with their source's (rank, degree) via the union + salted-bucket
+    map_groups hash join (Ray's join operator has ~10 s fixed aggregator
+    cost), with a per-bucket combiner summing contributions by dst BEFORE
+    the second shuffle; (3) the new state joins contribution sums back onto
+    the node table the same way. State and edges never leave their buckets
+    whole; the driver only sees the per-iteration dangling scalar. Block
+    counts are capped at the bucket count every round (the
+    iterative-Dataset geometric-blowup gotcha)."""
+    import pyarrow.parquet as pq_
+
+    from ..functions.hashing import hash64
+
+    N = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    B = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
+    M = np.int64(4294967296)
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        src = batch["o_custkey"].to_numpy().astype(np.int64)
+        okey = batch["o_orderkey"].to_numpy().astype(np.int64)
+        dst = ((((okey % 2147483648) * 2654435761) % M) % N).astype(np.int64)
+        return pa.table({"key": pa.array(src), "dst": pa.array(dst),
+                         "r": pa.nulls(src.size, pa.float64()),
+                         "deg": pa.nulls(src.size, pa.float64()),
+                         "bkt": pa.array(hash64(src) % B)})
+
+    edges = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        mk_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # ---- init state: every customer node, out-degree, uniform rank ----
+    def node_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(ids),
+                         "cnt": pa.array(np.zeros(ids.size, np.int64)),
+                         "bkt": pa.array(hash64(ids) % B)})
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["key"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"node": pa.array(u), "cnt": pa.array(c),
+                         "bkt": pa.array(hash64(u) % B)})
+
+    def init_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False).cnt.sum()
+        nodes = g.index.to_numpy().astype(np.int64)
+        return pd.DataFrame({"node": nodes,
+                             "deg": g.to_numpy().astype(np.float64),
+                             "r": np.full(nodes.size, 1.0 / N)})
+
+    nodes_ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        node_rows, batch_format="pyarrow", zero_copy_batch=True)
+    state = nodes_ds.union(edges.map_batches(
+        deg_partial, batch_format="pyarrow")).groupby("bkt").map_groups(
+        init_merge, batch_format="pandas").materialize()
+
+    def dangling_partial(batch: pa.Table) -> pa.Table:
+        deg = batch["deg"].to_numpy()
+        r = batch["r"].to_numpy()
+        return pa.table({"dr": pa.array([float(r[deg == 0.0].sum())])})
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        n_ = batch["node"].to_numpy().astype(np.int64)
+        return pa.table({"key": pa.array(n_),
+                         "dst": pa.nulls(n_.size, pa.int64()),
+                         "r": batch["r"], "deg": batch["deg"],
+                         "bkt": pa.array(hash64(n_) % B)})
+
+    def contrib_merge(df: pd.DataFrame) -> pd.DataFrame:
+        is_state = df.dst.isna()
+        st = df.loc[is_state, ["key", "r", "deg"]]
+        ed = df.loc[~is_state, ["key", "dst"]]
+        m = ed.merge(st, on="key", how="inner")
+        c = m.r.to_numpy() / m.deg.to_numpy()  # deg >= 1: src has this edge
+        # per-bucket combiner: sum by dst before the next shuffle
+        g = pd.DataFrame({"dst": m.dst.to_numpy().astype(np.int64),
+                          "c": c}).groupby("dst", sort=False).c.sum()
+        nodes = g.index.to_numpy().astype(np.int64)
+        return pd.DataFrame({"node": nodes, "c": g.to_numpy(),
+                             "deg": np.full(nodes.size, np.nan),
+                             "r": np.full(nodes.size, np.nan)})
+
+    for _ in range(iters):
+        dm = float(state.map_batches(
+            dangling_partial, batch_format="pyarrow").sum("dr") or 0.0)
+
+        contrib = edges.union(state.map_batches(
+            tag_state, batch_format="pyarrow")).groupby("bkt").map_groups(
+            contrib_merge, batch_format="pandas")
+
+        def tag_contrib(batch: pa.Table) -> pa.Table:
+            n_ = batch["node"].to_numpy().astype(np.int64)
+            return pa.table({"node": pa.array(n_), "c": batch["c"],
+                             "deg": pa.nulls(n_.size, pa.float64()),
+                             "r": pa.nulls(n_.size, pa.float64()),
+                             "nbkt": pa.array(hash64(n_) % B)})
+
+        def tag_base(batch: pa.Table) -> pa.Table:
+            n_ = batch["node"].to_numpy().astype(np.int64)
+            return pa.table({"node": pa.array(n_),
+                             "c": pa.nulls(n_.size, pa.float64()),
+                             "deg": batch["deg"], "r": batch["r"],
+                             "nbkt": pa.array(hash64(n_) % B)})
+
+        def apply_rank(df: pd.DataFrame, dm: float = dm) -> pd.DataFrame:
+            base = df[df.deg.notna()]
+            cs = df[df.deg.isna()].groupby("node", sort=False).c.sum()
+            contrib_sum = base.node.map(cs).fillna(0.0).to_numpy()
+            r_new = 0.15 / N + 0.85 * (contrib_sum + dm / N)
+            return pd.DataFrame({
+                "node": base.node.to_numpy().astype(np.int64),
+                "deg": base.deg.to_numpy().astype(np.float64),
+                "r": r_new})
+
+        state = contrib.map_batches(
+            tag_contrib, batch_format="pyarrow").union(
+            state.map_batches(tag_base, batch_format="pyarrow")).groupby(
+            "nbkt").map_groups(apply_rank, batch_format="pandas").materialize()
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["node"].cast(pa.int64()),
+            "pagerank": pa.array(_round(batch["r"].to_numpy(), 8))})
+
+    return state.map_batches(project, batch_format="pyarrow").sort(
+        ["pagerank", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def _pagerank_sql(iters: int = PAGERANK_ITERS, k: int = 20) -> str:
+    head = """WITH nodes AS (SELECT c_custkey AS node FROM customer),
+cnt AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+e AS (SELECT o_custkey AS src,
+        (((o_orderkey % 2147483648) * 2654435761) % 4294967296)
+          % (SELECT COUNT(*) FROM nodes) AS dst
+      FROM orders),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS r FROM nodes)"""
+    parts = [head]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+d{i} AS (SELECT COALESCE(SUM(r), 0) AS dm FROM {prev}
+         WHERE node NOT IN (SELECT src FROM deg)),
+c{i} AS (SELECT e.dst AS node, SUM(p.r / g.deg) AS c
+         FROM e JOIN {prev} p ON p.node = e.src
+                JOIN deg g ON g.src = e.src
+         GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+        0.15 / (SELECT n FROM cnt)
+        + 0.85 * (COALESCE(c.c, 0) + (SELECT dm FROM d{i}) / (SELECT n FROM cnt)) AS r
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)""")
+        prev = f"r{i}"
+    parts.append(f"""
+SELECT node AS c_custkey, FLOOR(r * 1e8 + 0.5) / 1e8 AS pagerank
+FROM {prev} ORDER BY pagerank DESC, c_custkey LIMIT {k}""")
+    return "".join(parts)
+
+
+PAGERANK_SQL = _pagerank_sql()

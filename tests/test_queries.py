@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (116 queries, 101 oracled) runs in the driver's correctness
+The full sweep (117 queries, 102 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -397,3 +397,30 @@ def test_entity_clusters_distributed_path_matches_driver(ray_session, monkeypatc
     monkeypatch.setattr(Q, "ENTITY_CC_MAX_PAIRS", 0)
     dist = _canon(_to_df(Q.entity_clusters_parts(SF)))
     pd.testing.assert_frame_equal(driver, dist, check_dtype=False)
+
+
+def test_pagerank_distributed_path_matches_driver(ray_session, monkeypatch):
+    """Forcing the edge gate to 0 routes PageRank through the distributed
+    bucket-join loop; ranks must match the numpy driver kernel (both paths
+    round to 8 decimals; FP summation-order noise is ~1e-15)."""
+    from serverless_covariate_drift_detection_ray.pipelines import queries as Q
+
+    driver = _canon(_to_df(Q.pagerank_customers(SF, iters=3, k=10**9)))
+    monkeypatch.setattr(Q, "PAGERANK_DRIVER_MAX_EDGES", 0)
+    dist = _canon(_to_df(Q.pagerank_customers(SF, iters=3, k=10**9)))
+    pd.testing.assert_frame_equal(driver, dist, check_dtype=False)
+
+
+def test_pagerank_mass_conservation(ray_session):
+    """PageRank invariants on the full rank vector: mass sums to 1 (the
+    dangling redistribution closes the loop), every rank >= the teleport
+    floor 0.15/N, and the result is deterministic across runs."""
+    from serverless_covariate_drift_detection_ray.pipelines import queries as Q
+
+    full = _to_df(Q.pagerank_customers(SF, k=10**9))
+    n = len(full)
+    assert abs(full.pagerank.sum() - 1.0) < 1e-6
+    assert (full.pagerank >= 0.15 / n - 1e-12).all()
+    again = _to_df(Q.pagerank_customers(SF, k=10**9))
+    pd.testing.assert_frame_equal(
+        _canon(full), _canon(again), check_exact=True)
