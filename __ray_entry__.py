@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_parts": relq.fuzzy_match_parts,
         "entity_clusters_parts": relq.entity_clusters_parts,
         "pagerank_customers": relq.pagerank_customers,
+        "fd_check_orders": relq.fd_check_orders,
+        "skew_profile_orders": relq.skew_profile_orders,
+        "mutual_info_documents": relq.mutual_info_documents,
         "fk_cardinality_customers": relq.fk_cardinality_customers,
         "freshness_events": relq.freshness_events,
         "gap_hours_events": relq.gap_hours_events,
@@ -249,6 +252,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match_parts": relq.FUZZY_SQL,
         "entity_clusters_parts": relq.ENTITY_CLUSTERS_SQL,
         "pagerank_customers": relq.PAGERANK_SQL,
+        "fd_check_orders": relq.FD_CHECK_SQL,
+        "skew_profile_orders": relq.SKEW_PROFILE_SQL,
+        "mutual_info_documents": relq.MUTUAL_INFO_SQL,
         "fk_cardinality_customers": relq.FK_CARDINALITY_SQL,
         "freshness_events": relq.FRESHNESS_SQL,
         "gap_hours_events": relq.GAP_HOURS_SQL,

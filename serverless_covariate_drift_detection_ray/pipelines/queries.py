@@ -4525,3 +4525,182 @@ FROM {prev} ORDER BY pagerank DESC, c_custkey LIMIT {k}""")
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Data-profiling checks: functional-dependency discovery, shuffle-key skew
+# diagnostics, categorical association (mutual information). Validation-tier
+# operators in the Metanome/profiler tradition; all reduce to per-block
+# partials + one tiny final aggregate, so they run as one streaming pass at
+# any scale.
+# ---------------------------------------------------------------------------
+
+
+def fd_check_orders(sf_dir: str):
+    """Functional-dependency check o_custkey -> o_orderpriority: how many
+    keys map to more than one dependent value. Per-block DISTINCT pair
+    projection (pairs are bounded by keys x |priority| = 5), salted-bucket
+    per-key distinct count (a key never spans buckets), tiny final sum."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    B = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch["o_custkey"].to_numpy().astype(np.int64),
+            "d": batch["o_orderpriority"].to_pandas()}).drop_duplicates()
+        return pa.table({"k": pa.array(df.k.to_numpy()),
+                         "d": pa.array(df.d.to_numpy(), pa.string()),
+                         "bkt": pa.array(hash64(df.k.to_numpy()) % B)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.drop_duplicates(["k", "d"]).groupby("k", sort=False).size()
+        return pd.DataFrame({
+            "n_keys": [np.int64(nd.size)],
+            "n_violating_keys": [np.int64((nd > 1).sum())]})
+
+    parts = ds.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("bkt").map_groups(
+        per_bucket, batch_format="pandas")
+
+    def final(batch: pa.Table) -> pa.Table:
+        nk = int(batch["n_keys"].to_numpy().sum())
+        nv = int(batch["n_violating_keys"].to_numpy().sum())
+        return pa.table({
+            "n_keys": pa.array([nk], pa.int64()),
+            "n_violating_keys": pa.array([nv], pa.int64()),
+            "violation_rate": pa.array(
+                [float(np.floor(nv * 1e6 / nk + 0.5) / 1e6)], pa.float64())})
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+FD_CHECK_SQL = """
+WITH pairs AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders),
+per_key AS (SELECT o_custkey, COUNT(*) AS n_dep FROM pairs GROUP BY o_custkey)
+SELECT COUNT(*)::BIGINT AS n_keys,
+       SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_keys,
+       FLOOR(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) * 1e6
+             / COUNT(*) + 0.5) / 1e6 AS violation_rate
+FROM per_key
+"""
+
+
+def skew_profile_orders(sf_dir: str):
+    """Shuffle-key skew diagnostics for o_custkey — the planning signal the
+    engine's own salted shuffles exist to defeat. Per-key counts via
+    per-block partials + salted-bucket merge; skew statistics (peak-to-mean,
+    coefficient of variation, top-1 share) come from per-bucket MOMENT
+    partials over the key counts, so nothing key-shaped reaches the driver."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    B = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["o_custkey"].to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"k": pa.array(u), "cnt": pa.array(c),
+                         "bkt": pa.array(hash64(u) % B)})
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("k", sort=False).cnt.sum().to_numpy().astype(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(cnt.size)], "s": [float(cnt.sum())],
+            "sxx": [float((cnt * cnt).sum())], "mx": [float(cnt.max())]})
+
+    parts = ds.map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("bkt").map_groups(
+        moments, batch_format="pandas")
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = float(batch["n"].to_numpy().sum())
+        sm = float(batch["s"].to_numpy().sum())
+        sxx = float(batch["sxx"].to_numpy().sum())
+        mx = float(batch["mx"].to_numpy().max())
+        mean = sm / n
+        var = sxx / n - mean * mean
+        return pa.table({
+            "n_keys": pa.array([int(n)], pa.int64()),
+            "peak_to_mean": pa.array([float(_round(mx / mean, 6))]),
+            "cv": pa.array([float(_round(np.sqrt(max(var, 0.0)) / mean, 6))]),
+            "top1_share": pa.array([float(_round(mx / sm, 6))])})
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+SKEW_PROFILE_SQL = """
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*)::DOUBLE AS cnt FROM orders GROUP BY o_custkey),
+m AS (SELECT COUNT(*)::DOUBLE AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS sxx,
+             MAX(cnt) AS mx FROM per_key)
+SELECT n::BIGINT AS n_keys,
+       FLOOR(mx / (s / n) * 1e6 + 0.5) / 1e6 AS peak_to_mean,
+       FLOOR(sqrt(GREATEST(sxx / n - (s / n) * (s / n), 0)) / (s / n) * 1e6
+             + 0.5) / 1e6 AS cv,
+       FLOOR(mx / s * 1e6 + 0.5) / 1e6 AS top1_share
+FROM m
+"""
+
+
+def mutual_info_documents(sf_dir: str):
+    """Mutual information and normalized MI between the lang and source
+    columns — the categorical-association drift signal (a change in MI flags
+    a shifted joint distribution even when both marginals hold). One pass of
+    per-block joint counts, one small groupby over (lang, source) cells,
+    entropy math on the driver over the bounded cell table (|lang| x
+    |source|, category-bounded like chi2_event_type)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def joint_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
+                           "source": batch["source"].to_pandas()})
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index(
+            name="cnt")
+        g["cnt"] = g.cnt.astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    cells = ds.map_batches(joint_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby(
+        ["lang", "source"]).aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    n = float(cells.cnt.sum())
+    pij = cells.cnt.to_numpy().astype(np.float64) / n
+    pi = cells.groupby("lang").cnt.transform("sum").to_numpy() / n
+    pj = cells.groupby("source").cnt.transform("sum").to_numpy() / n
+    mi = float((pij * np.log(pij / (pi * pj))).sum())
+    pl = cells.groupby("lang").cnt.sum().to_numpy().astype(np.float64) / n
+    ps = cells.groupby("source").cnt.sum().to_numpy().astype(np.float64) / n
+    h_lang = float(-(pl * np.log(pl)).sum())
+    h_source = float(-(ps * np.log(ps)).sum())
+    nmi = mi / min(h_lang, h_source) if min(h_lang, h_source) > 0 else 0.0
+    return pa.table({
+        "mi": pa.array([float(_round(mi, 6))]),
+        "h_lang": pa.array([float(_round(h_lang, 6))]),
+        "h_source": pa.array([float(_round(h_source, 6))]),
+        "nmi": pa.array([float(_round(nmi, 6))])})
+
+
+MUTUAL_INFO_SQL = """
+WITH j AS (SELECT lang, source, COUNT(*)::DOUBLE AS c FROM documents
+           GROUP BY lang, source),
+n AS (SELECT SUM(c) AS n FROM j),
+pl AS (SELECT lang, SUM(c) AS cl FROM j GROUP BY lang),
+ps AS (SELECT source, SUM(c) AS cs FROM j GROUP BY source),
+mi AS (
+  SELECT SUM((j.c / n.n) * ln((j.c / n.n) / ((pl.cl / n.n) * (ps.cs / n.n))))
+           AS mi
+  FROM j, n JOIN pl ON TRUE JOIN ps ON TRUE
+  WHERE pl.lang = j.lang AND ps.source = j.source),
+hl AS (SELECT -SUM((cl / n.n) * ln(cl / n.n)) AS h FROM pl, n),
+hs AS (SELECT -SUM((cs / n.n) * ln(cs / n.n)) AS h FROM ps, n)
+SELECT FLOOR(mi.mi * 1e6 + 0.5) / 1e6 AS mi,
+       FLOOR(hl.h * 1e6 + 0.5) / 1e6 AS h_lang,
+       FLOOR(hs.h * 1e6 + 0.5) / 1e6 AS h_source,
+       FLOOR(mi.mi / LEAST(hl.h, hs.h) * 1e6 + 0.5) / 1e6 AS nmi
+FROM mi, hl, hs
+"""
