@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_check_orders": relq.fd_check_orders,
         "skew_profile_orders": relq.skew_profile_orders,
         "mutual_info_documents": relq.mutual_info_documents,
+        "impute_value_events": relq.impute_value_events,
+        "encode_categories_orders": relq.encode_categories_orders,
+        "jsonl_roundtrip_events": relq.jsonl_roundtrip_events,
         "fk_cardinality_customers": relq.fk_cardinality_customers,
         "freshness_events": relq.freshness_events,
         "gap_hours_events": relq.gap_hours_events,
@@ -255,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "fd_check_orders": relq.FD_CHECK_SQL,
         "skew_profile_orders": relq.SKEW_PROFILE_SQL,
         "mutual_info_documents": relq.MUTUAL_INFO_SQL,
+        "impute_value_events": relq.IMPUTE_SQL,
+        "encode_categories_orders": relq.ENCODE_CATEGORIES_SQL,
+        "jsonl_roundtrip_events": relq.JSONL_ROUNDTRIP_SQL,
         "fk_cardinality_customers": relq.FK_CARDINALITY_SQL,
         "freshness_events": relq.FRESHNESS_SQL,
         "gap_hours_events": relq.GAP_HOURS_SQL,

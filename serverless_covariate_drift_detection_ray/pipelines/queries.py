@@ -4704,3 +4704,191 @@ SELECT FLOOR(mi.mi * 1e6 + 0.5) / 1e6 AS mi,
        FLOOR(mi.mi / LEAST(hl.h, hs.h) * 1e6 + 0.5) / 1e6 AS nmi
 FROM mi, hl, hs
 """
+
+
+# ---------------------------------------------------------------------------
+# Prep staples: mean imputation, stable categorical encoding, JSONL source
+# roundtrip. The imputation mask is hash-derived (the table_diff convention:
+# the testdata has no physical nulls, so missingness is synthesized
+# deterministically with the int64-safe Knuth hash both engines share).
+# ---------------------------------------------------------------------------
+
+
+def impute_value_events(sf_dir: str):
+    """Per-type mean imputation audit: rows with hash(event_id) % 17 == 0
+    are treated as missing; the fill value is the per-event_type mean of the
+    surviving values. Reports fill value, post-imputation mean and variance
+    per type — all derived from one pass of per-block moment partials (the
+    imputed aggregate is algebra over (n, sum, sumsq, n_missing); no second
+    pass touches the data)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    M = np.int64(4294967296)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy().astype(np.int64)
+        miss = (((ids % 2147483648) * 2654435761) % M) % 17 == 0
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "v": batch["value"].to_numpy(),
+                           "miss": miss})
+        ok = df[~df.miss]
+        agg = (ok.assign(v2=ok.v * ok.v)
+               .groupby("event_type", sort=False)
+               .agg(n_ok=("v", "size"), s=("v", "sum"), sxx=("v2", "sum")))
+        nm = df[df.miss].groupby("event_type", sort=False).size().rename("n_miss")
+        out = agg.join(nm, how="outer").fillna(0.0).reset_index()
+        return pa.table({
+            "event_type": pa.array(out.event_type.to_numpy(), pa.string()),
+            "n_ok": pa.array(out.n_ok.to_numpy().astype(np.int64)),
+            "s": pa.array(out.s.to_numpy().astype(np.float64)),
+            "sxx": pa.array(out.sxx.to_numpy().astype(np.float64)),
+            "n_miss": pa.array(out.n_miss.to_numpy().astype(np.int64))})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        n_ok = int(df.n_ok.sum())
+        s = float(df.s.sum())
+        sxx = float(df.sxx.sum())
+        n_miss = int(df.n_miss.sum())
+        fill = s / n_ok
+        n = n_ok + n_miss
+        mean_after = (s + n_miss * fill) / n
+        var_after = (sxx + n_miss * fill * fill) / n - mean_after * mean_after
+        return pd.DataFrame({
+            "event_type": [df.event_type.iloc[0]],
+            "n_missing": [np.int64(n_miss)],
+            "fill_value": [float(_round(fill, 6))],
+            "mean_after": [float(_round(mean_after, 6))],
+            "var_after": [float(_round(var_after, 6))]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).repartition(4).groupby(
+        "event_type").map_groups(final, batch_format="pandas")
+
+
+IMPUTE_SQL = """
+WITH m AS (
+  SELECT event_type, value,
+         (((event_id % 2147483648) * 2654435761) % 4294967296) % 17 = 0
+           AS miss
+  FROM events),
+a AS (
+  SELECT event_type,
+         SUM(CASE WHEN NOT miss THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+         SUM(CASE WHEN NOT miss THEN value ELSE 0 END) AS s,
+         SUM(CASE WHEN NOT miss THEN value * value ELSE 0 END) AS sxx,
+         SUM(CASE WHEN miss THEN 1 ELSE 0 END)::BIGINT AS n_miss
+  FROM m GROUP BY event_type)
+SELECT event_type, n_miss AS n_missing,
+  FLOOR(s / n_ok * 1e6 + 0.5) / 1e6 AS fill_value,
+  FLOOR((s + n_miss * (s / n_ok)) / (n_ok + n_miss) * 1e6 + 0.5) / 1e6
+    AS mean_after,
+  FLOOR(((sxx + n_miss * (s / n_ok) * (s / n_ok)) / (n_ok + n_miss)
+         - ((s + n_miss * (s / n_ok)) / (n_ok + n_miss))
+           * ((s + n_miss * (s / n_ok)) / (n_ok + n_miss))) * 1e6 + 0.5) / 1e6
+    AS var_after
+FROM a
+"""
+
+
+def encode_categories_orders(sf_dir: str):
+    """Stable categorical encoding: o_orderpriority -> its alphabetical
+    index, identical on every partition and across runs (the label-encoder
+    fit-transform shape: a bounded distinct pass builds the vocabulary, the
+    code map broadcasts into a stateless projection)."""
+    import ray
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["o_orderpriority"].to_numpy(zero_copy_only=False))
+        return pa.table({"v": pa.array(u, pa.string())})
+
+    vocab = sorted(set(ds.map_batches(
+        distinct_partial, batch_format="pyarrow",
+        zero_copy_batch=True).unique("v")))
+    code_ref = ray.put({v: i for i, v in enumerate(vocab)})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        code = ray.get(code_ref)
+        vals = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+            "priority_code": pa.array(
+                np.fromiter((code[v] for v in vals), np.int64, len(vals)))})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+ENCODE_CATEGORIES_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS priority_code
+FROM orders
+"""
+
+
+def jsonl_roundtrip_events(sf_dir: str):
+    """JSONL sink + source roundtrip: project events to JSON-safe columns
+    (timestamps as epoch microseconds — JSON has no timestamp type and
+    float roundtrips are lossy), write line-delimited JSON, read it back
+    with ``ray.data.read_json``, and fold to per-type counts + an
+    order-independent id checksum. Exercises the JSON IO path end to end;
+    the oracle computes the same aggregates straight from the parquet."""
+    import ray.data
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    M = np.int64(4294967296)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64())})
+
+    import os
+    import shutil
+
+    out_dir = os.path.join("/tmp/scdd_jsonl",
+                           os.path.basename(os.path.normpath(sf_dir)))
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(project, batch_format="pyarrow",
+                   zero_copy_batch=True).write_json(out_dir)
+
+    back = ray.data.read_json(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy().astype(np.int64)
+        h = ((ids % 2147483648) * 2654435761) % M
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                           "h": h,
+                           "t": batch["ts_us"].to_numpy().astype(np.int64)})
+        g = df.groupby("event_type", sort=False)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "event_type": list(g.groups),
+            "n": g.size().to_numpy().astype(np.int64),
+            "sum_hash": g.h.sum().to_numpy().astype(np.int64),
+            "min_ts_us": g.t.min().to_numpy().astype(np.int64),
+            "max_ts_us": g.t.max().to_numpy().astype(np.int64),
+        }), preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [df.event_type.iloc[0]],
+            "n": [np.int64(df.n.sum())],
+            "sum_hash": [np.int64(df.sum_hash.sum())],
+            "min_ts_us": [np.int64(df.min_ts_us.min())],
+            "max_ts_us": [np.int64(df.max_ts_us.max())]})
+
+    return back.map_batches(partial, batch_format="pyarrow").repartition(
+        4).groupby("event_type").map_groups(final, batch_format="pandas")
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       SUM(((event_id % 2147483648) * 2654435761) % 4294967296)::BIGINT
+         AS sum_hash,
+       MIN(epoch_us(ts))::BIGINT AS min_ts_us,
+       MAX(epoch_us(ts))::BIGINT AS max_ts_us
+FROM events GROUP BY event_type
+"""
