@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_orders_scd": relq.upsert_orders_scd,
         "pivot_status_by_priority": relq.pivot_status_by_priority,
         "q3_shipping_priority": relq.q3_shipping_priority,
+        "q5_local_supplier_volume": relq.q5_local_supplier_volume,
         "mode_priority_by_status": relq.mode_priority_by_status,
         "bloom_semijoin_lineitem": relq.bloom_semijoin_lineitem,
         "event_path_per_user": relq.event_path_per_user,
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_flag": relq.grouped_quantiles_flag,
         "grouped_quantiles_tdigest": relq.grouped_quantiles_tdigest,
         "bin_prices_quartile": relq.bin_prices_quartile,
+        "winsorize_lineitem": relq.winsorize_lineitem,
         "outlier_counts_lineitem": relq.outlier_counts_lineitem,
         "histogram_extendedprice": relq.histogram_extendedprice,
         # sketch-default variants (the at-scale paths; exact ones stay as
@@ -181,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_regex": textops.token_count_regex,
         "inverted_index_documents": textops.inverted_index_documents,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "unigram_logprob_documents": textops.unigram_logprob_documents,
         "normalize_text_documents": textops.normalize_text_documents,
         "chunk_documents": textops.chunk_documents,
         "pack_sequences_documents": textops.pack_sequences_documents,
@@ -240,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_orders_scd": relq.UPSERT_SQL,
         "pivot_status_by_priority": relq.PIVOT_SQL,
         "q3_shipping_priority": relq.Q3_SQL,
+        "q5_local_supplier_volume": relq.Q5_SQL,
         "mode_priority_by_status": relq.MODE_SQL,
         "bloom_semijoin_lineitem": relq.BLOOM_SEMIJOIN_SQL,
         "event_path_per_user": relq.EVENT_PATH_SQL,
@@ -295,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_purchase_click": relq.KS_SQL,
         "quantiles_extendedprice": relq.QUANTILES_SQL,
         "bin_prices_quartile": relq.BIN_QUARTILE_SQL,
+        "winsorize_lineitem": relq.WINSORIZE_SQL,
         "ks_purchase_click_hist": relq.KS_HIST_SQL,
         "divergence_purchase_click": relq.DIVERGENCE_SQL,
         "embedding_neardup_pairs": ann.EMB_NEARDUP_SQL,
@@ -309,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_regex": textops.TOKEN_REGEX_SQL,
         "inverted_index_documents": textops.INVERTED_INDEX_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
+        "unigram_logprob_documents": textops.UNIGRAM_LOGPROB_SQL,
         "normalize_text_documents": textops.NORMALIZE_SQL,
         "chunk_documents": textops.CHUNK_SQL,
         "pack_sequences_documents": textops.PACK_SQL,

@@ -4892,3 +4892,202 @@ SELECT event_type, COUNT(*)::BIGINT AS n,
        MAX(epoch_us(ts))::BIGINT AS max_ts_us
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — 6-table join (region/nation dim filters, two broadcast
+# dimension probes, one fact-fact salted-bucket co-location with a
+# same-nation join condition). The widest relational pipeline in the repo.
+# ---------------------------------------------------------------------------
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_lo: str = "1996-01-01",
+                             date_hi: str = "1998-01-01"):
+    """Revenue by nation where the customer and supplier share the nation
+    (TPC-H Q5). Ray plan: (1) region -> nation-set and the supplier and
+    customer key->nation maps are bounded dimension reads, broadcast once
+    via ``ray.put`` as sorted-key probe arrays (at 10^9-row dimensions the
+    probe side becomes another salted-bucket join, the q3 caveat); (2)
+    orders (date-filtered) tag each o_orderkey with the customer's nation,
+    lineitem tags each l_orderkey row with the supplier's nation — both
+    project to slim int columns at the read; (3) ONE groupby shuffle on
+    hash(orderkey) buckets co-locates them; each bucket inner-merges on
+    (orderkey, nation-equality) and emits per-nation revenue partials, so
+    the final exchange is nations x buckets rows."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    from ..functions.hashing import hash64
+
+    nb = _salt_buckets(sf_dir, "lineitem", rows_per_bucket=1_000_000, floor=16)
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_regionkey", "n_name"]
+                         ).to_pandas()
+    reg = pq_.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg.r_name == region, "r_regionkey"]
+    nat = nat[nat.n_regionkey.isin(set(rkey))]
+    nation_keys = np.sort(nat.n_nationkey.to_numpy().astype(np.int64))
+    name_of = dict(zip(nat.n_nationkey.to_numpy(), nat.n_name))
+
+    def keymap(table: str, kcol: str, ncol: str):
+        t = pq_.read_table(f"{sf_dir}/{table}.parquet", columns=[kcol, ncol])
+        k = t[kcol].to_numpy().astype(np.int64)
+        n = t[ncol].to_numpy().astype(np.int64)
+        keep = np.isin(n, nation_keys)
+        k, n = k[keep], n[keep]
+        order = np.argsort(k, kind="stable")
+        return k[order], n[order]
+
+    sup_ref = ray.put(keymap("supplier", "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(keymap("customer", "c_custkey", "c_nationkey"))
+
+    def probe(keys: np.ndarray, probe_k: np.ndarray, probe_v: np.ndarray):
+        pos = np.searchsorted(probe_k, keys)
+        ok = (pos < probe_k.size) & (
+            probe_k[np.minimum(pos, probe_k.size - 1)] == keys)
+        return ok, np.where(ok, probe_v[np.minimum(pos, probe_k.size - 1)], -1)
+
+    def otag(batch: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        od = batch["o_orderdate"].to_numpy().astype("datetime64[us]")
+        t = batch.filter(pa.array((od >= lo) & (od < hi)))
+        ok_mask, nk = probe(t["o_custkey"].to_numpy().astype(np.int64), ck, cn)
+        t = t.filter(pa.array(ok_mask))
+        okey = t["o_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(okey), "nat": pa.array(nk[ok_mask]),
+            "rev": pa.array(np.zeros(okey.size, np.float64)),
+            "side": pa.array(np.zeros(okey.size, np.int8)),
+            "bkt": pa.array(hash64(okey) % nb)})
+
+    def ltag(batch: pa.Table) -> pa.Table:
+        sk, sn = ray.get(sup_ref)
+        keys = batch["l_suppkey"].to_numpy().astype(np.int64)
+        ok_mask, nk = probe(keys, sk, sn)
+        t = batch.filter(pa.array(ok_mask))
+        okey = t["l_orderkey"].to_numpy().astype(np.int64)
+        rev = t["l_extendedprice"].to_numpy() * (
+            1.0 - t["l_discount"].to_numpy())
+        # per-block combiner: collapse to (orderkey, nation) partials
+        df = pd.DataFrame({"key": okey, "nat": nk[ok_mask], "rev": rev})
+        g = df.groupby(["key", "nat"], sort=False).rev.sum().reset_index()
+        k2 = g.key.to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(k2), "nat": pa.array(g.nat.to_numpy().astype(np.int64)),
+            "rev": pa.array(g.rev.to_numpy()),
+            "side": pa.array(np.ones(k2.size, np.int8)),
+            "bkt": pa.array(hash64(k2) % nb)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        otag, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+               ).map_batches(ltag, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def bucket_join(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df.side == 0][["key", "nat"]]
+        l = df[df.side == 1][["key", "nat", "rev"]]
+        m = l.merge(o, on=["key", "nat"], how="inner")  # same-nation join
+        g = m.groupby("nat", sort=False).rev.sum()
+        return pd.DataFrame({"nat": g.index.to_numpy().astype(np.int64),
+                             "revenue": g.to_numpy()})
+
+    parts = orders.union(li).groupby("bkt").map_groups(
+        bucket_join, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("nat", sort=False).revenue.sum()
+        out = pd.DataFrame({
+            "n_name": [name_of[int(n)] for n in g.index],
+            "revenue": _round(g.to_numpy(), 2)})
+        return out.sort_values(["revenue", "n_name"],
+                               ascending=[False, True]).reset_index(drop=True)
+
+    return parts.repartition(1).map_batches(
+        lambda t: pa.Table.from_pandas(final(t.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q5_SQL = """
+SELECT n_name,
+       FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def winsorize_lineitem(sf_dir: str, p_lo: float = 0.01, p_hi: float = 0.99):
+    """Winsorization audit: clip l_extendedprice at the discrete p01/p99
+    boundaries (fit like bin_prices_quartile: driver-exact on the one pruned
+    column for the oracle, t-digest at scale), then report clipped counts
+    and the post-clip mean/std from one pass of moment partials over the
+    CLIPPED values — the robust-stats companion to impute_value_events."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    vals = _sorted_column(sf_dir, "lineitem", "l_extendedprice")
+    n = vals.size
+    lo = float(vals[max(int(np.ceil(p_lo * n)) - 1, 0)])
+    hi = float(vals[max(int(np.ceil(p_hi * n)) - 1, 0)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy()
+        c = np.clip(v, lo, hi)
+        return pa.table({
+            "n": pa.array([np.int64(v.size)]),
+            "n_lo": pa.array([np.int64((v < lo).sum())]),
+            "n_hi": pa.array([np.int64((v > hi).sum())]),
+            "s": pa.array([float(c.sum())]),
+            "sxx": pa.array([float((c * c).sum())])})
+
+    def final(batch: pa.Table) -> pa.Table:
+        nn = float(batch["n"].to_numpy().sum())
+        sm = float(batch["s"].to_numpy().sum())
+        sxx = float(batch["sxx"].to_numpy().sum())
+        mean = sm / nn
+        var = sxx / nn - mean * mean
+        return pa.table({
+            "lo_bound": pa.array([lo]), "hi_bound": pa.array([hi]),
+            "n_clipped_lo": pa.array(
+                [int(batch["n_lo"].to_numpy().sum())], pa.int64()),
+            "n_clipped_hi": pa.array(
+                [int(batch["n_hi"].to_numpy().sum())], pa.int64()),
+            "mean_after": pa.array([float(_round(mean, 6))]),
+            "std_after": pa.array(
+                [float(_round(np.sqrt(max(var, 0.0)), 6))])})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
+
+
+WINSORIZE_SQL = """
+WITH b AS (
+  SELECT quantile_disc(l_extendedprice, 0.01) AS lo,
+         quantile_disc(l_extendedprice, 0.99) AS hi
+  FROM lineitem),
+c AS (
+  SELECT GREATEST(LEAST(l_extendedprice, hi), lo) AS v,
+         (l_extendedprice < lo)::INT AS clo,
+         (l_extendedprice > hi)::INT AS chi, lo, hi
+  FROM lineitem, b)
+SELECT ANY_VALUE(lo) AS lo_bound, ANY_VALUE(hi) AS hi_bound,
+       SUM(clo)::BIGINT AS n_clipped_lo, SUM(chi)::BIGINT AS n_clipped_hi,
+       FLOOR(SUM(v) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_after,
+       FLOOR(sqrt(GREATEST(SUM(v * v) / COUNT(*)
+                           - (SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*)), 0))
+             * 1e6 + 0.5) / 1e6 AS std_after
+FROM c
+"""

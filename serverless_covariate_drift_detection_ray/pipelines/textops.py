@@ -1546,3 +1546,132 @@ FROM sh s JOIN tot t ON s.sh = t.sh
 WHERE t.c >= 2
 GROUP BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM log-probability scoring — the perplexity-proxy quality filter
+# (corpus-filtering recipes score documents with a cheap LM; the unigram
+# variant is exactly computable and SQL-oracleable). Same dual-path gates as
+# TF-IDF: bounded vocabularies broadcast the fitted LM; open vocabularies
+# route to a two-shuffle bucketed join.
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_documents(sf_dir: str):
+    """Mean unigram log-probability per document: fit p(w) = count(w) / T on
+    the corpus itself, score each doc as AVG(ln p(w)) over its tokens.
+
+    Fast path (bounded vocab): per-block (token, count) partials merge on the
+    driver and the (vocab, ln p) arrays broadcast once via ``ray.put``; the
+    scoring pass is one searchsorted + segment mean per batch. Gates checked
+    BEFORE anything large is collected (the TF-IDF convention); failing
+    either routes to ``_unigram_two_shuffle``."""
+    import ray
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, distinct=False)
+        g = ex.groupby("token", sort=False).size().reset_index(name="n")
+        return pa.table({"token": pa.array(g["token"].to_numpy(dtype=object),
+                                           type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy().astype(np.int64))})
+
+    parts_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        cnt_partial, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if parts_ds.count() > PARTIALS_COLLECT_MAX:
+        return _unigram_two_shuffle(sf_dir)
+    partials = parts_ds.to_pandas()
+    cnt = partials.groupby("token", sort=True)["n"].sum()
+    if len(cnt) > VOCAB_BROADCAST_MAX:
+        return _unigram_two_shuffle(sf_dir)
+    total = float(cnt.sum())
+    vocab = cnt.index.to_numpy(dtype=object)  # sorted => searchsorted below
+    lp = np.log(cnt.to_numpy().astype(np.float64) / total)
+    wrapped = {"ref": ray.put((vocab, lp))}
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        voc, lp_arr = ray.get(wrapped["ref"])
+        ex = _explode_tokens(batch, distinct=False)
+        pos = np.searchsorted(voc, ex["token"].to_numpy(dtype=object))
+        ex = ex.assign(lp=lp_arr[pos])
+        g = ex.groupby("doc_id", sort=False).lp.mean()
+        return pa.table({
+            "doc_id": pa.array(g.index.to_numpy().astype(np.int64)),
+            "mean_logprob": pa.array(_round(g.to_numpy(), 6))})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _unigram_two_shuffle(sf_dir: str, n_buckets: int = 64):
+    """Open-vocabulary path: (1) token counts via one salted-bucket groupby
+    on hash(token); (2) exploded (doc, token) rows co-locate with their
+    token's ln p via the union + bucket merge, pre-summing per (doc) inside
+    the bucket; (3) per-doc mean via a second bucket groupby on hash(doc).
+    Nothing vocabulary- or corpus-sized is broadcast or collected."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def block_tokens(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, distinct=False)
+        return pa.table({"n_tok": pa.array([np.int64(len(ex))])})
+
+    total = float(ds.map_batches(block_tokens, batch_format="pyarrow",
+                                 zero_copy_batch=True).sum("n_tok"))
+
+    def tag_exploded(batch: pa.Table) -> pa.Table:
+        ex = _explode_tokens(batch, distinct=False)
+        g = (ex.groupby(["doc_id", "token"], sort=False).size()
+             .reset_index(name="n"))  # per-block combiner
+        tok = g["token"].to_numpy(dtype=object)
+        return pa.table({
+            "token": pa.array(tok, type=pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            "bkt": pa.array(hash64(tok) % n_buckets)})
+
+    exploded = ds.map_batches(tag_exploded, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def merge_lp(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby("token", sort=False).n.sum()
+        lp = np.log(cnt.to_numpy().astype(np.float64) / total)
+        lp_map = pd.Series(lp, index=cnt.index)
+        s = df.assign(lp=df.token.map(lp_map) * df.n)
+        g = s.groupby("doc_id", sort=False).agg(s=("lp", "sum"),
+                                                n=("n", "sum"))
+        return pd.DataFrame({"doc_id": g.index.to_numpy().astype(np.int64),
+                             "s": g.s.to_numpy(), "n": g.n.to_numpy()})
+
+    # token counts are computable inside each token-bucket (a token never
+    # spans buckets), so count + attach collapse into ONE bucket pass
+    partials = exploded.groupby("bkt").map_groups(merge_lp,
+                                                  batch_format="pandas")
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return batch.append_column("dbkt", pa.array(hash64(ids) % n_buckets))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).agg(s=("s", "sum"),
+                                                 n=("n", "sum"))
+        return pd.DataFrame({
+            "doc_id": g.index.to_numpy().astype(np.int64),
+            "mean_logprob": _round(g.s.to_numpy() / g.n.to_numpy(), 6)})
+
+    return partials.map_batches(tag_doc, batch_format="pyarrow").groupby(
+        "dbkt").map_groups(final, batch_format="pandas")
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+c AS (SELECT token, COUNT(*)::DOUBLE AS c FROM tok GROUP BY token),
+t AS (SELECT SUM(c) AS t FROM c)
+SELECT doc_id,
+       FLOOR(AVG(ln(c.c / t.t)) * 1e6 + 0.5) / 1e6 AS mean_logprob
+FROM tok JOIN c USING (token), t
+GROUP BY doc_id
+"""

@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (123 queries, 108 oracled) runs in the driver's correctness
+The full sweep (126 queries, 111 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -424,3 +424,15 @@ def test_pagerank_mass_conservation(ray_session):
     again = _to_df(Q.pagerank_customers(SF, k=10**9))
     pd.testing.assert_frame_equal(
         _canon(full), _canon(again), check_exact=True)
+
+
+def test_unigram_logprob_two_shuffle_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the vocab gate to 0 routes the unigram LM through the
+    two-shuffle bucketed path; scores must match the broadcast path (both
+    round to 6 decimals)."""
+    from serverless_covariate_drift_detection_ray.pipelines import textops as T
+
+    fast = _canon(_to_df(T.unigram_logprob_documents(SF)))
+    monkeypatch.setattr(T, "PARTIALS_COLLECT_MAX", 0)
+    slow = _canon(_to_df(T.unigram_logprob_documents(SF)))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
