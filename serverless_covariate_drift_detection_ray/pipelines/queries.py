@@ -5091,3 +5091,70 @@ SELECT ANY_VALUE(lo) AS lo_bound, ANY_VALUE(hi) AS hi_bound,
              * 1e6 + 0.5) / 1e6 AS std_after
 FROM c
 """
+
+
+def csv_roundtrip_orders(sf_dir: str):
+    """CSV sink + source roundtrip (the third IO format next to the hive
+    parquet and JSONL roundtrips): project orders to CSV-safe columns
+    (totalprice as integer cents — float text roundtrips are lossy), write
+    with ``write_csv``, read back with ``ray.data.read_csv``, and fold to
+    per-status counts, cent sums and an order-independent key checksum. The
+    oracle computes the same aggregates straight from the parquet."""
+    import os
+    import shutil
+
+    import ray.data
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    M = np.int64(4294967296)
+
+    def project(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5
+                         ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_orderstatus": batch["o_orderstatus"],
+            "cents": pa.array(cents)})
+
+    out_dir = os.path.join("/tmp/scdd_csv",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(project, batch_format="pyarrow",
+                   zero_copy_batch=True).write_csv(out_dir)
+
+    back = ray.data.read_csv(out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["o_orderkey"].to_numpy().astype(np.int64)
+        h = ((ids % 2147483648) * 2654435761) % M
+        df = pd.DataFrame({"o_orderstatus": batch["o_orderstatus"].to_pandas(),
+                           "h": h,
+                           "c": batch["cents"].to_numpy().astype(np.int64)})
+        g = df.groupby("o_orderstatus", sort=False)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "o_orderstatus": list(g.groups),
+            "n": g.size().to_numpy().astype(np.int64),
+            "sum_cents": g.c.sum().to_numpy().astype(np.int64),
+            "sum_hash": g.h.sum().to_numpy().astype(np.int64),
+        }), preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": [df.o_orderstatus.iloc[0]],
+            "n": [np.int64(df.n.sum())],
+            "sum_cents": [np.int64(df.sum_cents.sum())],
+            "sum_hash": [np.int64(df.sum_hash.sum())]})
+
+    return back.map_batches(partial, batch_format="pyarrow").repartition(
+        4).groupby("o_orderstatus").map_groups(final, batch_format="pandas")
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_cents,
+       SUM(((o_orderkey % 2147483648) * 2654435761) % 4294967296)::BIGINT
+         AS sum_hash
+FROM orders GROUP BY o_orderstatus
+"""
