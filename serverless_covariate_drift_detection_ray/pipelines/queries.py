@@ -4348,6 +4348,13 @@ def pagerank_customers(sf_dir: str, iters: int = PAGERANK_ITERS, k: int = 20):
     M = np.int64(4294967296)
     t = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
     src = t.o_custkey.to_numpy().astype(np.int64)
+    if src.size and (src.min() < 0 or src.max() >= N):
+        # the referral graph's node domain is [0, N): both engine paths AND
+        # the SQL oracle hash into that range, so a 1-based or sparse key
+        # space would silently mint edges to nonexistent customers — fail
+        # loudly instead (the cc 2^53-guard convention)
+        raise ValueError("pagerank_customers requires 0-based contiguous "
+                         "c_custkey in [0, N)")
     okey = t.o_orderkey.to_numpy().astype(np.int64)
     dst = ((((okey % 2147483648) * 2654435761) % M) % N).astype(np.int64)
     deg = np.bincount(src, minlength=N).astype(np.float64)
@@ -4701,7 +4708,9 @@ hs AS (SELECT -SUM((cs / n.n) * ln(cs / n.n)) AS h FROM ps, n)
 SELECT FLOOR(mi.mi * 1e6 + 0.5) / 1e6 AS mi,
        FLOOR(hl.h * 1e6 + 0.5) / 1e6 AS h_lang,
        FLOOR(hs.h * 1e6 + 0.5) / 1e6 AS h_source,
-       FLOOR(mi.mi / LEAST(hl.h, hs.h) * 1e6 + 0.5) / 1e6 AS nmi
+       CASE WHEN LEAST(hl.h, hs.h) = 0 THEN 0.0
+            ELSE FLOOR(mi.mi / LEAST(hl.h, hs.h) * 1e6 + 0.5) / 1e6
+       END AS nmi
 FROM mi, hl, hs
 """
 
@@ -4802,19 +4811,19 @@ def encode_categories_orders(sf_dir: str):
         u = np.unique(batch["o_orderpriority"].to_numpy(zero_copy_only=False))
         return pa.table({"v": pa.array(u, pa.string())})
 
-    vocab = sorted(set(ds.map_batches(
+    vocab = np.array(sorted(set(ds.map_batches(
         distinct_partial, batch_format="pyarrow",
-        zero_copy_batch=True).unique("v")))
-    code_ref = ray.put({v: i for i, v in enumerate(vocab)})
+        zero_copy_batch=True).unique("v"))), dtype=object)
+    code_ref = ray.put(vocab)
 
     def encode(batch: pa.Table) -> pa.Table:
-        code = ray.get(code_ref)
+        voc = ray.get(code_ref)  # sorted => searchsorted IS the code map
         vals = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
         return pa.table({
             "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
             "o_orderpriority": batch["o_orderpriority"],
             "priority_code": pa.array(
-                np.fromiter((code[v] for v in vals), np.int64, len(vals)))})
+                np.searchsorted(voc, vals).astype(np.int64))})
 
     return ds.map_batches(encode, batch_format="pyarrow")
 
@@ -4847,15 +4856,28 @@ def jsonl_roundtrip_events(sf_dir: str):
     import os
     import shutil
 
-    out_dir = os.path.join("/tmp/scdd_jsonl",
-                           os.path.basename(os.path.normpath(sf_dir)))
+    # content-fingerprinted cache + per-process staging + atomic rename
+    # (the partition_roundtrip_events sink convention): concurrent callers
+    # never see a half-written or mid-delete directory
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = (f"/tmp/scdd_jsonl/{tag}/"
+               f"events_{st.st_size}_{st.st_mtime_ns}")
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.map_batches(project, batch_format="pyarrow",
+                       zero_copy_batch=True).write_json(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:  # concurrent writer won the rename; use its copy
+            shutil.rmtree(tmp, ignore_errors=True)
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    ds.map_batches(project, batch_format="pyarrow",
-                   zero_copy_batch=True).write_json(out_dir)
-
-    back = ray.data.read_json(out_dir)
+    back = ray.data.read_json(
+        [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+         if f.endswith(".json")])
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["event_id"].to_numpy().astype(np.int64)
@@ -4947,6 +4969,9 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     cust_ref = ray.put(keymap("customer", "c_custkey", "c_nationkey"))
 
     def probe(keys: np.ndarray, probe_k: np.ndarray, probe_v: np.ndarray):
+        if probe_k.size == 0:  # empty dimension side: nothing joins
+            return (np.zeros(keys.size, bool),
+                    np.full(keys.size, -1, np.int64))
         pos = np.searchsorted(probe_k, keys)
         ok = (pos < probe_k.size) & (
             probe_k[np.minimum(pos, probe_k.size - 1)] == keys)
@@ -5116,14 +5141,25 @@ def csv_roundtrip_orders(sf_dir: str):
             "o_orderstatus": batch["o_orderstatus"],
             "cents": pa.array(cents)})
 
-    out_dir = os.path.join("/tmp/scdd_csv",
-                           os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    ds.map_batches(project, batch_format="pyarrow",
-                   zero_copy_batch=True).write_csv(out_dir)
+    # same atomic staged-rename convention as jsonl_roundtrip_events
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/scdd_csv/{tag}/orders_{st.st_size}_{st.st_mtime_ns}"
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.map_batches(project, batch_format="pyarrow",
+                       zero_copy_batch=True).write_csv(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
 
-    back = ray.data.read_csv(out_dir)
+    back = ray.data.read_csv(
+        [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+         if f.endswith(".csv")])
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["o_orderkey"].to_numpy().astype(np.int64)

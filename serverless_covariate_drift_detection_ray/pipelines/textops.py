@@ -1612,13 +1612,6 @@ def _unigram_two_shuffle(sf_dir: str, n_buckets: int = 64):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def block_tokens(batch: pa.Table) -> pa.Table:
-        ex = _explode_tokens(batch, distinct=False)
-        return pa.table({"n_tok": pa.array([np.int64(len(ex))])})
-
-    total = float(ds.map_batches(block_tokens, batch_format="pyarrow",
-                                 zero_copy_batch=True).sum("n_tok"))
-
     def tag_exploded(batch: pa.Table) -> pa.Table:
         ex = _explode_tokens(batch, distinct=False)
         g = (ex.groupby(["doc_id", "token"], sort=False).size()
@@ -1632,6 +1625,9 @@ def _unigram_two_shuffle(sf_dir: str, n_buckets: int = 64):
 
     exploded = ds.map_batches(tag_exploded, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
+    # corpus token total from the already-materialized partials — no extra
+    # tokenization pass over the text
+    total = float(exploded.sum("n"))
 
     def merge_lp(df: pd.DataFrame) -> pd.DataFrame:
         cnt = df.groupby("token", sort=False).n.sum()
