@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_check_orders": relq.fd_check_orders,
         "skew_profile_orders": relq.skew_profile_orders,
         "mutual_info_documents": relq.mutual_info_documents,
+        "copurchase_parts": relq.copurchase_parts,
+        "transition_counts_events": relq.transition_counts_events,
+        "retention_cohorts_events": relq.retention_cohorts_events,
         "impute_value_events": relq.impute_value_events,
         "encode_categories_orders": relq.encode_categories_orders,
         "jsonl_roundtrip_events": relq.jsonl_roundtrip_events,
@@ -263,6 +266,9 @@ def oracle_sql() -> dict[str, str]:
         "fd_check_orders": relq.FD_CHECK_SQL,
         "skew_profile_orders": relq.SKEW_PROFILE_SQL,
         "mutual_info_documents": relq.MUTUAL_INFO_SQL,
+        "copurchase_parts": relq.COPURCHASE_SQL,
+        "transition_counts_events": relq.TRANSITIONS_SQL,
+        "retention_cohorts_events": relq.RETENTION_SQL,
         "impute_value_events": relq.IMPUTE_SQL,
         "encode_categories_orders": relq.ENCODE_CATEGORIES_SQL,
         "jsonl_roundtrip_events": relq.JSONL_ROUNDTRIP_SQL,

@@ -5194,3 +5194,195 @@ SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
          AS sum_hash
 FROM orders GROUP BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics shapes: co-occurrence pair mining, Markov transitions,
+# retention cohorts. Each is a salted-bucket co-location (the key never
+# spans buckets) + vectorized in-bucket pass + a bounded final exchange.
+# ---------------------------------------------------------------------------
+
+
+def copurchase_parts(sf_dir: str, k: int = 20):
+    """Market-basket co-occurrence: the k most frequent unordered part
+    pairs appearing in the same order. Per-order pair expansion happens
+    inside hash(orderkey) buckets (pairs per order are quadratic in the
+    ITEMS-PER-ORDER, which TPC-H bounds at 7 — total output stays linear in
+    rows); pair counts then shuffle once more on hash(pair) with per-bucket
+    local top-k, so the driver merges buckets x k rows."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    B = _salt_buckets(sf_dir, "lineitem", rows_per_bucket=1_000_000, floor=16)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({"o": pa.array(ok),
+                         "p": batch["l_partkey"].cast(pa.int64()),
+                         "bkt": pa.array(hash64(ok) % B)})
+
+    def expand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["o", "p"]].drop_duplicates()
+        m = d.merge(d, on="o")
+        m = m[m.p_x < m.p_y]
+        g = m.groupby(["p_x", "p_y"], sort=False).size().reset_index(name="n")
+        p1 = g.p_x.to_numpy().astype(np.int64)
+        p2 = g.p_y.to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "p1": p1, "p2": p2, "n": g.n.to_numpy().astype(np.int64),
+            "pbkt": hash64(p1 * np.int64(1_000_003) + p2) % B})
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p1", "p2"], sort=False).n.sum().reset_index()
+        g = g.sort_values(["n", "p1", "p2"],
+                          ascending=[False, True, True]).head(k)
+        return g[["p1", "p2", "n"]]
+
+    parts = ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("bkt").map_groups(
+        expand_pairs, batch_format="pandas").groupby("pbkt").map_groups(
+        bucket_topk, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["n", "p1", "p2"],
+                           ascending=[False, True, True]).head(k)
+        return pd.DataFrame({"p1": g.p1.to_numpy().astype(np.int64),
+                             "p2": g.p2.to_numpy().astype(np.int64),
+                             "n": g.n.to_numpy().astype(np.int64)})
+
+    return parts.repartition(1).map_batches(
+        lambda t: pa.Table.from_pandas(final(t.to_pandas()),
+                                       preserve_index=False),
+        batch_format="pyarrow", batch_size=None)
+
+
+COPURCHASE_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+c AS (SELECT p1, p2, COUNT(*)::BIGINT AS n FROM p GROUP BY p1, p2)
+SELECT p1, p2, n FROM c ORDER BY n DESC, p1, p2 LIMIT 20
+"""
+
+
+def transition_counts_events(sf_dir: str):
+    """First-order Markov transition counts over each user's event stream
+    (the session-flow model fit). Users are salted into buckets (a user
+    never spans one), each bucket sorts once by (user, ts, event_id) and
+    shifts — the transition table is category-bounded (|types|^2), so the
+    final exchange is tiny."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    B = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000, floor=32)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid),
+            "e": batch["event_id"].cast(pa.int64()),
+            "et": batch["event_type"],
+            "t": pa.array(batch["ts"].cast(pa.int64()).to_numpy()),
+            "bkt": pa.array(hash64(uid) % B)})
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "t", "e"], kind="mergesort")
+        prev_u = df.u.shift()
+        prev_t = df.et.shift()
+        keep = prev_u == df.u
+        sub = pd.DataFrame({"from_type": prev_t[keep],
+                            "to_type": df.et[keep]})
+        g = sub.groupby(["from_type", "to_type"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out.n.astype(np.int64)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(tag, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("bkt").map_groups(
+        transitions, batch_format="pandas").groupby(
+        ["from_type", "to_type"]).aggregate(Sum("n", alias_name="n"))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({"from_type": batch["from_type"],
+                         "to_type": batch["to_type"],
+                         "n": batch["n"].cast(pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*)::BIGINT AS n
+FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
+"""
+
+
+def _monday_str(ts_us: np.ndarray) -> np.ndarray:
+    """Vectorized DATE_TRUNC('week') -> 'YYYY-MM-DD' string (Monday start,
+    matching DuckDB; epoch day 0 = Thursday, so Monday offset = (d+3) % 7)."""
+    days = ts_us // 86_400_000_000
+    monday = days - ((days + 3) % 7)
+    dates = monday.astype("datetime64[D]")
+    return np.datetime_as_string(dates, unit="D")
+
+
+def retention_cohorts_events(sf_dir: str):
+    """Retention cohort matrix: users bucketed by first-seen week (cohort),
+    counted once per (cohort week, activity week). Users are salted into
+    buckets, so first-seen AND the per-user distinct activity weeks resolve
+    inside one bucket pass; the final exchange is the weeks x weeks count
+    table."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    B = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000, floor=32)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(uid),
+            "t": pa.array(batch["ts"].cast(pa.int64()).to_numpy()),
+            "bkt": pa.array(hash64(uid) % B)})
+
+    def cohortize(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.t.to_numpy()
+        week = _monday_str(t)
+        d = pd.DataFrame({"u": df.u.to_numpy(), "aw": week}).drop_duplicates()
+        first = df.groupby("u", sort=False).t.min()
+        cw = pd.Series(_monday_str(first.to_numpy()), index=first.index)
+        d["cw"] = d.u.map(cw)
+        g = d.groupby(["cw", "aw"], sort=False).size().reset_index(name="n")
+        g["n"] = g.n.astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(tag, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("bkt").map_groups(
+        cohortize, batch_format="pandas").groupby(
+        ["cw", "aw"]).aggregate(Sum("n", alias_name="n"))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table({"cohort_week": batch["cw"],
+                         "activity_week": batch["aw"],
+                         "n": batch["n"].cast(pa.int64())})
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+RETENTION_SQL = """
+WITH f AS (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS aw FROM events),
+j AS (SELECT f.cw, a.aw, COUNT(*)::BIGINT AS n
+      FROM f JOIN a USING (user_id) GROUP BY f.cw, a.aw)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       strftime(aw, '%Y-%m-%d') AS activity_week, n
+FROM j
+"""
