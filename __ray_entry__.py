@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_parts": relq.copurchase_parts,
         "transition_counts_events": relq.transition_counts_events,
         "retention_cohorts_events": relq.retention_cohorts_events,
+        "expectation_suite_orders": relq.expectation_suite_orders,
         "impute_value_events": relq.impute_value_events,
         "encode_categories_orders": relq.encode_categories_orders,
         "jsonl_roundtrip_events": relq.jsonl_roundtrip_events,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_parts": relq.COPURCHASE_SQL,
         "transition_counts_events": relq.TRANSITIONS_SQL,
         "retention_cohorts_events": relq.RETENTION_SQL,
+        "expectation_suite_orders": relq.EXPECTATION_SUITE_SQL,
         "impute_value_events": relq.IMPUTE_SQL,
         "encode_categories_orders": relq.ENCODE_CATEGORIES_SQL,
         "jsonl_roundtrip_events": relq.JSONL_ROUNDTRIP_SQL,

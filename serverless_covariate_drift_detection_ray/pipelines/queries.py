@@ -5386,3 +5386,79 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
        strftime(aw, '%Y-%m-%d') AS activity_week, n
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite — the Great-Expectations-style surface: a
+# config list of named row-level predicates, ALL evaluated in ONE streaming
+# pass of vectorized per-block pass-counts (adding an expectation adds a
+# numpy lambda + an SQL predicate string, nothing else).
+# ---------------------------------------------------------------------------
+
+ORDERS_EXPECTATIONS = [
+    ("orderkey_not_null",
+     lambda b: pc.is_valid(b["o_orderkey"]).to_numpy(zero_copy_only=False),
+     "o_orderkey IS NOT NULL"),
+    ("totalprice_in_range",
+     lambda b: ((b["o_totalprice"].to_numpy() > 0.0)
+                & (b["o_totalprice"].to_numpy() <= 1e7)),
+     "o_totalprice > 0.0 AND o_totalprice <= 1e7"),
+    ("status_in_domain",
+     lambda b: np.isin(b["o_orderstatus"].to_numpy(zero_copy_only=False),
+                       np.array(["O", "F", "P"], dtype=object)),
+     "o_orderstatus IN ('O', 'F', 'P')"),
+    ("orderdate_in_window",
+     lambda b: ((b["o_orderdate"].cast(pa.int64()).to_numpy()
+                 >= np.datetime64("1990-01-01", "us").astype(np.int64))
+                & (b["o_orderdate"].cast(pa.int64()).to_numpy()
+                   < np.datetime64("2005-01-01", "us").astype(np.int64))),
+     "o_orderdate >= TIMESTAMP '1990-01-01' "
+     "AND o_orderdate < TIMESTAMP '2005-01-01'"),
+]
+
+
+def expectation_suite_orders(sf_dir: str):
+    """Evaluate the ORDERS_EXPECTATIONS suite in one scan: each block emits
+    one (expectation, n_pass, n) partial row per expectation; the final
+    fold is |suite| rows. success requires a perfect pass rate."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, n_pass = [], []
+        for name, pred, _ in ORDERS_EXPECTATIONS:
+            names.append(name)
+            n_pass.append(int(np.asarray(pred(batch)).sum()))
+        return pa.table({
+            "expectation": pa.array(names, pa.string()),
+            "n_pass": pa.array(np.asarray(n_pass, np.int64)),
+            "n": pa.array(np.full(len(names), batch.num_rows, np.int64))})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        np_, n = int(df.n_pass.sum()), int(df.n.sum())
+        rate = float(np.floor(np_ * 1e6 / n + 0.5) / 1e6)
+        return pd.DataFrame({
+            "expectation": [df.expectation.iloc[0]],
+            "n_pass": [np.int64(np_)], "n": [np.int64(n)],
+            "pass_rate": [rate], "success": [bool(np_ == n)]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).repartition(4).groupby(
+        "expectation").map_groups(final, batch_format="pandas")
+
+
+def _expectation_sql() -> str:
+    blocks = []
+    for name, _, sql_pred in ORDERS_EXPECTATIONS:
+        blocks.append(f"""
+SELECT '{name}' AS expectation,
+       SUM(CASE WHEN {sql_pred} THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       COUNT(*)::BIGINT AS n,
+       FLOOR(SUM(CASE WHEN {sql_pred} THEN 1 ELSE 0 END) * 1e6
+             / COUNT(*) + 0.5) / 1e6 AS pass_rate,
+       SUM(CASE WHEN {sql_pred} THEN 1 ELSE 0 END) = COUNT(*) AS success
+FROM orders""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+EXPECTATION_SUITE_SQL = _expectation_sql()
