@@ -760,7 +760,7 @@ def column_stats_lineitem(sf_dir: str):
             })
         return pa.Table.from_pylist(rows)
 
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Max, Min
 
     agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
         "col_name"
@@ -2204,7 +2204,7 @@ def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
     input (no rounding gate needed, unlike log-based scores); the
     constant-column case is handled on both sides (engine w==0 branch,
     oracle GREATEST guard → bucket 0)."""
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Max, Min
 
     mm = _read(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
         Min("l_extendedprice", alias_name="mn"),
@@ -5462,3 +5462,147 @@ FROM orders""")
 
 
 EXPECTATION_SUITE_SQL = _expectation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles by iterative range refinement — the at-scale
+# EXACT path (t-digest is approximate; the driver-sort variant is gated).
+# Each round one streaming pass histograms only the still-candidate value
+# range per target (256 bins), the driver narrows each target's range from
+# the tiny (targets x bins) count table, and the final pass collects only
+# the few values left inside the narrowed ranges. log_256(range) rounds,
+# O(targets x bins) driver state, never more than COLLECT_CAP raw values
+# on the driver.
+# ---------------------------------------------------------------------------
+
+QREFINE_BINS = 256
+QREFINE_COLLECT_CAP = 65536
+QREFINE_MAX_ROUNDS = 8
+
+
+def quantiles_exact_refine(sf_dir: str, table: str = "lineitem",
+                           col: str = "l_extendedprice",
+                           qs: tuple = (0.25, 0.5, 0.75, 0.95)):
+    """quantile_disc-exact quantiles without a driver sort at any scale."""
+    import pyarrow.parquet as pq_
+
+    ds = _read(sf_dir, table, [col])
+    # row count and global [min, max] straight from parquet row-group
+    # statistics (footer metadata) — no scan, no Ray job
+    pf = pq_.ParquetFile(f"{sf_dir}/{table}.parquet")
+    n = pf.metadata.num_rows
+    ci = pf.schema_arrow.get_field_index(col)
+    stats = [pf.metadata.row_group(g).column(ci).statistics
+             for g in range(pf.metadata.num_row_groups)]
+    vmin = min(float(st.min) for st in stats)
+    vmax = max(float(st.max) for st in stats)
+    ranks = np.array([max(int(np.ceil(q * n)), 1) for q in qs], np.int64)
+    T = len(qs)
+    lo = np.full(T, vmin)
+    hi = np.full(T, vmax)
+    offset = np.zeros(T, np.int64)  # values strictly below lo, per target
+    B = QREFINE_BINS
+
+    for _ in range(QREFINE_MAX_ROUNDS):
+        live = np.nonzero(lo < hi)[0]
+        if live.size == 0:
+            break
+        lo_l, hi_l = lo[live].copy(), hi[live].copy()
+        width = (hi_l - lo_l) / B
+
+        def hist_partial(batch: pa.Table, lo_=lo_l, hi_=hi_l, w_=width
+                         ) -> pa.Table:
+            v = batch[col].to_numpy()
+            ts, bins, cnts = [], [], []
+            for i in range(lo_.size):
+                m = (v >= lo_[i]) & (v <= hi_[i])
+                if not m.any():
+                    continue
+                idx = np.minimum(((v[m] - lo_[i]) / w_[i]).astype(np.int64),
+                                 B - 1)
+                c = np.bincount(idx, minlength=B)
+                nz = np.nonzero(c)[0]
+                ts.append(np.full(nz.size, i, np.int64))
+                bins.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not ts:
+                return pa.table({"t": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"t": pa.array(np.concatenate(ts)),
+                             "b": pa.array(np.concatenate(bins)),
+                             "c": pa.array(np.concatenate(cnts))})
+
+        # partials are metadata-sized (<= blocks x nonzero-bins rows), so
+        # the merge is a driver bincount — a Ray groupby here would charge
+        # ~2 ms per (t, b) group per round for nothing
+        counts = ds.map_batches(hist_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+        done_narrowing = True
+        for j, i in enumerate(live):
+            sub = counts[counts.t == j]
+            full = np.bincount(sub.b.to_numpy(), weights=sub.c.to_numpy(),
+                               minlength=B).astype(np.int64)
+            cum = np.cumsum(full)
+            k = int(np.searchsorted(cum, ranks[i] - offset[i]))
+            offset[i] += int(cum[k - 1]) if k > 0 else 0
+            w = (hi[i] - lo[i]) / B
+            new_lo = lo[i] + k * w
+            new_hi = hi[i] if k == B - 1 else lo[i] + (k + 1) * w
+            in_bin = int(full[k])
+            lo[i], hi[i] = new_lo, new_hi
+            if in_bin > QREFINE_COLLECT_CAP and new_lo < new_hi:
+                done_narrowing = False
+        if done_narrowing:
+            break
+
+    # final bounded collect. Float rounding in floor((v-lo)/w) can place a
+    # boundary-exact value one bin off, so (a) the collect range expands by
+    # one bin width on each side — the true element is then guaranteed
+    # inside — and (b) the rank offset is recomputed EXACTLY in this same
+    # pass with the identical `<` comparison, discarding the histogram's
+    # approximate bookkeeping.
+    pad = (hi - lo) / B
+    lo_f, hi_f = lo - pad, hi + pad
+
+    def collect_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy()
+        ts, vals, blw = [], [], []
+        for i in range(T):
+            m = (v >= lo_f[i]) & (v <= hi_f[i])
+            if m.any():
+                ts.append(np.full(int(m.sum()), i, np.int64))
+                vals.append(v[m])
+            blw.append(int((v < lo_f[i]).sum()))
+        below = pa.table({"t": pa.array(np.arange(T)),
+                          "v": pa.array(np.full(T, np.nan)),
+                          "below": pa.array(np.asarray(blw, np.int64))})
+        if not ts:
+            return below
+        data = pa.table({"t": pa.array(np.concatenate(ts)),
+                         "v": pa.array(np.concatenate(vals)),
+                         "below": pa.array(
+                             np.zeros(sum(len(x) for x in vals), np.int64))})
+        return pa.concat_tables([data, below])
+
+    rem = ds.map_batches(collect_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    out = np.empty(T, np.float64)
+    for i in range(T):
+        sub = rem[rem.t == i]
+        below = int(sub.below.sum())
+        vals = np.sort(sub.v.to_numpy()[~np.isnan(sub.v.to_numpy())])
+        out[i] = vals[ranks[i] - below - 1]
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(_round(out, 4), pa.float64())})
+
+
+QREFINE_SQL = """
+SELECT 0.25 AS q, FLOOR(quantile_disc(l_extendedprice, 0.25)*10000+0.5)/10000 AS value FROM lineitem
+UNION ALL
+SELECT 0.5, FLOOR(quantile_disc(l_extendedprice, 0.5)*10000+0.5)/10000 FROM lineitem
+UNION ALL
+SELECT 0.75, FLOOR(quantile_disc(l_extendedprice, 0.75)*10000+0.5)/10000 FROM lineitem
+UNION ALL
+SELECT 0.95, FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000 FROM lineitem
+"""
