@@ -144,8 +144,10 @@ class TableManifest:
         os.replace(tmp, os.path.join(self.root, MANIFEST))
 
     @classmethod
-    def load(cls, root: str) -> "TableManifest":
-        with open(os.path.join(root, MANIFEST)) as fh:
+    def load(cls, root: str, version: int | None = None) -> "TableManifest":
+        """Load the head manifest, or a pinned snapshot (time travel)."""
+        name = MANIFEST if version is None else _snapshot_name(version)
+        with open(os.path.join(root, name)) as fh:
             payload = json.load(fh)
         return cls(
             root=root,
@@ -204,14 +206,53 @@ def read_images(
     return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
+def _snapshot_name(version: int) -> str:
+    return f"manifest-v{version:05d}.json"
+
+
+def create_snapshot(root: str) -> int:
+    """Pin the CURRENT head manifest as an immutable numbered snapshot
+    (Iceberg/Lance-style time travel). Snapshot files are tiny JSON copies;
+    while one exists, ``gc_orphans`` treats every fragment it references as
+    live, so ``TableManifest.load(root, version=N)`` keeps reading the
+    exact pre-compaction/pre-ingest data until ``drop_snapshot``."""
+    versions = list_snapshots(root)
+    n = (versions[-1] + 1) if versions else 1
+    src = os.path.join(root, MANIFEST)
+    dst = os.path.join(root, _snapshot_name(n))
+    tmp = dst + ".tmp"
+    with open(src) as fh:
+        payload = fh.read()
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+    os.replace(tmp, dst)
+    return n
+
+
+def list_snapshots(root: str) -> list[int]:
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("manifest-v") and name.endswith(".json"):
+            out.append(int(name[len("manifest-v"):-len(".json")]))
+    return sorted(out)
+
+
+def drop_snapshot(root: str, version: int) -> None:
+    """Unpin a snapshot; its exclusively-referenced files become
+    reclaimable by the next ``gc_orphans``."""
+    os.remove(os.path.join(root, _snapshot_name(version)))
+
+
 def gc_orphans(root: str) -> list[str]:
-    """Delete every ``frag-*.parquet`` the manifest does not reference —
-    the reclamation step for compaction (old fragments stay on disk by
-    default so in-flight readers of the pre-compaction manifest never lose
-    files; run GC once no reader can hold the old manifest). Converges:
-    covers files leaked by any earlier interrupted compaction too."""
-    man = TableManifest.load(root)
-    live = {f.file for f in man.fragments}
+    """Delete every ``frag-*.parquet`` that neither the head manifest nor
+    any pinned snapshot references — the reclamation step for compaction
+    (old fragments stay on disk by default so in-flight readers of the
+    pre-compaction manifest never lose files; run GC once no reader can
+    hold the old manifest). Converges: covers files leaked by any earlier
+    interrupted compaction too."""
+    live = {f.file for f in TableManifest.load(root).fragments}
+    for v in list_snapshots(root):
+        live |= {f.file for f in TableManifest.load(root, version=v).fragments}
     removed = []
     for name in os.listdir(root):
         if name.startswith("frag-") and name.endswith(".parquet") \
