@@ -415,6 +415,68 @@ def validate(
         [verdicts, pa.Table.from_pylist(c_rows, schema=VERDICT_SCHEMA)]
     ).sort_by([("partition_id", "ascending"), ("check", "ascending"), ("column", "ascending")])
 
+    # ---- quarantine (dead-letter) sink: violating rows' FULL payloads ----
+    # a pruned re-read of only the violating partitions' fragments, filtered
+    # to the violating ids (broadcast once), written per-partition so a
+    # repair job can re-ingest exactly what failed. Row payloads never ride
+    # through the validation shuffles — this is the only stage that touches
+    # them again, and it reads just the affected fragments.
+    summary["quarantined"] = 0
+    if cfg.quarantine and violations is not None and violations.num_rows:
+        tq = time.time()
+        bad_ids = np.unique(
+            violations["image_id"].to_numpy(zero_copy_only=False).astype(object))
+        bad_pids = {int(p) for p in
+                    violations["partition_id"].to_numpy(zero_copy_only=False)}
+        if bad_ids.size <= cfg.quarantine_max_rows:
+            import shutil
+
+            bad_ref = {"ref": ray.put(bad_ids)}
+
+            def qfilter(batch: pa.Table) -> pa.Table:
+                bad = ray.get(bad_ref["ref"])
+                m = np.isin(
+                    batch["image_id"].to_numpy(zero_copy_only=False), bad)
+                return batch.filter(pa.array(m))
+
+            skip = {p for p in manifest.partition_ids() if p not in bad_pids}
+            qroot = os.path.join(out_dir, "quarantine")
+            qtmp = f"{qroot}.tmp.{os.getpid()}"
+            shutil.rmtree(qtmp, ignore_errors=True)
+            read_images(manifest, skip_partitions=skip).map_batches(
+                qfilter, batch_format="pyarrow").write_parquet(
+                qtmp, partition_cols=["partition_id"])
+            nq = 0
+            for dirpath, _, files in os.walk(qtmp):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        nq += pq.ParquetFile(
+                            os.path.join(dirpath, f)).metadata.num_rows
+            # per-partition atomic swap: a partial/resume run must replace
+            # ONLY the partitions it just validated, never clobber the rest
+            os.makedirs(qroot, exist_ok=True)
+            written = {d for d in os.listdir(qtmp)
+                       if d.startswith("partition_id=")}
+            for pid in todo:
+                name = f"partition_id={pid}"
+                dst = os.path.join(qroot, name)
+                stale = dst + ".old"
+                shutil.rmtree(stale, ignore_errors=True)
+                if os.path.exists(dst):
+                    os.rename(dst, stale)
+                if name in written:
+                    os.rename(os.path.join(qtmp, name), dst)
+                shutil.rmtree(stale, ignore_errors=True)
+            shutil.rmtree(qtmp, ignore_errors=True)
+            summary["quarantined"] = nq
+        else:
+            summary["quarantine_skipped"] = "violations exceed quarantine_max_rows"
+        stage_t["quarantine"] = time.time() - tq
+    elif cfg.quarantine and violations is None:
+        # streamed-violations path: ids were never assembled driver-side;
+        # a follow-up job can quarantine from the written violation files
+        summary["quarantine_skipped"] = "streamed-violations path"
+
     # ---- per-partition commit with lineage (I/O-bound → thread pool) ----
     from concurrent.futures import ThreadPoolExecutor
 

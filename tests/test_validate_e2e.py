@@ -404,3 +404,26 @@ def test_append_then_resume_validates_only_new(run, tmp_path_factory):
     v = pq.read_table(vfiles[0]).to_pandas()
     assert set(v.partition_id) == {new_pid}
     assert len(v) > 0
+
+
+class TestQuarantine:
+    def test_quarantine_holds_exactly_the_violating_rows(self, run):
+        """The dead-letter sink re-materializes every violating row with its
+        FULL payload (bytes included), exactly once per violating id."""
+        import glob
+        import os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        qdir = os.path.join(run["out_dir"], "quarantine")
+        files = sorted(glob.glob(os.path.join(qdir, "*", "*.parquet")))
+        assert files, "quarantine directory missing/empty"
+        q = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        assert set(q.image_id) == set(run["violations"].image_id)
+        # PK-duplicate defects legitimately quarantine MULTIPLE physical
+        # rows per id (the duplicates ARE the violation) — every physical
+        # row carrying a violating id must be present
+        # full payload, not just ids
+        assert {"bytes", "fmt", "caption", "phash"} <= set(q.columns)
+        assert run["summary"]["quarantined"] == len(q)
