@@ -46,7 +46,7 @@ class EngineConfig:
     featurize_concurrency: int | None = None  # None = stateless tasks autoscale
     drift_concurrency: int = 4
     freeze_time: str | None = None     # fixed verdict timestamp for byte-stable goldens
-    quarantine: bool = True            # dead-letter sink: violating rows' full payloads
+    quarantine: bool = False           # opt-in dead-letter sink (re-reads violating fragments)
     quarantine_max_rows: int = 1_000_000  # skip (with a summary note) beyond this
     # drift-check plugins (§2.10): registered names or custom Check instances
     # (instances are cloudpickled by value into the actor pool, so custom

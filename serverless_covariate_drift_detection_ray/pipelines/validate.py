@@ -439,11 +439,34 @@ def validate(
                     batch["image_id"].to_numpy(zero_copy_only=False), bad)
                 return batch.filter(pa.array(m))
 
-            skip = {p for p in manifest.partition_ids() if p not in bad_pids}
+            # fragment pruning: a fragment is re-read only if its
+            # image_id zone map can contain a violating id (sorted-probe
+            # intersection; stats-less legacy fragments are always kept)
+            sorted_bad = np.sort(bad_ids)
+
+            def frag_may_match(f) -> bool:
+                if f.partition_id not in bad_pids:
+                    return False
+                st = (f.stats or {}).get("image_id")
+                if st is None:
+                    return True
+                lo_i = int(np.searchsorted(sorted_bad, st[0], side="left"))
+                return lo_i < sorted_bad.size and sorted_bad[lo_i] <= st[1]
+
+            frag_paths = [os.path.join(manifest.root, f.file)
+                          for f in manifest.fragments if frag_may_match(f)]
+            import ray.data as ray_data
+
             qroot = os.path.join(out_dir, "quarantine")
             qtmp = f"{qroot}.tmp.{os.getpid()}"
             shutil.rmtree(qtmp, ignore_errors=True)
-            read_images(manifest, skip_partitions=skip).map_batches(
+            if frag_paths:
+                src_ds = ray_data.read_parquet(frag_paths)
+            else:
+                from ..sources.fragmented import IMAGES_SCHEMA
+
+                src_ds = ray_data.from_arrow(IMAGES_SCHEMA.empty_table())
+            src_ds.map_batches(
                 qfilter, batch_format="pyarrow").write_parquet(
                 qtmp, partition_cols=["partition_id"])
             nq = 0

@@ -25,7 +25,8 @@ ALPHA = 0.01
 def run(ray_session, tmp_path_factory):
     base = tmp_path_factory.mktemp("e2e")
     fix = ensure_fixture("tiny")
-    cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000")
+    cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                       quarantine=True)
     ref_dir = str(base / "refstate")
     out_dir = str(base / "out")
     fit(fix, ref_dir, cfg)
