@@ -66,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--no-resume", action="store_true",
                    help="recompute finished partitions instead of skipping")
     v.add_argument("--decode-fraction", type=float, default=None)
+    v.add_argument("--quarantine", action="store_true",
+                   help="also write violating rows' full payloads to "
+                        "<out>/quarantine (dead-letter sink)")
 
     r = sub.add_parser("report", help="summarize a validate output dir to JSON")
     r.add_argument("--out", required=True)
@@ -129,8 +132,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "validate":
             from .pipelines.validate import validate
 
-            cfg = EngineConfig() if args.decode_fraction is None else EngineConfig(
-                decode_fraction=args.decode_fraction)
+            kw = {"quarantine": args.quarantine}
+            if args.decode_fraction is not None:
+                kw["decode_fraction"] = args.decode_fraction
+            cfg = EngineConfig(**kw)
             summary = validate(args.manifest, args.state, args.out, cfg,
                                resume=not args.no_resume)
             print(json.dumps(summary, default=str))
