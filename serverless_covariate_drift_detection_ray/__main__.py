@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write violating rows' full payloads to "
                         "<out>/quarantine (dead-letter sink)")
 
+    e = sub.add_parser("extend-reference",
+                       help="merge new partitions into frozen reference state")
+    e.add_argument("--manifest", required=True)
+    e.add_argument("--state", required=True)
+    e.add_argument("--partitions", required=True,
+                   help="comma-separated partition ids to add")
+
     r = sub.add_parser("report", help="summarize a validate output dir to JSON")
     r.add_argument("--out", required=True)
     r.add_argument("--path", default=None, help="write JSON here (default: stdout)")
@@ -127,6 +134,17 @@ def main(argv: list[str] | None = None) -> int:
                               "fragments_before": before,
                               "fragments_after": len(man.fragments),
                               "rows": man.num_rows}))
+            return 0
+
+        if args.cmd == "extend-reference":
+            from .pipelines.fit import extend_reference
+
+            ref = extend_reference(
+                args.manifest, args.state,
+                [int(p) for p in args.partitions.split(",")])
+            print(json.dumps({
+                "reference_partitions": ref.meta["reference_partitions"],
+                "n_rows": ref.state.n_rows, "sigma": ref.sigma}))
             return 0
 
         if args.cmd == "validate":

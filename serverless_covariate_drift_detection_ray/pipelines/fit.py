@@ -25,19 +25,18 @@ def merge_partials_table(batch: pa.Table, cfg: EngineConfig) -> PartialState:
     return PartialState.merge_many(states, cfg.ref_sample_cap)
 
 
-def fit(manifest_dir: str, out_state_dir: str, cfg: EngineConfig | None = None,
-        reference_kinds: tuple[str, ...] = ("reference",)) -> ReferenceState:
-    cfg = cfg or EngineConfig()
-    manifest = TableManifest.load(manifest_dir)
-    ref_pids = {
-        pid for pid, meta in manifest.partitions.items() if meta.get("kind") in reference_kinds
-    }
-    if not ref_pids:
-        raise ValueError(f"no partitions of kind {reference_kinds} in manifest")
-    skip = set(manifest.partition_ids()) - ref_pids
+def _merged_partition_state(manifest: TableManifest, pids: set[int],
+                            cfg: EngineConfig) -> PartialState:
+    """Featurize+sketch the given partitions and return ONE merged state.
+
+    Tree reduction: pre-merge per partition in tasks so the driver only
+    collects ONE state row per partition (bounded by partition count),
+    never one row per block — at 100 TB the block-level partials would be
+    GBs of sketch blobs."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    skip = set(manifest.partition_ids()) - pids
     ds = read_images(manifest, skip_partitions=skip)
     reduced = ds.map_batches(
         FeaturizeAndSketch,
@@ -53,10 +52,7 @@ def fit(manifest_dir: str, out_state_dir: str, cfg: EngineConfig | None = None,
         ),
         batch_format="pyarrow",
     )
-    # tree reduction: pre-merge per partition in tasks so the driver only
-    # collects ONE state row per reference partition (bounded by partition
-    # count), never one row per block — at 100 TB the block-level partials
-    # would be GBs of sketch blobs
+
     def merge_group(batch: pa.Table) -> pa.Table:
         ps = merge_partials_table(batch, cfg)
         return pa.table({
@@ -67,11 +63,66 @@ def fit(manifest_dir: str, out_state_dir: str, cfg: EngineConfig | None = None,
 
     per_part = partials.groupby("partition_id").map_groups(
         merge_group, batch_format="pyarrow")
-    merged = merge_partials_table(pa.Table.from_pylist(per_part.take_all()), cfg)
+    return merge_partials_table(pa.Table.from_pylist(per_part.take_all()), cfg)
+
+
+def fit(manifest_dir: str, out_state_dir: str, cfg: EngineConfig | None = None,
+        reference_kinds: tuple[str, ...] = ("reference",)) -> ReferenceState:
+    cfg = cfg or EngineConfig()
+    manifest = TableManifest.load(manifest_dir)
+    ref_pids = {
+        pid for pid, meta in manifest.partitions.items() if meta.get("kind") in reference_kinds
+    }
+    if not ref_pids:
+        raise ValueError(f"no partitions of kind {reference_kinds} in manifest")
+    merged = _merged_partition_state(manifest, ref_pids, cfg)
     ref = ReferenceState.fit(
         merged,
         meta={"reference_partitions": sorted(ref_pids), "source": manifest_dir,
               "seed": cfg.seed},
     )
     ref.save(out_state_dir)
+    return ref
+
+
+def extend_reference(manifest_dir: str, state_dir: str,
+                     partition_ids: list[int],
+                     cfg: EngineConfig | None = None) -> ReferenceState:
+    """Grow the frozen reference window in place: featurize ONLY the new
+    partitions, merge their sketch state into the existing reference state
+    (every accumulator is mergeable by construction), and re-derive the
+    median-heuristic σ from the merged deterministic sample — the
+    operational refit loop (the reference repo refits its detector on a new
+    window; here the window EXTENDS without re-reading old partitions).
+    Merge associativity: extend(fit(A), B) equals fit(A ∪ B) exactly for
+    every count/histogram/HLL/CMS/sample accumulator and σ; t-digest
+    centroids and running float sums are merge-tree-dependent at the
+    epsilon/ulp level (pinned precisely in tests)."""
+    cfg = cfg or EngineConfig()
+    manifest = TableManifest.load(manifest_dir)
+    existing = ReferenceState.load(state_dir)
+    already = set(existing.meta.get("reference_partitions", []))
+    new_pids = set(int(p) for p in partition_ids)
+    overlap = new_pids & already
+    if overlap:
+        raise ValueError(f"partitions already in the reference window: "
+                         f"{sorted(overlap)}")
+    missing = new_pids - set(manifest.partition_ids())
+    if missing:
+        raise ValueError(f"unknown partitions: {sorted(missing)}")
+    new_state = _merged_partition_state(manifest, new_pids, cfg)
+    both = pa.table({
+        "partition_id": pa.array([0, 1], pa.int32()),
+        "state": pa.array([existing.state.to_bytes(), new_state.to_bytes()],
+                          pa.binary()),
+        "n_rows": pa.array([existing.state.n_rows, new_state.n_rows],
+                           pa.int64()),
+    })
+    merged = merge_partials_table(both, cfg)
+    ref = ReferenceState.fit(
+        merged,
+        meta={"reference_partitions": sorted(already | new_pids),
+              "source": manifest_dir, "seed": cfg.seed},
+    )
+    ref.save(state_dir)
     return ref

@@ -428,3 +428,64 @@ class TestQuarantine:
         # full payload, not just ids
         assert {"bytes", "fmt", "caption", "phash"} <= set(q.columns)
         assert run["summary"]["quarantined"] == len(q)
+
+
+def test_extend_reference_equals_joint_fit(ray_session, run, tmp_path_factory):
+    """extend_reference(fit(reference), clean) must equal
+    fit(reference + clean) bit-for-bit — the mergeable-sketch associativity
+    contract, exercised through the public refit loop."""
+    import os
+
+    from serverless_covariate_drift_detection_ray.pipelines.fit import (
+        extend_reference,
+        fit,
+    )
+    from serverless_covariate_drift_detection_ray.state.reference import (
+        ReferenceState,
+    )
+
+    base = tmp_path_factory.mktemp("extend")
+    clean = [pid for pid, kind in run["kinds"].items() if kind == "clean"]
+
+    joint_dir = str(base / "joint")
+    fit(run["fix"], joint_dir, run["cfg"],
+        reference_kinds=("reference", "clean"))
+
+    ext_dir = str(base / "ext")
+    fit(run["fix"], ext_dir, run["cfg"])  # reference only
+    ext = extend_reference(run["fix"], ext_dir, clean, run["cfg"])
+
+    joint = ReferenceState.load(joint_dir)
+    # exact-mergeable state must match bit-for-bit; t-digest centroids are
+    # merge-TREE-dependent by construction (standard t-digest), so digests
+    # are held to quantile closeness instead
+    import numpy as np
+
+    a, b = ext.state, joint.state
+    assert a.n_rows == b.n_rows
+    assert (a.sample_keys == b.sample_keys).all()
+    assert (a.sample_phash == b.sample_phash).all()
+    assert (a.fmt_counts == b.fmt_counts).all()
+    for c in a.hists:
+        assert (a.hists[c].counts == b.hists[c].counts).all(), c
+        st_a, st_b = a.stats[c], b.stats[c]
+        assert (st_a.count, st_a.nulls, st_a.minv, st_a.maxv) == (
+            st_b.count, st_b.nulls, st_b.minv, st_b.maxv), c
+        # running float sums are merge-tree-dependent at the ulp level
+        assert np.isclose(st_a.sum, st_b.sum, rtol=1e-12), c
+        assert np.isclose(st_a.sumsq, st_b.sumsq, rtol=1e-12), c
+        for q in (0.25, 0.5, 0.75, 0.95):
+            qa, qb = a.digests[c].quantile(q), b.digests[c].quantile(q)
+            scale = max(abs(st_a.maxv - st_a.minv), 1e-9)
+            assert abs(qa - qb) <= 0.02 * scale, (c, q, qa, qb)
+    assert (a.id_hll.registers == b.id_hll.registers).all()
+    assert (a.phash_hll.registers == b.phash_hll.registers).all()
+    assert (a.caption_cms.table == b.caption_cms.table).all()
+    assert ext.sigma == joint.sigma
+    assert (sorted(ext.meta["reference_partitions"])
+            == sorted(joint.meta["reference_partitions"]))
+    # double-extend refuses (idempotence guard)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extend_reference(run["fix"], ext_dir, clean, run["cfg"])
