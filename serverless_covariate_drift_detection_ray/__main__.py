@@ -104,25 +104,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "report":
-        import os
-
         from .pipelines.report import (build_report, explain_drift,
                                        write_report)
 
-        rep = build_report(args.out)
-        if args.explain_state:
-            rep["drift_explanations"] = explain_drift(
-                args.out, args.explain_state)
+        extra = ({"drift_explanations": explain_drift(
+            args.out, args.explain_state)} if args.explain_state else None)
         if args.path:
-            if args.explain_state:
-                tmp = args.path + ".tmp"
-                with open(tmp, "w") as fh:
-                    json.dump(rep, fh, indent=2)
-                os.replace(tmp, args.path)
-                print(args.path)
-            else:
-                print(write_report(args.out, args.path))
+            print(write_report(args.out, args.path, extra=extra))
         else:
+            rep = build_report(args.out)
+            rep.update(extra or {})
             print(json.dumps(rep, indent=2))
         return 0
 

@@ -101,6 +101,17 @@ def extend_reference(manifest_dir: str, state_dir: str,
     cfg = cfg or EngineConfig()
     manifest = TableManifest.load(manifest_dir)
     existing = ReferenceState.load(state_dir)
+    # sketch-shape guard: merging states fit under DIFFERENT marginal specs
+    # or fmt domains would positionally add misaligned histogram bins with
+    # no error anywhere downstream
+    if existing.state.marginal_spec != {
+            k: tuple(v) for k, v in cfg.marginals.items()}:
+        raise ValueError(
+            "config marginals do not match the fitted reference state "
+            f"({existing.state.marginal_spec} vs {cfg.marginals})")
+    if tuple(existing.state.fmt_categories) != tuple(cfg.fmt_categories):
+        raise ValueError(
+            "config fmt_categories do not match the fitted reference state")
     already = set(existing.meta.get("reference_partitions", []))
     new_pids = set(int(p) for p in partition_ids)
     overlap = new_pids & already

@@ -5476,7 +5476,7 @@ EXPECTATION_SUITE_SQL = _expectation_sql()
 # ---------------------------------------------------------------------------
 
 QREFINE_BINS = 256
-QREFINE_COLLECT_CAP = 65536
+QREFINE_COLLECT_CAP = 65536  # per-target DISTINCT-value budget for the final pass
 QREFINE_MAX_ROUNDS = 8
 
 
@@ -5544,7 +5544,10 @@ def quantiles_exact_refine(sf_dir: str, table: str = "lineitem",
             full = np.bincount(sub.b.to_numpy(), weights=sub.c.to_numpy(),
                                minlength=B).astype(np.int64)
             cum = np.cumsum(full)
-            k = int(np.searchsorted(cum, ranks[i] - offset[i]))
+            # clamp: float boundary misplacement can make rank - offset
+            # exceed cum[-1] by a whisker; the final pass recomputes the
+            # offset exactly, so landing in the last bin is always safe
+            k = min(int(np.searchsorted(cum, ranks[i] - offset[i])), B - 1)
             offset[i] += int(cum[k - 1]) if k > 0 else 0
             w = (hi[i] - lo[i]) / B
             new_lo = lo[i] + k * w
@@ -5566,21 +5569,29 @@ def quantiles_exact_refine(sf_dir: str, table: str = "lineitem",
     lo_f, hi_f = lo - pad, hi + pad
 
     def collect_partial(batch: pa.Table) -> pa.Table:
+        # (value, count) partials per target: duplicate-heavy columns ship
+        # one row per DISTINCT in-range value per block, not one per row —
+        # the bounded-driver invariant survives a column where millions of
+        # rows share the quantile value
         v = batch[col].to_numpy()
-        ts, vals, blw = [], [], []
+        ts, vals, cnts, blw = [], [], [], []
         for i in range(T):
             m = (v >= lo_f[i]) & (v <= hi_f[i])
             if m.any():
-                ts.append(np.full(int(m.sum()), i, np.int64))
-                vals.append(v[m])
+                u, c = np.unique(v[m], return_counts=True)
+                ts.append(np.full(u.size, i, np.int64))
+                vals.append(u)
+                cnts.append(c.astype(np.int64))
             blw.append(int((v < lo_f[i]).sum()))
         below = pa.table({"t": pa.array(np.arange(T)),
                           "v": pa.array(np.full(T, np.nan)),
+                          "c": pa.array(np.zeros(T, np.int64)),
                           "below": pa.array(np.asarray(blw, np.int64))})
         if not ts:
             return below
         data = pa.table({"t": pa.array(np.concatenate(ts)),
                          "v": pa.array(np.concatenate(vals)),
+                         "c": pa.array(np.concatenate(cnts)),
                          "below": pa.array(
                              np.zeros(sum(len(x) for x in vals), np.int64))})
         return pa.concat_tables([data, below])
@@ -5591,8 +5602,18 @@ def quantiles_exact_refine(sf_dir: str, table: str = "lineitem",
     for i in range(T):
         sub = rem[rem.t == i]
         below = int(sub.below.sum())
-        vals = np.sort(sub.v.to_numpy()[~np.isnan(sub.v.to_numpy())])
-        out[i] = vals[ranks[i] - below - 1]
+        vs = sub[~np.isnan(sub.v.to_numpy())]
+        g = vs.groupby("v", sort=True).c.sum()
+        need = ranks[i] - below
+        if need <= 0 or need > int(g.sum()):
+            # pad + exact below-count make this unreachable; fail loudly
+            # rather than silently index the wrong element
+            raise RuntimeError(
+                f"quantile refinement rank out of range (q={qs[i]}, "
+                f"need={need}, in_range={int(g.sum())})")
+        cumv = g.cumsum().to_numpy()
+        out[i] = float(g.index.to_numpy()[
+            int(np.searchsorted(cumv, need))])
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(_round(out, 4), pa.float64())})
 

@@ -146,10 +146,17 @@ def explain_drift(out_dir: str, ref_state_dir: str,
     return out
 
 
-def write_report(out_dir: str, path: str | None = None) -> str:
-    """Assemble and atomically write ``report.json`` into the run dir."""
+def write_report(out_dir: str, path: str | None = None,
+                 extra: dict[str, Any] | None = None) -> str:
+    """Assemble and atomically write ``report.json`` into the run dir.
+
+    ``extra`` sections (e.g. drift explanations) merge into the report
+    before the write, so every on-disk report shares one byte-stable
+    format (indent=1, sorted keys)."""
     path = path or os.path.join(out_dir, "report.json")
     report = build_report(out_dir)
+    if extra:
+        report.update(extra)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)

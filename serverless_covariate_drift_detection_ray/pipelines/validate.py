@@ -422,7 +422,7 @@ def validate(
     # through the validation shuffles — this is the only stage that touches
     # them again, and it reads just the affected fragments.
     summary["quarantined"] = 0
-    if cfg.quarantine and violations is not None and violations.num_rows:
+    if cfg.quarantine and violations is not None:
         tq = time.time()
         bad_ids = np.unique(
             violations["image_id"].to_numpy(zero_copy_only=False).astype(object))
@@ -455,26 +455,23 @@ def validate(
 
             frag_paths = [os.path.join(manifest.root, f.file)
                           for f in manifest.fragments if frag_may_match(f)]
-            import ray.data as ray_data
+            import ray.data as ray_data  # noqa: F401 (used below)
 
             qroot = os.path.join(out_dir, "quarantine")
             qtmp = f"{qroot}.tmp.{os.getpid()}"
             shutil.rmtree(qtmp, ignore_errors=True)
-            if frag_paths:
-                src_ds = ray_data.read_parquet(frag_paths)
-            else:
-                from ..sources.fragmented import IMAGES_SCHEMA
-
-                src_ds = ray_data.from_arrow(IMAGES_SCHEMA.empty_table())
-            src_ds.map_batches(
-                qfilter, batch_format="pyarrow").write_parquet(
-                qtmp, partition_cols=["partition_id"])
             nq = 0
-            for dirpath, _, files in os.walk(qtmp):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        nq += pq.ParquetFile(
-                            os.path.join(dirpath, f)).metadata.num_rows
+            if frag_paths:
+                ray_data.read_parquet(frag_paths).map_batches(
+                    qfilter, batch_format="pyarrow").write_parquet(
+                    qtmp, partition_cols=["partition_id"])
+                for dirpath, _, files in os.walk(qtmp):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            nq += pq.ParquetFile(
+                                os.path.join(dirpath, f)).metadata.num_rows
+            else:  # clean run: nothing to write, but stale dirs still clear
+                os.makedirs(qtmp, exist_ok=True)
             # per-partition atomic swap: a partial/resume run must replace
             # ONLY the partitions it just validated, never clobber the rest
             os.makedirs(qroot, exist_ok=True)
@@ -494,6 +491,12 @@ def validate(
             summary["quarantined"] = nq
         else:
             summary["quarantine_skipped"] = "violations exceed quarantine_max_rows"
+            import shutil
+
+            qroot = os.path.join(out_dir, "quarantine")
+            for pid in todo:  # stale dead-letter rows would mislead repair
+                shutil.rmtree(os.path.join(qroot, f"partition_id={pid}"),
+                              ignore_errors=True)
         stage_t["quarantine"] = time.time() - tq
     elif cfg.quarantine and violations is None:
         # streamed-violations path: ids were never assembled driver-side;

@@ -34,14 +34,22 @@ class ReferenceState:
         return cls(merged, sigma, meta)
 
     def save(self, out_dir: str) -> None:
+        import hashlib
+
         os.makedirs(out_dir, exist_ok=True)
+        blob = self.state.to_bytes()
         tmp = os.path.join(out_dir, STATE_FILE + ".tmp")
         with open(tmp, "wb") as fh:
-            fh.write(self.state.to_bytes())
+            fh.write(blob)
         os.replace(tmp, os.path.join(out_dir, STATE_FILE))
         meta = dict(self.meta)
         meta.update({"sigma": self.sigma, "n_rows": self.state.n_rows,
-                     "n_sample": int(self.state.sample_phash.shape[0])})
+                     "n_sample": int(self.state.sample_phash.shape[0]),
+                     # pairs the two files: a crash between the replaces
+                     # leaves a detectable tear instead of silently-stale
+                     # meta next to new state (in-place refit would then
+                     # double-merge partitions)
+                     "state_sha": hashlib.sha256(blob).hexdigest()})
         tmpm = os.path.join(out_dir, META_FILE + ".tmp")
         with open(tmpm, "w") as fh:
             json.dump(meta, fh, indent=1)
@@ -49,8 +57,17 @@ class ReferenceState:
 
     @classmethod
     def load(cls, in_dir: str) -> "ReferenceState":
+        import hashlib
+
         with open(os.path.join(in_dir, STATE_FILE), "rb") as fh:
-            state = PartialState.from_bytes(fh.read())
+            blob = fh.read()
         with open(os.path.join(in_dir, META_FILE)) as fh:
             meta = json.load(fh)
+        sha = meta.get("state_sha")
+        if sha is not None and hashlib.sha256(blob).hexdigest() != sha:
+            raise ValueError(
+                f"torn reference state in {in_dir}: state file does not "
+                "match meta fingerprint (crash mid-save?) — refit or "
+                "restore before reusing this window")
+        state = PartialState.from_bytes(blob)
         return cls(state, meta["sigma"], meta)
