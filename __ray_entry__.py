@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_purchase_click_hist": relq.ks_purchase_click_hist,
         "quantiles_extendedprice_tdigest": relq.quantiles_extendedprice_tdigest,
         "quantiles_exact_refine": relq.quantiles_exact_refine,
+        "grouped_quantiles_exact": relq.grouped_quantiles_exact,
         "divergence_purchase_click": relq.divergence_purchase_click,
         "approx_distinct_users_by_type": relq.approx_distinct_users_by_type,
         # dedup / text analysis
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_purchase_click": relq.KS_SQL,
         "quantiles_extendedprice": relq.QUANTILES_SQL,
         "quantiles_exact_refine": relq.QREFINE_SQL,
+        "grouped_quantiles_exact": relq.GROUPED_QEXACT_SQL,
         "bin_prices_quartile": relq.BIN_QUARTILE_SQL,
         "winsorize_lineitem": relq.WINSORIZE_SQL,
         "ks_purchase_click_hist": relq.KS_HIST_SQL,

@@ -5627,3 +5627,157 @@ SELECT 0.75, FLOOR(quantile_disc(l_extendedprice, 0.75)*10000+0.5)/10000 FROM li
 UNION ALL
 SELECT 0.95, FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000 FROM lineitem
 """
+
+
+def grouped_quantiles_exact(sf_dir: str,
+                            qs: tuple = (0.5, 0.95)):
+    """Per-group exact quantiles at any scale: the same iterative
+    range-refinement as quantiles_exact_refine, but with one (group, q)
+    target per l_returnflag — group membership is just another mask in the
+    per-block histogram partial, so groups refine TOGETHER in each single
+    streaming pass (targets x 256 driver ints per round, no driver sort,
+    no per-group scan)."""
+    import pyarrow.parquet as pq_
+
+    col, gcol = "l_extendedprice", "l_returnflag"
+    ds = _read(sf_dir, "lineitem", [gcol, col])
+
+    # bounded-cardinality group discovery + per-group counts in one pass
+    def gcount(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch[gcol].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"g": pa.array(u, pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    gc_df = ds.map_batches(gcount, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    counts = gc_df.groupby("g", sort=True).n.sum()
+    groups = list(counts.index)
+    B = QREFINE_BINS
+    pf = pq_.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    ci = pf.schema_arrow.get_field_index(col)
+    stats = [pf.metadata.row_group(g).column(ci).statistics
+             for g in range(pf.metadata.num_row_groups)]
+    vmin = min(float(st.min) for st in stats)
+    vmax = max(float(st.max) for st in stats)
+
+    targets = [(g, q) for g in groups for q in qs]
+    T = len(targets)
+    ranks = np.array([max(int(np.ceil(q * counts[g])), 1)
+                      for g, q in targets], np.int64)
+    lo = np.full(T, vmin)
+    hi = np.full(T, vmax)
+    offset = np.zeros(T, np.int64)
+    tgt_group = np.array([g for g, _ in targets], dtype=object)
+
+    for _ in range(QREFINE_MAX_ROUNDS):
+        live = np.nonzero(lo < hi)[0]
+        if live.size == 0:
+            break
+        lo_l, hi_l = lo[live].copy(), hi[live].copy()
+        grp_l = tgt_group[live].copy()
+        width = (hi_l - lo_l) / B
+
+        def hist_partial(batch: pa.Table, lo_=lo_l, hi_=hi_l, w_=width,
+                         gl=grp_l) -> pa.Table:
+            v = batch[col].to_numpy()
+            gv = batch[gcol].to_numpy(zero_copy_only=False)
+            ts, bins, cnts = [], [], []
+            for i in range(lo_.size):
+                m = (gv == gl[i]) & (v >= lo_[i]) & (v <= hi_[i])
+                if not m.any():
+                    continue
+                idx = np.minimum(((v[m] - lo_[i]) / w_[i]).astype(np.int64),
+                                 B - 1)
+                c = np.bincount(idx, minlength=B)
+                nz = np.nonzero(c)[0]
+                ts.append(np.full(nz.size, i, np.int64))
+                bins.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not ts:
+                return pa.table({"t": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"t": pa.array(np.concatenate(ts)),
+                             "b": pa.array(np.concatenate(bins)),
+                             "c": pa.array(np.concatenate(cnts))})
+
+        cdf = ds.map_batches(hist_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+        done = True
+        for j, i in enumerate(live):
+            sub = cdf[cdf.t == j]
+            full = np.bincount(sub.b.to_numpy(), weights=sub.c.to_numpy(),
+                               minlength=B).astype(np.int64)
+            cum = np.cumsum(full)
+            k = min(int(np.searchsorted(cum, ranks[i] - offset[i])), B - 1)
+            offset[i] += int(cum[k - 1]) if k > 0 else 0
+            w = (hi[i] - lo[i]) / B
+            new_lo = lo[i] + k * w
+            new_hi = hi[i] if k == B - 1 else lo[i] + (k + 1) * w
+            lo[i], hi[i] = new_lo, new_hi
+            if int(full[k]) > QREFINE_COLLECT_CAP and new_lo < new_hi:
+                done = False
+        if done:
+            break
+
+    pad = (hi - lo) / B
+    lo_f, hi_f = lo - pad, hi + pad
+
+    def collect_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy()
+        gv = batch[gcol].to_numpy(zero_copy_only=False)
+        ts, vals, cnts, blw = [], [], [], []
+        for i in range(T):
+            gm = gv == tgt_group[i]
+            m = gm & (v >= lo_f[i]) & (v <= hi_f[i])
+            if m.any():
+                u, c = np.unique(v[m], return_counts=True)
+                ts.append(np.full(u.size, i, np.int64))
+                vals.append(u)
+                cnts.append(c.astype(np.int64))
+            blw.append(int((gm & (v < lo_f[i])).sum()))
+        below = pa.table({"t": pa.array(np.arange(T)),
+                          "v": pa.array(np.full(T, np.nan)),
+                          "c": pa.array(np.zeros(T, np.int64)),
+                          "below": pa.array(np.asarray(blw, np.int64))})
+        if not ts:
+            return below
+        data = pa.table({"t": pa.array(np.concatenate(ts)),
+                         "v": pa.array(np.concatenate(vals)),
+                         "c": pa.array(np.concatenate(cnts)),
+                         "below": pa.array(
+                             np.zeros(sum(len(x) for x in vals), np.int64))})
+        return pa.concat_tables([data, below])
+
+    rem = ds.map_batches(collect_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    out_g, out_q, out_v = [], [], []
+    for i, (g, q) in enumerate(targets):
+        sub = rem[rem.t == i]
+        below = int(sub.below.sum())
+        vs = sub[~np.isnan(sub.v.to_numpy())]
+        agg = vs.groupby("v", sort=True).c.sum()
+        need = ranks[i] - below
+        if need <= 0 or need > int(agg.sum()):
+            raise RuntimeError(f"grouped quantile rank out of range "
+                               f"({g}, {q}, need={need})")
+        cumv = agg.cumsum().to_numpy()
+        out_g.append(g)
+        out_q.append(q)
+        out_v.append(float(agg.index.to_numpy()[
+            int(np.searchsorted(cumv, need))]))
+    return pa.table({"l_returnflag": pa.array(out_g, pa.string()),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(_round(np.asarray(out_v), 4))})
+
+
+GROUPED_QEXACT_SQL = """
+SELECT l_returnflag, 0.5 AS q,
+       FLOOR(quantile_disc(l_extendedprice, 0.5)*10000+0.5)/10000 AS value
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 0.95,
+       FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000
+FROM lineitem GROUP BY l_returnflag
+"""
