@@ -436,3 +436,67 @@ def test_unigram_logprob_two_shuffle_matches_broadcast(ray_session, monkeypatch)
     monkeypatch.setattr(T, "PARTIALS_COLLECT_MAX", 0)
     slow = _canon(_to_df(T.unigram_logprob_documents(SF)))
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def _refine_fixture(tmp_path, values, flags=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    flags = flags if flags is not None else ["A"] * len(values)
+    pq.write_table(pa.table({
+        "l_extendedprice": pa.array(np.asarray(values, np.float64)),
+        "l_returnflag": pa.array(list(flags), pa.string())}),
+        str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({"c": pa.array([0])}),
+                   str(tmp_path / "customer.parquet"))
+    return str(tmp_path)
+
+
+def test_quantile_refinement_property(ray_session, tmp_path):
+    """Refinement == the quantile_disc rank formula on adversarial inputs:
+    heavy duplicates at the quantile (the bounded-collect hazard), values
+    exactly on power-of-two bin boundaries (the float-placement hazard),
+    and plain randoms."""
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        quantiles_exact_refine,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    cases = [
+        rng.uniform(0, 1e5, 5000),                       # plain
+        np.repeat([10.0, 20.0, 30.0], [100, 4800, 100]),  # duplicate-heavy
+        np.concatenate([np.full(2500, 128.0),             # boundary-exact
+                        rng.uniform(0.0, 256.0, 2500)]),
+    ]
+    for vi, vals in enumerate(cases):
+        d = tmp_path / f"c{vi}"
+        d.mkdir()
+        sf = _refine_fixture(d, vals)
+        got = quantiles_exact_refine(sf).to_pandas()
+        sv = np.sort(vals)
+        n = sv.size
+        for _, r in got.iterrows():
+            want = sv[max(int(np.ceil(r.q * n)) - 1, 0)]
+            want = np.floor(want * 1e4 + 0.5) / 1e4
+            assert r.value == want, (vi, r.q, r.value, want)
+
+
+def test_grouped_quantile_refinement_property(ray_session, tmp_path):
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        grouped_quantiles_exact,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    vals = np.concatenate([rng.uniform(0, 1e4, 3000),
+                           np.full(2000, 77.25)])
+    flags = ["A" if i % 3 else "B" for i in range(vals.size)]
+    sf = _refine_fixture(tmp_path, vals, flags)
+    got = grouped_quantiles_exact(sf).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"v": vals, "g": flags})
+    for _, r in got.iterrows():
+        sv = np.sort(df[df.g == r.l_returnflag].v.to_numpy())
+        want = sv[max(int(np.ceil(r.q * sv.size)) - 1, 0)]
+        want = np.floor(want * 1e4 + 0.5) / 1e4
+        assert r.value == want, (r.l_returnflag, r.q, r.value, want)
