@@ -259,3 +259,37 @@ def test_snapshot_time_travel(ray_session, tmp_path):
     removed = gc_orphans(root)
     assert set(removed) == old_files
     assert list_snapshots(root) == []
+
+
+def test_schema_evolution_old_fragment_null_fills(ray_session, tmp_path):
+    """A fragment written before a column existed (schema evolution) reads
+    back null-filled through the manifest path — evolution is tolerated at
+    the read; the validation pass is what surfaces the missing values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        TableManifest,
+        read_images,
+        write_fragment,
+    )
+
+    root = str(tmp_path)
+    man = TableManifest(root=root)
+    new_schema = pa.table({
+        "image_id": ["a", "b"], "caption": ["one", "two"],
+        "fragment_id": pa.array([0, 0], pa.int64()),
+        "partition_id": pa.array([0, 0], pa.int32())})
+    old_schema = pa.table({  # pre-caption era fragment
+        "image_id": ["c"],
+        "fragment_id": pa.array([1], pa.int64()),
+        "partition_id": pa.array([0], pa.int32())})
+    man.fragments.append(write_fragment(root, 0, 0, new_schema))
+    man.fragments.append(write_fragment(root, 1, 0, old_schema))
+    man.partitions = {0: {}}
+    man.save()
+
+    df = read_images(TableManifest.load(root)).to_pandas()
+    assert sorted(df.image_id) == ["a", "b", "c"]
+    assert df[df.image_id == "c"].caption.isna().all()
+    assert df[df.image_id != "c"].caption.notna().all()
