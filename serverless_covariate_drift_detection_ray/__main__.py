@@ -70,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write violating rows' full payloads to "
                         "<out>/quarantine (dead-letter sink)")
 
+    pl = sub.add_parser("pipeline",
+                        help="fit -> validate -> report in one submission "
+                             "(the single `ray job submit` entrypoint)")
+    pl.add_argument("--manifest", required=True)
+    pl.add_argument("--workdir", required=True,
+                    help="holds reference_state/ and run/ outputs")
+    pl.add_argument("--quarantine", action="store_true")
+    pl.add_argument("--explain", action="store_true",
+                    help="add bin-level drift attributions to report.json")
+
     e = sub.add_parser("extend-reference",
                        help="merge new partitions into frozen reference state")
     e.add_argument("--manifest", required=True)
@@ -142,6 +152,27 @@ def main(argv: list[str] | None = None) -> int:
                               "fragments_before": before,
                               "fragments_after": len(man.fragments),
                               "rows": man.num_rows}))
+            return 0
+
+        if args.cmd == "pipeline":
+            import os
+
+            from .pipelines.fit import fit
+            from .pipelines.report import explain_drift, write_report
+            from .pipelines.validate import validate
+
+            state_dir = os.path.join(args.workdir, "reference_state")
+            out_dir = os.path.join(args.workdir, "run")
+            cfg = EngineConfig(quarantine=args.quarantine)
+            if not os.path.exists(os.path.join(state_dir,
+                                               "reference_meta.json")):
+                fit(args.manifest, state_dir, cfg)
+            summary = validate(args.manifest, state_dir, out_dir, cfg)
+            extra = ({"drift_explanations": explain_drift(out_dir, state_dir)}
+                     if args.explain else None)
+            report_path = write_report(out_dir, extra=extra)
+            print(json.dumps({"summary": summary, "report": report_path},
+                             default=str))
             return 0
 
         if args.cmd == "extend-reference":

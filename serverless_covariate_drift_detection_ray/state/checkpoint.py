@@ -38,6 +38,10 @@ def config_fingerprint(cfg) -> str:
     import hashlib
 
     d = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else dict(cfg)
+    # sink-only options do not change any committed verdict/violation/stat,
+    # so toggling them must not invalidate finished partitions
+    d.pop("quarantine", None)
+    d.pop("quarantine_max_rows", None)
     d["drift_checks"] = [
         s if isinstance(s, str) else type(s).__qualname__
         for s in d.get("drift_checks", ())

@@ -33,3 +33,31 @@ def test_gen_fixture_and_report_roundtrip(tmp_path, capsys, monkeypatch, ray_ses
     rep = json.loads(capsys.readouterr().out)
     assert rep["partitions"] == 11
     assert rep["verdicts"]["total"] > 0
+
+
+def test_pipeline_command_end_to_end(tmp_path, capsys, monkeypatch, ray_session):
+    """One submission: fit -> validate -> report (+ quarantine + explain)."""
+    import os
+
+    from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
+
+    fix = ensure_fixture("tiny")
+
+    class _NoShutdown:
+        @staticmethod
+        def shutdown():
+            pass
+
+    monkeypatch.setattr(cli, "_ray_session", lambda n: _NoShutdown)
+    wd = str(tmp_path / "wd")
+    assert cli.main(["pipeline", "--manifest", fix, "--workdir", wd,
+                     "--quarantine", "--explain"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["summary"]["verdicts"] > 0
+    assert out["summary"]["quarantined"] > 0
+    rep = json.load(open(out["report"]))
+    assert rep["drift_explanations"]
+    # second submission resumes: nothing reprocessed
+    assert cli.main(["pipeline", "--manifest", fix, "--workdir", wd]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["summary"]["partitions_processed"] == 0
