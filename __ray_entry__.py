@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps_per_user": relq.event_gaps_per_user,
         "dedup_events_debounce": relq.dedup_events_debounce,
         "streaming_running_totals": streaming.streaming_running_totals,
+        "streaming_drift_monitor": streaming.streaming_drift_monitor,
         "funnel_view_click_purchase": relq.funnel_view_click_purchase,
         "topn_orders_per_priority": relq.topn_orders_per_priority,
         "rank_orders_dense": relq.rank_orders_dense,

@@ -586,16 +586,26 @@ def ks_by_window_events(sf_dir: str, bins: int = 256, lo: float = 0.0,
                             ).groupby("b").map_groups(
         bucket_merge, batch_format="pandas").to_pandas()
     # windows x bins — metadata-sized by construction
-    hours = merged.hour.to_numpy()
+    return ks_windows_finish(merged.hour.to_numpy(),
+                             merged.h.to_numpy(), bins, alpha)
+
+
+def ks_windows_finish(hours: np.ndarray, blobs: np.ndarray, bins: int,
+                      alpha: float) -> pa.Table:
+    """Driver finish shared by the batch (ks_by_window_events) and
+    streaming (streaming.streaming_drift_monitor) window-KS paths: stack
+    the per-hour histogram blobs and test each window against the REST of
+    the stream (global minus the window itself — a window included in its
+    own reference halves the measured D and double-counts its rows in the
+    p-value's sample sizes). windows x bins — metadata-sized."""
+    from ..functions.stats import ks_pvalue_from_d
+
     order = np.argsort(hours, kind="mergesort")
     hist = np.stack([np.frombuffer(b, dtype=np.int64)
-                     for b in merged.h.to_numpy()[order]])
-    hours = hours[order]
+                     for b in np.asarray(blobs, dtype=object)[order]])
+    hours = np.asarray(hours)[order]
     g = hist.sum(axis=0)
     n_hour = hist.sum(axis=1)
-    # each window tests against the REST of the stream (global minus the
-    # window itself): a window included in its own reference halves the
-    # measured D and double-counts its rows in the p-value's sample sizes
     rest = g[None, :] - hist
     n_rest = np.maximum(rest.sum(axis=1), 1)
     rest_cdfs = np.cumsum(rest, axis=1) / n_rest[:, None]

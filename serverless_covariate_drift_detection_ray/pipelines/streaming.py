@@ -126,3 +126,77 @@ SELECT user_id,
   FLOOR(MAX(run)*100+0.5)/100 AS max_running
 FROM rs GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor — the reference's SERVING mode (its detector API
+# scores batches as they arrive) re-expressed as incremental actor state:
+# per-hour value histograms accumulate in bucket actors while the ordered
+# log streams through; completed windows are KS-tested against the rest of
+# the stream with the exact same finish as the batch query, so the two
+# paths are bit-identical (pinned in tests).
+# ---------------------------------------------------------------------------
+
+
+class _WindowHists:
+    """Per-bucket incremental state: hour -> int64[bins] value histogram.
+
+    Windows are bucketed by hash(hour), so one actor owns each window
+    outright — no cross-actor merge. Histogram accumulation commutes, so
+    the monitor needs the ordered feed only for its arrival semantics
+    (verdicts could be emitted at window close), not for correctness."""
+
+    def __init__(self, bins: int):
+        self.bins = bins
+        self.h: dict[int, np.ndarray] = {}
+
+    def process(self, hours: np.ndarray, binned: np.ndarray) -> int:
+        for hr in np.unique(hours):
+            acc = self.h.get(int(hr))
+            if acc is None:
+                acc = self.h[int(hr)] = np.zeros(self.bins, np.int64)
+            acc += np.bincount(binned[hours == hr], minlength=self.bins)
+        return len(self.h)
+
+    def finish(self) -> pd.DataFrame:
+        hours = sorted(self.h)
+        return pd.DataFrame({
+            "hour": np.asarray(hours, np.int64),
+            "h": [self.h[hr].tobytes() for hr in hours]})
+
+
+def streaming_drift_monitor(sf_dir: str, bins: int = 256, lo: float = 0.0,
+                            hi: float = 500.0, alpha: float = 0.01):
+    """Incremental per-window KS drift over the ts-ordered events log —
+    must equal ``ks_by_window_events`` exactly (same histograms, same
+    finish)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .queries import ks_windows_finish
+
+    width = (hi - lo) / bins
+    ds = (_read(sf_dir, "events", ["ts", "value"]).sort("ts"))
+
+    actor_cls = ray.remote(_WindowHists)
+    actors = [actor_cls.remote(bins) for _ in range(N_STREAM_BUCKETS)]
+    pending: list = []
+    for batch in ds.iter_batches(batch_size=STREAM_BATCH_ROWS,
+                                 batch_format="pyarrow"):
+        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        v = batch["value"].to_numpy()
+        binned = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        bkt = (hash64(hour) % N_STREAM_BUCKETS).astype(np.int64)
+        for b in np.unique(bkt):
+            sel = bkt == b
+            pending.append(
+                actors[int(b)].process.remote(hour[sel], binned[sel]))
+        if len(pending) > 4 * N_STREAM_BUCKETS:  # backpressure the feed
+            ready, pending = ray.wait(pending, num_returns=len(pending) // 2)
+            list(ready)
+    ray.get(pending)
+    merged = pd.concat(ray.get([a.finish.remote() for a in actors]),
+                       ignore_index=True)
+    return ks_windows_finish(merged.hour.to_numpy(), merged.h.to_numpy(),
+                             bins, alpha)

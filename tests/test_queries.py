@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (133 queries, 118 oracled) runs in the driver's correctness
+The full sweep (134 queries, 118 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -500,3 +500,18 @@ def test_grouped_quantile_refinement_property(ray_session, tmp_path):
         want = sv[max(int(np.ceil(r.q * sv.size)) - 1, 0)]
         want = np.floor(want * 1e4 + 0.5) / 1e4
         assert r.value == want, (r.l_returnflag, r.q, r.value, want)
+
+
+def test_streaming_drift_monitor_matches_batch(ray_session):
+    """The incremental actor-state monitor must equal the batch per-window
+    KS query bit-for-bit (same histograms, shared finish)."""
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        ks_by_window_events,
+    )
+    from serverless_covariate_drift_detection_ray.pipelines.streaming import (
+        streaming_drift_monitor,
+    )
+
+    batch = _canon(_to_df(ks_by_window_events(SF)))
+    stream = _canon(_to_df(streaming_drift_monitor(SF)))
+    pd.testing.assert_frame_equal(batch, stream, check_exact=True)
