@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_exact": relq.grouped_quantiles_exact,
         "divergence_purchase_click": relq.divergence_purchase_click,
         "approx_distinct_users_by_type": relq.approx_distinct_users_by_type,
+        "overlap_estimate_orders_customers": relq.overlap_estimate_orders_customers,
         # dedup / text analysis
         "dedup_exact_documents": textops.dedup_exact_documents,
         "dedup_keep_best_documents": textops.dedup_keep_best_documents,

@@ -5791,3 +5791,47 @@ SELECT l_returnflag, 0.95,
        FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def overlap_estimate_orders_customers(sf_dir: str):
+    """HLL set-overlap estimate between the orders' customer keys and the
+    customer table's keys — the sketch answer to "what fraction of the FK
+    domain is live" that needs NO join and NO shuffle at any scale: each
+    side folds to 4 KB of registers via per-block partials; union comes
+    from a register max; intersection by inclusion-exclusion. Rows-only
+    (estimates); the error bound vs exact is pinned in tests."""
+    from ..functions.hashing import hash64
+    from ..state.sketches import HyperLogLog
+
+    def side(table: str, col: str) -> HyperLogLog:
+        ds = _read(sf_dir, table, [col])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            h = HyperLogLog()
+            h.update_hashes(hash64(batch[col].to_numpy().astype(np.int64)
+                                   ).astype(np.uint64))
+            return pa.table({"regs": pa.array([h.registers.tobytes()],
+                                              pa.binary())})
+
+        acc = HyperLogLog()
+        for blob in ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas().regs:
+            other = HyperLogLog()
+            other.registers = np.frombuffer(blob, np.uint8).copy()
+            acc.merge(other)
+        return acc
+
+    a = side("orders", "o_custkey")
+    b = side("customer", "c_custkey")
+    na, nb = a.estimate(), b.estimate()
+    u = HyperLogLog()
+    u.merge(a).merge(b)
+    nu = u.estimate()
+    inter = max(na + nb - nu, 0.0)
+    return pa.table({
+        "distinct_fk": pa.array([float(_round(na, 1))]),
+        "distinct_pk": pa.array([float(_round(nb, 1))]),
+        "distinct_union": pa.array([float(_round(nu, 1))]),
+        "est_intersection": pa.array([float(_round(inter, 1))]),
+        "est_fk_coverage": pa.array(
+            [float(_round(inter / max(nb, 1.0), 4))])})

@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (134 queries, 118 oracled) runs in the driver's correctness
+The full sweep (135 queries, 118 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -515,3 +515,24 @@ def test_streaming_drift_monitor_matches_batch(ray_session):
     batch = _canon(_to_df(ks_by_window_events(SF)))
     stream = _canon(_to_df(streaming_drift_monitor(SF)))
     pd.testing.assert_frame_equal(batch, stream, check_exact=True)
+
+
+def test_overlap_estimate_within_hll_error(ray_session, oracle):
+    """HLL inclusion-exclusion overlap vs exact: each estimate within ~5x
+    the single-sketch standard error (1.6% at p=12; differences of
+    estimates compound)."""
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        overlap_estimate_orders_customers,
+    )
+
+    got = _to_df(overlap_estimate_orders_customers(SF)).iloc[0]
+    exact = oracle.execute("""
+        SELECT (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS fk,
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS pk,
+               (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+                 INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS i
+    """).fetchone()
+    fk, pk, inter = exact
+    assert abs(got.distinct_fk - fk) <= 0.08 * fk + 2
+    assert abs(got.distinct_pk - pk) <= 0.08 * pk + 2
+    assert abs(got.est_intersection - inter) <= 0.16 * inter + 4
