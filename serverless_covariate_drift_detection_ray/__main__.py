@@ -77,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--workdir", required=True,
                     help="holds reference_state/ and run/ outputs")
     pl.add_argument("--quarantine", action="store_true")
+    pl.add_argument("--no-resume", action="store_true",
+                    help="recompute finished partitions (required to add "
+                         "quarantine output to an already-validated run)")
     pl.add_argument("--explain", action="store_true",
                     help="add bin-level drift attributions to report.json")
 
@@ -167,7 +170,8 @@ def main(argv: list[str] | None = None) -> int:
             if not os.path.exists(os.path.join(state_dir,
                                                "reference_meta.json")):
                 fit(args.manifest, state_dir, cfg)
-            summary = validate(args.manifest, state_dir, out_dir, cfg)
+            summary = validate(args.manifest, state_dir, out_dir, cfg,
+                               resume=not args.no_resume)
             extra = ({"drift_explanations": explain_drift(out_dir, state_dir)}
                      if args.explain else None)
             report_path = write_report(out_dir, extra=extra)

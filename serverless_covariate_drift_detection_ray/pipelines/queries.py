@@ -554,7 +554,6 @@ def ks_by_window_events(sf_dir: str, bins: int = 256, lo: float = 0.0,
     Shape: per-block (hour -> int64[bins] blob) partials → salted
     row-count-scaled merge → windows x bins driver finish."""
     from ..functions.hashing import hash64
-    from ..functions.stats import ks_pvalue_from_d
 
     n_buckets = _salt_buckets(sf_dir, "events")
     ds = _read(sf_dir, "events", ["ts", "value"])
@@ -5490,197 +5489,92 @@ QREFINE_COLLECT_CAP = 65536  # per-target DISTINCT-value budget for the final pa
 QREFINE_MAX_ROUNDS = 8
 
 
-def quantiles_exact_refine(sf_dir: str, table: str = "lineitem",
-                           col: str = "l_extendedprice",
-                           qs: tuple = (0.25, 0.5, 0.75, 0.95)):
-    """quantile_disc-exact quantiles without a driver sort at any scale."""
+def _refined_quantiles(sf_dir: str, table: str, col: str,
+                       gcol: str | None, qs: tuple):
+    """Shared exact-quantile engine: iterative 256-bin range refinement
+    with one (group, q) target per requested quantile (group = "" when
+    ``gcol`` is None). Round 1 histograms the FULL value range PER GROUP,
+    which discovers the groups AND their row counts in the same scan that
+    starts the refinement — no separate counting pass. Later rounds
+    histogram only each target's still-candidate range; the final pass
+    collects (distinct value, count) partials inside the padded ranges and
+    recomputes the below-rank offset exactly with the same comparison the
+    mask uses, so float bin-boundary placement can never silently pick the
+    wrong element (loud guard otherwise). Returns [(group, q, value)]."""
     import pyarrow.parquet as pq_
 
-    ds = _read(sf_dir, table, [col])
-    # row count and global [min, max] straight from parquet row-group
-    # statistics (footer metadata) — no scan, no Ray job
+    cols = [col] if gcol is None else [gcol, col]
+    ds = _read(sf_dir, table, cols)
+    B = QREFINE_BINS
     pf = pq_.ParquetFile(f"{sf_dir}/{table}.parquet")
-    n = pf.metadata.num_rows
     ci = pf.schema_arrow.get_field_index(col)
     stats = [pf.metadata.row_group(g).column(ci).statistics
              for g in range(pf.metadata.num_row_groups)]
     vmin = min(float(st.min) for st in stats)
     vmax = max(float(st.max) for st in stats)
-    ranks = np.array([max(int(np.ceil(q * n)), 1) for q in qs], np.int64)
-    T = len(qs)
-    lo = np.full(T, vmin)
-    hi = np.full(T, vmax)
-    offset = np.zeros(T, np.int64)  # values strictly below lo, per target
-    B = QREFINE_BINS
 
-    for _ in range(QREFINE_MAX_ROUNDS):
-        live = np.nonzero(lo < hi)[0]
-        if live.size == 0:
-            break
-        lo_l, hi_l = lo[live].copy(), hi[live].copy()
-        width = (hi_l - lo_l) / B
+    # ---- round 1: full-range histogram per group == discovery + counts ----
+    w0 = (vmax - vmin) / B
 
-        def hist_partial(batch: pa.Table, lo_=lo_l, hi_=hi_l, w_=width
-                         ) -> pa.Table:
-            v = batch[col].to_numpy()
-            ts, bins, cnts = [], [], []
-            for i in range(lo_.size):
-                m = (v >= lo_[i]) & (v <= hi_[i])
-                if not m.any():
-                    continue
-                idx = np.minimum(((v[m] - lo_[i]) / w_[i]).astype(np.int64),
-                                 B - 1)
-                c = np.bincount(idx, minlength=B)
-                nz = np.nonzero(c)[0]
-                ts.append(np.full(nz.size, i, np.int64))
-                bins.append(nz.astype(np.int64))
-                cnts.append(c[nz].astype(np.int64))
-            if not ts:
-                return pa.table({"t": pa.array([], pa.int64()),
-                                 "b": pa.array([], pa.int64()),
-                                 "c": pa.array([], pa.int64())})
-            return pa.table({"t": pa.array(np.concatenate(ts)),
-                             "b": pa.array(np.concatenate(bins)),
-                             "c": pa.array(np.concatenate(cnts))})
-
-        # partials are metadata-sized (<= blocks x nonzero-bins rows), so
-        # the merge is a driver bincount — a Ray groupby here would charge
-        # ~2 ms per (t, b) group per round for nothing
-        counts = ds.map_batches(hist_partial, batch_format="pyarrow",
-                                zero_copy_batch=True).to_pandas()
-        done_narrowing = True
-        for j, i in enumerate(live):
-            sub = counts[counts.t == j]
-            full = np.bincount(sub.b.to_numpy(), weights=sub.c.to_numpy(),
-                               minlength=B).astype(np.int64)
-            cum = np.cumsum(full)
-            # clamp: float boundary misplacement can make rank - offset
-            # exceed cum[-1] by a whisker; the final pass recomputes the
-            # offset exactly, so landing in the last bin is always safe
-            k = min(int(np.searchsorted(cum, ranks[i] - offset[i])), B - 1)
-            offset[i] += int(cum[k - 1]) if k > 0 else 0
-            w = (hi[i] - lo[i]) / B
-            new_lo = lo[i] + k * w
-            new_hi = hi[i] if k == B - 1 else lo[i] + (k + 1) * w
-            in_bin = int(full[k])
-            lo[i], hi[i] = new_lo, new_hi
-            if in_bin > QREFINE_COLLECT_CAP and new_lo < new_hi:
-                done_narrowing = False
-        if done_narrowing:
-            break
-
-    # final bounded collect. Float rounding in floor((v-lo)/w) can place a
-    # boundary-exact value one bin off, so (a) the collect range expands by
-    # one bin width on each side — the true element is then guaranteed
-    # inside — and (b) the rank offset is recomputed EXACTLY in this same
-    # pass with the identical `<` comparison, discarding the histogram's
-    # approximate bookkeeping.
-    pad = (hi - lo) / B
-    lo_f, hi_f = lo - pad, hi + pad
-
-    def collect_partial(batch: pa.Table) -> pa.Table:
-        # (value, count) partials per target: duplicate-heavy columns ship
-        # one row per DISTINCT in-range value per block, not one per row —
-        # the bounded-driver invariant survives a column where millions of
-        # rows share the quantile value
+    def first_partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy()
-        ts, vals, cnts, blw = [], [], [], []
-        for i in range(T):
-            m = (v >= lo_f[i]) & (v <= hi_f[i])
-            if m.any():
-                u, c = np.unique(v[m], return_counts=True)
-                ts.append(np.full(u.size, i, np.int64))
-                vals.append(u)
-                cnts.append(c.astype(np.int64))
-            blw.append(int((v < lo_f[i]).sum()))
-        below = pa.table({"t": pa.array(np.arange(T)),
-                          "v": pa.array(np.full(T, np.nan)),
-                          "c": pa.array(np.zeros(T, np.int64)),
-                          "below": pa.array(np.asarray(blw, np.int64))})
-        if not ts:
-            return below
-        data = pa.table({"t": pa.array(np.concatenate(ts)),
-                         "v": pa.array(np.concatenate(vals)),
-                         "c": pa.array(np.concatenate(cnts)),
-                         "below": pa.array(
-                             np.zeros(sum(len(x) for x in vals), np.int64))})
-        return pa.concat_tables([data, below])
+        gv = (batch[gcol].to_numpy(zero_copy_only=False) if gcol
+              else np.full(v.size, "", dtype=object))
+        idx = np.minimum(((v - vmin) / max(w0, 1e-300)).astype(np.int64),
+                         B - 1)
+        gs, bins, cnts = [], [], []
+        for g in np.unique(gv):
+            c = np.bincount(idx[gv == g], minlength=B)
+            nz = np.nonzero(c)[0]
+            gs.append(np.full(nz.size, g, dtype=object))
+            bins.append(nz.astype(np.int64))
+            cnts.append(c[nz].astype(np.int64))
+        return pa.table({"g": pa.array(np.concatenate(gs), pa.string()),
+                         "b": pa.array(np.concatenate(bins)),
+                         "c": pa.array(np.concatenate(cnts))})
 
-    rem = ds.map_batches(collect_partial, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
-    out = np.empty(T, np.float64)
-    for i in range(T):
-        sub = rem[rem.t == i]
-        below = int(sub.below.sum())
-        vs = sub[~np.isnan(sub.v.to_numpy())]
-        g = vs.groupby("v", sort=True).c.sum()
-        need = ranks[i] - below
-        if need <= 0 or need > int(g.sum()):
-            # pad + exact below-count make this unreachable; fail loudly
-            # rather than silently index the wrong element
-            raise RuntimeError(
-                f"quantile refinement rank out of range (q={qs[i]}, "
-                f"need={need}, in_range={int(g.sum())})")
-        cumv = g.cumsum().to_numpy()
-        out[i] = float(g.index.to_numpy()[
-            int(np.searchsorted(cumv, need))])
-    return pa.table({"q": pa.array(list(qs), pa.float64()),
-                     "value": pa.array(_round(out, 4), pa.float64())})
-
-
-QREFINE_SQL = """
-SELECT 0.25 AS q, FLOOR(quantile_disc(l_extendedprice, 0.25)*10000+0.5)/10000 AS value FROM lineitem
-UNION ALL
-SELECT 0.5, FLOOR(quantile_disc(l_extendedprice, 0.5)*10000+0.5)/10000 FROM lineitem
-UNION ALL
-SELECT 0.75, FLOOR(quantile_disc(l_extendedprice, 0.75)*10000+0.5)/10000 FROM lineitem
-UNION ALL
-SELECT 0.95, FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000 FROM lineitem
-"""
-
-
-def grouped_quantiles_exact(sf_dir: str,
-                            qs: tuple = (0.5, 0.95)):
-    """Per-group exact quantiles at any scale: the same iterative
-    range-refinement as quantiles_exact_refine, but with one (group, q)
-    target per l_returnflag — group membership is just another mask in the
-    per-block histogram partial, so groups refine TOGETHER in each single
-    streaming pass (targets x 256 driver ints per round, no driver sort,
-    no per-group scan)."""
-    import pyarrow.parquet as pq_
-
-    col, gcol = "l_extendedprice", "l_returnflag"
-    ds = _read(sf_dir, "lineitem", [gcol, col])
-
-    # bounded-cardinality group discovery + per-group counts in one pass
-    def gcount(batch: pa.Table) -> pa.Table:
-        u, c = np.unique(batch[gcol].to_numpy(zero_copy_only=False),
-                         return_counts=True)
-        return pa.table({"g": pa.array(u, pa.string()),
-                         "n": pa.array(c.astype(np.int64))})
-
-    gc_df = ds.map_batches(gcount, batch_format="pyarrow",
+    first = ds.map_batches(first_partial, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
-    counts = gc_df.groupby("g", sort=True).n.sum()
-    groups = list(counts.index)
-    B = QREFINE_BINS
-    pf = pq_.ParquetFile(f"{sf_dir}/lineitem.parquet")
-    ci = pf.schema_arrow.get_field_index(col)
-    stats = [pf.metadata.row_group(g).column(ci).statistics
-             for g in range(pf.metadata.num_row_groups)]
-    vmin = min(float(st.min) for st in stats)
-    vmax = max(float(st.max) for st in stats)
+    gsum = first.groupby("g", sort=True)
+    groups = list(gsum.groups)
+    hist0 = {}
+    for g in groups:
+        sub = first[first.g == g]
+        hist0[g] = np.bincount(sub.b.to_numpy(), weights=sub.c.to_numpy(),
+                               minlength=B).astype(np.int64)
+    counts = {g: int(hist0[g].sum()) for g in groups}
 
     targets = [(g, q) for g in groups for q in qs]
     T = len(targets)
     ranks = np.array([max(int(np.ceil(q * counts[g])), 1)
                       for g, q in targets], np.int64)
+    tgt_group = np.array([g for g, _ in targets], dtype=object)
     lo = np.full(T, vmin)
     hi = np.full(T, vmax)
     offset = np.zeros(T, np.int64)
-    tgt_group = np.array([g for g, _ in targets], dtype=object)
 
-    for _ in range(QREFINE_MAX_ROUNDS):
+    def narrow(i: int, full: np.ndarray) -> int:
+        """Pick the target's bin from its current-range histogram; returns
+        the in-bin count. Clamp: float boundary misplacement can push
+        rank - offset past cum[-1] by a whisker; the final pass recomputes
+        the offset exactly, so landing in the last bin is always safe."""
+        cum = np.cumsum(full)
+        k = min(int(np.searchsorted(cum, ranks[i] - offset[i])), B - 1)
+        offset[i] += int(cum[k - 1]) if k > 0 else 0
+        w = (hi[i] - lo[i]) / B
+        new_lo = lo[i] + k * w
+        new_hi = hi[i] if k == B - 1 else lo[i] + (k + 1) * w
+        lo[i], hi[i] = new_lo, new_hi
+        return int(full[k])
+
+    done = True
+    for i, (g, _) in enumerate(targets):
+        if narrow(i, hist0[g]) > QREFINE_COLLECT_CAP and lo[i] < hi[i]:
+            done = False
+
+    for _ in range(QREFINE_MAX_ROUNDS - 1):
+        if done:
+            break
         live = np.nonzero(lo < hi)[0]
         if live.size == 0:
             break
@@ -5691,10 +5585,13 @@ def grouped_quantiles_exact(sf_dir: str,
         def hist_partial(batch: pa.Table, lo_=lo_l, hi_=hi_l, w_=width,
                          gl=grp_l) -> pa.Table:
             v = batch[col].to_numpy()
-            gv = batch[gcol].to_numpy(zero_copy_only=False)
+            gv = (batch[gcol].to_numpy(zero_copy_only=False) if gcol
+                  else np.full(v.size, "", dtype=object))
             ts, bins, cnts = [], [], []
             for i in range(lo_.size):
-                m = (gv == gl[i]) & (v >= lo_[i]) & (v <= hi_[i])
+                m = (v >= lo_[i]) & (v <= hi_[i])
+                if gcol:
+                    m &= gv == gl[i]
                 if not m.any():
                     continue
                 idx = np.minimum(((v[m] - lo_[i]) / w_[i]).astype(np.int64),
@@ -5712,6 +5609,8 @@ def grouped_quantiles_exact(sf_dir: str,
                              "b": pa.array(np.concatenate(bins)),
                              "c": pa.array(np.concatenate(cnts))})
 
+        # partials are metadata-sized (<= blocks x nonzero bins); merge on
+        # the driver — a Ray groupby would charge ~2 ms/group per round
         cdf = ds.map_batches(hist_partial, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas()
         done = True
@@ -5719,27 +5618,26 @@ def grouped_quantiles_exact(sf_dir: str,
             sub = cdf[cdf.t == j]
             full = np.bincount(sub.b.to_numpy(), weights=sub.c.to_numpy(),
                                minlength=B).astype(np.int64)
-            cum = np.cumsum(full)
-            k = min(int(np.searchsorted(cum, ranks[i] - offset[i])), B - 1)
-            offset[i] += int(cum[k - 1]) if k > 0 else 0
-            w = (hi[i] - lo[i]) / B
-            new_lo = lo[i] + k * w
-            new_hi = hi[i] if k == B - 1 else lo[i] + (k + 1) * w
-            lo[i], hi[i] = new_lo, new_hi
-            if int(full[k]) > QREFINE_COLLECT_CAP and new_lo < new_hi:
+            if narrow(i, full) > QREFINE_COLLECT_CAP and lo[i] < hi[i]:
                 done = False
-        if done:
-            break
 
+    # ---- final bounded collect. Float rounding in floor((v-lo)/w) can
+    # place a boundary-exact value one bin off, so (a) the collect range
+    # expands by one bin width each side — the true element is then
+    # guaranteed inside — and (b) the rank offset is recomputed EXACTLY
+    # here with the identical `<` comparison, discarding the histogram's
+    # approximate bookkeeping. (value, count) partials: duplicate-heavy
+    # columns ship one row per DISTINCT in-range value per block.
     pad = (hi - lo) / B
     lo_f, hi_f = lo - pad, hi + pad
 
     def collect_partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy()
-        gv = batch[gcol].to_numpy(zero_copy_only=False)
+        gv = (batch[gcol].to_numpy(zero_copy_only=False) if gcol
+              else np.full(v.size, "", dtype=object))
         ts, vals, cnts, blw = [], [], [], []
         for i in range(T):
-            gm = gv == tgt_group[i]
+            gm = (gv == tgt_group[i]) if gcol else np.ones(v.size, bool)
             m = gm & (v >= lo_f[i]) & (v <= hi_f[i])
             if m.any():
                 u, c = np.unique(v[m], return_counts=True)
@@ -5762,7 +5660,7 @@ def grouped_quantiles_exact(sf_dir: str,
 
     rem = ds.map_batches(collect_partial, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
-    out_g, out_q, out_v = [], [], []
+    out = []
     for i, (g, q) in enumerate(targets):
         sub = rem[rem.t == i]
         below = int(sub.below.sum())
@@ -5770,17 +5668,48 @@ def grouped_quantiles_exact(sf_dir: str,
         agg = vs.groupby("v", sort=True).c.sum()
         need = ranks[i] - below
         if need <= 0 or need > int(agg.sum()):
-            raise RuntimeError(f"grouped quantile rank out of range "
-                               f"({g}, {q}, need={need})")
+            # pad + exact below-count make this unreachable; fail loudly
+            # rather than silently index the wrong element
+            raise RuntimeError(
+                f"quantile refinement rank out of range (group={g!r}, "
+                f"q={q}, need={need}, in_range={int(agg.sum())})")
         cumv = agg.cumsum().to_numpy()
-        out_g.append(g)
-        out_q.append(q)
-        out_v.append(float(agg.index.to_numpy()[
-            int(np.searchsorted(cumv, need))]))
-    return pa.table({"l_returnflag": pa.array(out_g, pa.string()),
-                     "q": pa.array(out_q, pa.float64()),
-                     "value": pa.array(_round(np.asarray(out_v), 4))})
+        out.append((g, q, float(agg.index.to_numpy()[
+            int(np.searchsorted(cumv, need))])))
+    return out
 
+
+def quantiles_exact_refine(sf_dir: str, table: str = "lineitem",
+                           col: str = "l_extendedprice",
+                           qs: tuple = (0.25, 0.5, 0.75, 0.95)):
+    """quantile_disc-exact quantiles without a driver sort at any scale —
+    thin wrapper over the shared refinement engine (one constant group)."""
+    rows = _refined_quantiles(sf_dir, table, col, None, qs)
+    return pa.table({
+        "q": pa.array([q for _, q, _ in rows], pa.float64()),
+        "value": pa.array(_round(np.asarray([v for _, _, v in rows]), 4))})
+
+QREFINE_SQL = """
+SELECT 0.25 AS q, FLOOR(quantile_disc(l_extendedprice, 0.25)*10000+0.5)/10000 AS value FROM lineitem
+UNION ALL
+SELECT 0.5, FLOOR(quantile_disc(l_extendedprice, 0.5)*10000+0.5)/10000 FROM lineitem
+UNION ALL
+SELECT 0.75, FLOOR(quantile_disc(l_extendedprice, 0.75)*10000+0.5)/10000 FROM lineitem
+UNION ALL
+SELECT 0.95, FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000 FROM lineitem
+"""
+
+
+def grouped_quantiles_exact(sf_dir: str, qs: tuple = (0.5, 0.95)):
+    """Per-group exact quantiles at any scale over l_returnflag — the same
+    shared refinement engine with one (group, q) target per group; group
+    discovery and counts fold into round 1's full-range histogram scan."""
+    rows = _refined_quantiles(sf_dir, "lineitem", "l_extendedprice",
+                              "l_returnflag", qs)
+    return pa.table({
+        "l_returnflag": pa.array([g for g, _, _ in rows], pa.string()),
+        "q": pa.array([q for _, q, _ in rows], pa.float64()),
+        "value": pa.array(_round(np.asarray([v for _, _, v in rows]), 4))})
 
 GROUPED_QEXACT_SQL = """
 SELECT l_returnflag, 0.5 AS q,
@@ -5798,8 +5727,10 @@ def overlap_estimate_orders_customers(sf_dir: str):
     customer table's keys — the sketch answer to "what fraction of the FK
     domain is live" that needs NO join and NO shuffle at any scale: each
     side folds to 4 KB of registers via per-block partials; union comes
-    from a register max; intersection by inclusion-exclusion. Rows-only
-    (estimates); the error bound vs exact is pinned in tests."""
+    from a register max; intersection by inclusion-exclusion.
+    ``est_pk_coverage`` = intersection / |PK| (fraction of customers with
+    at least one order). Rows-only (estimates); error bounds pinned in
+    tests."""
     from ..functions.hashing import hash64
     from ..state.sketches import HyperLogLog
 
@@ -5833,5 +5764,5 @@ def overlap_estimate_orders_customers(sf_dir: str):
         "distinct_pk": pa.array([float(_round(nb, 1))]),
         "distinct_union": pa.array([float(_round(nu, 1))]),
         "est_intersection": pa.array([float(_round(inter, 1))]),
-        "est_fk_coverage": pa.array(
+        "est_pk_coverage": pa.array(
             [float(_round(inter / max(nb, 1.0), 4))])})

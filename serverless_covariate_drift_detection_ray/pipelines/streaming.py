@@ -68,6 +68,35 @@ class _RunningTotals:
         })
 
 
+def _feed_bucketed(ds, actors: list, route):
+    """Shared ordered-feed scaffold: stream ``ds`` batches in order, route
+    each batch's rows to bucket actors via ``route(batch) -> (bkt, calls)``
+    where ``calls[b]`` is the argument tuple for actors[b].process, with
+    4x-actor-count backpressure. preserve_order is REQUIRED while the
+    iterator drains: without it the streaming executor may yield sorted
+    blocks out of completion order, breaking every consumer whose state is
+    order-sensitive (running sums; window-close emission)."""
+    import ray
+    from ray.data import DataContext
+
+    pending: list = []
+    ctx = DataContext.get_current()
+    prior = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        for batch in ds.iter_batches(batch_size=STREAM_BATCH_ROWS,
+                                     batch_format="pyarrow"):
+            for b, args in route(batch):
+                pending.append(actors[int(b)].process.remote(*args))
+            if len(pending) > 4 * len(actors):  # backpressure the feed
+                ready, pending = ray.wait(pending,
+                                          num_returns=len(pending) // 2)
+                list(ready)
+        ray.get(pending)
+    finally:
+        ctx.execution_options.preserve_order = prior
+
+
 def streaming_running_totals(sf_dir: str):
     """Per-user total + peak running sum over the ts-ordered events log,
     computed INCREMENTALLY by bucket actors fed in stream order — the
@@ -81,32 +110,18 @@ def streaming_running_totals(sf_dir: str):
 
     actor_cls = ray.remote(_RunningTotals)
     actors = [actor_cls.remote() for _ in range(N_STREAM_BUCKETS)]
-    pending: list = []
-    # the in-order feed REQUIRES preserve_order: with the default (False)
-    # the streaming executor may yield sorted blocks out of completion
-    # order, silently corrupting max_running. The flag only matters while
-    # the iterator is consumed, so it is restored after the feed loop.
-    ctx = DataContext.get_current()
-    prior = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        for batch in ds.iter_batches(batch_size=STREAM_BATCH_ROWS,
-                                     batch_format="pyarrow"):
-            users = batch["user_id"].to_numpy()
-            values = batch["value"].to_numpy()
-            bkt = (hash64(users) % N_STREAM_BUCKETS).astype(np.int64)
-            for b in np.unique(bkt):
-                sel = bkt == b
-                # same-submitter → same-actor tasks run in submission order,
-                # so each actor sees its users' events in global ts order
-                pending.append(
-                    actors[int(b)].process.remote(users[sel], values[sel]))
-            if len(pending) > 4 * N_STREAM_BUCKETS:  # backpressure the feed
-                ready, pending = ray.wait(pending, num_returns=len(pending) // 2)
-                list(ready)
-        ray.get(pending)
-    finally:
-        ctx.execution_options.preserve_order = prior
+
+    def route(batch: pa.Table):
+        users = batch["user_id"].to_numpy()
+        values = batch["value"].to_numpy()
+        bkt = (hash64(users) % N_STREAM_BUCKETS).astype(np.int64)
+        # same-submitter → same-actor tasks run in submission order, so
+        # each actor sees its users' events in global ts order
+        for b in np.unique(bkt):
+            sel = bkt == b
+            yield b, (users[sel], values[sel])
+
+    _feed_bucketed(ds, actors, route)
     out = pd.concat(ray.get([a.finish.remote() for a in actors]),
                     ignore_index=True)
     out["total"] = _round(out["total"].to_numpy(), 2)
@@ -143,8 +158,8 @@ class _WindowHists:
 
     Windows are bucketed by hash(hour), so one actor owns each window
     outright — no cross-actor merge. Histogram accumulation commutes, so
-    the monitor needs the ordered feed only for its arrival semantics
-    (verdicts could be emitted at window close), not for correctness."""
+    correctness never depends on arrival order; the shared feeder still
+    preserves ts order, so window-close verdict emission would be sound."""
 
     def __init__(self, bins: int):
         self.bins = bins
@@ -180,9 +195,8 @@ def streaming_drift_monitor(sf_dir: str, bins: int = 256, lo: float = 0.0,
 
     actor_cls = ray.remote(_WindowHists)
     actors = [actor_cls.remote(bins) for _ in range(N_STREAM_BUCKETS)]
-    pending: list = []
-    for batch in ds.iter_batches(batch_size=STREAM_BATCH_ROWS,
-                                 batch_format="pyarrow"):
+
+    def route(batch: pa.Table):
         hour = pc.floor_temporal(batch["ts"], unit="hour").cast(
             pa.timestamp("us")).cast(pa.int64()).to_numpy()
         v = batch["value"].to_numpy()
@@ -190,12 +204,9 @@ def streaming_drift_monitor(sf_dir: str, bins: int = 256, lo: float = 0.0,
         bkt = (hash64(hour) % N_STREAM_BUCKETS).astype(np.int64)
         for b in np.unique(bkt):
             sel = bkt == b
-            pending.append(
-                actors[int(b)].process.remote(hour[sel], binned[sel]))
-        if len(pending) > 4 * N_STREAM_BUCKETS:  # backpressure the feed
-            ready, pending = ray.wait(pending, num_returns=len(pending) // 2)
-            list(ready)
-    ray.get(pending)
+            yield b, (hour[sel], binned[sel])
+
+    _feed_bucketed(ds, actors, route)
     merged = pd.concat(ray.get([a.finish.remote() for a in actors]),
                        ignore_index=True)
     return ks_windows_finish(merged.hour.to_numpy(), merged.h.to_numpy(),

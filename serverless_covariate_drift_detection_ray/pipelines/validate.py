@@ -144,6 +144,13 @@ def validate(
         "rows_processed": 0,
     }
     if not todo:
+        if cfg.quarantine:
+            # sink options are excluded from the resume fingerprint, so a
+            # fully-resumed run produces NO dead-letter output — say so
+            # instead of silently returning an empty/absent quarantine dir
+            summary["quarantine_skipped"] = (
+                "all partitions resumed; rerun with resume=False to "
+                "produce quarantine output")
         summary["wall_s"] = time.time() - t0
         return summary
     rows_todo = sum(f.rows for f in manifest.fragments if f.partition_id not in finished)

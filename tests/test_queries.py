@@ -536,3 +536,4 @@ def test_overlap_estimate_within_hll_error(ray_session, oracle):
     assert abs(got.distinct_fk - fk) <= 0.08 * fk + 2
     assert abs(got.distinct_pk - pk) <= 0.08 * pk + 2
     assert abs(got.est_intersection - inter) <= 0.16 * inter + 4
+    assert abs(got.est_pk_coverage - inter / pk) <= 0.2
