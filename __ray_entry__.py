@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps_per_user": relq.event_gaps_per_user,
         "dedup_events_debounce": relq.dedup_events_debounce,
         "streaming_running_totals": streaming.streaming_running_totals,
+        "streaming_running_totals_partitioned":
+            streaming.streaming_running_totals_partitioned,
         "streaming_drift_monitor": streaming.streaming_drift_monitor,
         "funnel_view_click_purchase": relq.funnel_view_click_purchase,
         "topn_orders_per_priority": relq.topn_orders_per_priority,
@@ -291,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling_events": relq.WINDOW_SQL,
         "window_hopping_events": relq.WINDOW_HOP_SQL,
         "chi2_by_window_events": relq.CHI2_WINDOW_SQL,
+        "ks_by_window_events": relq.KS_WINDOW_SQL,
         "asof_join_purchase_click": relq.ASOF_SQL,
         "interval_join_purchase_clicks": relq.INTERVAL_JOIN_SQL,
         "sessionize_events": relq.SESSIONIZE_SQL,
@@ -299,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps_per_user": relq.EVENT_GAPS_SQL,
         "dedup_events_debounce": relq.DEBOUNCE_SQL,
         "streaming_running_totals": streaming.STREAMING_TOTALS_SQL,
+        "streaming_running_totals_partitioned": streaming.STREAMING_TOTALS_SQL,
         "funnel_view_click_purchase": relq.FUNNEL_SQL,
         "grouped_quantiles_flag": relq.GROUPED_QUANTILES_SQL,
         "outlier_counts_lineitem": relq.OUTLIER_SQL,

@@ -303,26 +303,149 @@ def mmd_embeddings_drift(sf_dir: str):
 
 NEARDUP_COS_TAU = 0.4  # synthetic embeddings are near-orthogonal; max pair cos ~0.51
 NEARDUP_BROADCAST_MAX_DOCS = 200_000  # corpus matrix broadcast gate (~50 MB @64d)
+NEARDUP_LSH_TABLES = 12   # recall dial: 1-(1-p^planes)^tables; at cos=0.4
+#                           (p≈0.63/plane) 4 planes x 12 tables ≈ 0.87 recall
+NEARDUP_BUCKET_CAP = 8192  # max rows scored per (table, bucket) group
+_NEARDUP_CHUNK = 1024      # within-bucket matmul row-chunk (64 MB peak @cap)
 
 
-def embedding_neardup_pairs(sf_dir: str, tau: float = NEARDUP_COS_TAU):
+def _neardup_pairs_lsh(sf_dir: str, tau: float,
+                       n_tables: int = NEARDUP_LSH_TABLES,
+                       n_planes: int | None = None):
+    """Above-gate scale path for embedding near-dup pairs: multi-table
+    random-hyperplane LSH candidate generation with an exact within-bucket
+    verify — APPROXIMATE (recall 1-(1-p^planes)^tables per pair; precision
+    1.0 because every emitted pair carries its exact cosine).
+
+    Partitioning: each vector lands in ONE bucket per table, so the shuffle
+    ships n_tables copies of the corpus (the standard LSH space/recall
+    trade: scoring inside the bucket needs the vectors there; shipping
+    id-only candidates would force a second embedding-attach join). The
+    plane count is a bucket-size dial that grows with the corpus
+    (~2k expected rows/bucket) so the within-bucket all-pairs stays a
+    bounded matmul at any scale; hot buckets beyond NEARDUP_BUCKET_CAP are
+    scored on a deterministic smallest-hash subset with a logged warning.
+    Duplicate candidates across tables are dropped by a salted pair-hash
+    groupby (rounded-cos max — deterministic) BEFORE any driver contact;
+    nothing ever collects driver-side."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.hashing import splitmix64
+    from .queries import _salt_buckets
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_planes is None:
+        # ~2k expected rows per (table, bucket): within-bucket all-pairs is
+        # then ~4M dot products regardless of corpus size
+        n_planes = max(4, int(np.ceil(np.log2(max(n_rows, 1) / 2048 + 2))))
+    dim = _embedding_dim(sf_dir)
+    rng = np.random.Generator(np.random.PCG64(23))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    wrapped = {"ref": ray.put(planes)}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # stateless task: plane tensor reads zero-copy per call
+        pl = ray.get(wrapped["ref"])  # (t, p, d)
+        x = _to_matrix(batch["embedding"])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        shifts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        outs = []
+        for t in range(n_tables):
+            bucket = ((x @ pl[t].T) > 0) @ shifts
+            outs.append(pa.table({
+                "vec_id": batch["vec_id"],
+                "tbucket": pa.array((np.int64(t) << np.int64(n_planes))
+                                    | bucket.astype(np.int64)),
+                "embedding": batch["embedding"],
+            }))
+        return pa.concat_tables(outs)
+
+    _EMPTY = pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                           "vec_b": pd.array([], dtype="int64"),
+                           "cos": pd.array([], dtype="float64")})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.vec_id.to_numpy().astype(np.int64)
+        if ids.size < 2:
+            return _EMPTY
+        if ids.size > NEARDUP_BUCKET_CAP:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hot near-dup LSH bucket (%d rows): scoring deterministic "
+                "%d-subset", ids.size, NEARDUP_BUCKET_CAP)
+            h = splitmix64(ids.astype(np.uint64))
+            keep = np.argsort(h, kind="stable")[:NEARDUP_BUCKET_CAP]
+            df = df.iloc[np.sort(keep)]
+            ids = df.vec_id.to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.stack(df.embedding.to_numpy()[order])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked upper-triangle scan: peak memory chunk x n, never n^2
+        for lo in range(0, ids.size - 1, _NEARDUP_CHUNK):
+            hi = min(lo + _NEARDUP_CHUNK, ids.size)
+            cos = x[lo:hi] @ x[lo + 1:].T  # cols are global lo+1..n
+            rr, cc = np.nonzero(cos >= tau)
+            gi, gj = rr + lo, cc + lo + 1
+            keep = gj > gi  # strict upper triangle (ids sorted => id_i < id_j)
+            if keep.any():
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[gj[keep]])
+                out_c.append(_round(cos[rr[keep], cc[keep]], 6))
+        if not out_a:
+            return _EMPTY
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "cos": np.concatenate(out_c)})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cands = (ds.map_batches(bucketize, batch_format="pyarrow")
+             .groupby("tbucket").map_groups(bucket_pairs, batch_format="pandas"))
+
+    # distinct across tables: salted pair-hash buckets, rounded-cos max per
+    # pair (cross-bucket matmuls may differ in the last ulp pre-rounding)
+    nb = _salt_buckets(sf_dir, "embeddings")
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        a = batch["vec_a"].to_numpy().astype(np.uint64)
+        b = batch["vec_b"].to_numpy().astype(np.uint64)
+        h = splitmix64(splitmix64(a) * np.uint64(31) + splitmix64(b))
+        return batch.append_column(
+            "pbkt", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["vec_a", "vec_b"], sort=False)["cos"].max().reset_index()
+        return pd.DataFrame({"vec_a": g.vec_a.to_numpy().astype(np.int64),
+                             "vec_b": g.vec_b.to_numpy().astype(np.int64),
+                             "cos": g.cos.to_numpy().astype(np.float64)})
+
+    return (cands.map_batches(tag_pair, batch_format="pyarrow")
+            .groupby("pbkt").map_groups(dedup_pairs, batch_format="pandas"))
+
+
+def embedding_neardup_pairs(sf_dir: str, tau: float = NEARDUP_COS_TAU,
+                            max_broadcast_docs: int | None = None):
     """All pairs (i < j) with cosine similarity >= tau.
 
     Exact path: the L2-normalized corpus matrix is broadcast once (ray.put)
     when the table is provably small (parquet metadata count); each batch
     does one matmul against it and emits its rows' qualifying pairs — a
     block-nested-loop join that streams the left side. Beyond the gate the
-    LSH-bucketed candidate generator (ann_lsh_bucketed's Bucketize) with a
-    within-bucket exact verify is the scale path — approximate, so the exact
-    variant stays the oracle anchor."""
+    call routes to the LSH-bucketed candidate generator with a within-bucket
+    exact verify (_neardup_pairs_lsh) — documented-approximate (recall dial
+    in its docstring; precision stays 1.0), so the exact variant below the
+    gate stays the oracle anchor (EMB_NEARDUP_SQL)."""
     import pyarrow.parquet as pq
     import ray
 
+    if max_broadcast_docs is None:  # read at call time so tests can regate
+        max_broadcast_docs = NEARDUP_BROADCAST_MAX_DOCS
     n_docs = _read(sf_dir, "embeddings", ["vec_id"]).count()  # metadata-only
-    if n_docs > NEARDUP_BROADCAST_MAX_DOCS:
-        raise NotImplementedError(
-            "embedding_neardup_pairs above the broadcast gate: use the "
-            "LSH-bucketed path (ann_lsh_bucketed) + per-bucket verify")
+    if n_docs > max_broadcast_docs:
+        return _neardup_pairs_lsh(sf_dir, tau)
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     corpus_ids = qt["vec_id"].to_numpy().astype(np.int64)
@@ -530,13 +653,11 @@ def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
     emitter and only the edge list (2 int64/pair, gated at EMB_CC_MAX_PAIRS)
     lands on the driver for the CC solve; survivors are then emitted by a
     distributed filter against the broadcast dropped-id set. Above the pair
-    gate the CC itself runs distributed (cc_labels_distributed). The CORPUS
-    gate is the exact pair emitter's (NEARDUP_BROADCAST_MAX_DOCS — it
-    raises, honestly, beyond it): scaling past that means swapping in a
-    bounded candidate generator (the LSH banding of ann_lsh_bucketed plus a
-    within-bucket verify, exactly the machinery the phash near-dup path
-    already runs distributed) — the plumbing downstream of the pair Dataset
-    is generator-agnostic."""
+    gate the CC itself runs distributed (cc_labels_distributed). Above the
+    CORPUS gate (NEARDUP_BROADCAST_MAX_DOCS) the pair emitter routes to the
+    LSH-bucketed candidate generator + within-bucket exact verify
+    (_neardup_pairs_lsh) — documented-approximate edges; the plumbing
+    downstream of the pair Dataset is generator-agnostic."""
     import ray
 
     from ..functions.graph import cc_min_label

@@ -546,10 +546,10 @@ def ks_by_window_events(sf_dir: str, bins: int = 256, lo: float = 0.0,
     """Per-window KS drift of ``value`` vs the stream's global distribution
     — the numeric twin of ``chi2_by_window_events``, using the flagship's
     histogram-KS path (binned ECDFs, asymptotic two-sample p-value) so the
-    exchange is per-window BIN COUNTS, never raw values. Rows-only query:
-    the p-value has no SQL equivalent; the D statistic and the histogram
-    machinery are oracled/unit-tested elsewhere (ks_purchase_click_hist,
-    state/sketches KS tests).
+    exchange is per-window BIN COUNTS, never raw values. Oracled end to end
+    (KS_WINDOW_SQL): the asymptotic p-value is itself a truncated 100-term
+    series (functions/stats.py kolmogorov_sf), reproduced term-for-term in
+    DuckDB via range(1,101).
 
     Shape: per-block (hour -> int64[bins] blob) partials → salted
     row-count-scaled merge → windows x bins driver finish."""
@@ -635,6 +635,58 @@ SELECT j.h AS hour, CAST(j.hn AS BIGINT) AS n,
   FLOOR(SUM(POWER(j.n - j.hn * j.gn / ga.g_all, 2)
             / (j.hn * j.gn / ga.g_all)) * 10000 + 0.5) / 10000 AS chi2
 FROM j, ga GROUP BY 1, 2
+"""
+
+
+# SQL twin of ks_by_window_events + ks_windows_finish: window-bucketed bin
+# counts -> per-window ECDF vs rest-of-stream ECDF sup-distance, then the
+# SAME truncated asymptotic Kolmogorov series the engine uses
+# (functions/stats.py kolmogorov_sf: 2 Σ_{j=1..100} (-1)^{j-1} e^{-2 j² λ²},
+# λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n·m/(n+m)) — term form and clamps
+# mirrored exactly so the 1e-6 rounding matches.
+KS_WINDOW_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         LEAST(GREATEST(CAST(trunc(value / (500.0 / 256)) AS BIGINT), 0), 255) AS bin,
+         COUNT(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT h.hour, b.range AS bin
+  FROM (SELECT DISTINCT hour FROM c) h CROSS JOIN range(0, 256) b),
+f AS (
+  SELECT g.hour, g.bin, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN c ON c.hour = g.hour AND c.bin = g.bin),
+gl AS (SELECT bin, SUM(n) AS gn FROM f GROUP BY 1),
+hn AS (SELECT hour, SUM(n) AS nh FROM f GROUP BY 1),
+cum AS (
+  SELECT f.hour, f.bin,
+         SUM(f.n) OVER (PARTITION BY f.hour ORDER BY f.bin) AS ch,
+         SUM(gl.gn - f.n) OVER (PARTITION BY f.hour ORDER BY f.bin) AS cr
+  FROM f JOIN gl ON gl.bin = f.bin),
+d AS (
+  SELECT cum.hour, hn.nh,
+         (SELECT SUM(x.n) FROM f x) - hn.nh AS nr,
+         MAX(ABS(cum.ch / GREATEST(hn.nh, 1)
+                 - cum.cr / GREATEST((SELECT SUM(x.n) FROM f x) - hn.nh, 1))) AS ks_d
+  FROM cum JOIN hn ON hn.hour = cum.hour
+  GROUP BY cum.hour, hn.nh),
+lam AS (
+  SELECT hour, nh, ks_d,
+         (SQRT(nh * nr / GREATEST(nh + nr, 1)) + 0.12
+          + 0.11 / SQRT(nh * nr / GREATEST(nh + nr, 1))) * ks_d AS l
+  FROM d),
+p AS (
+  SELECT lam.hour, lam.nh, lam.ks_d,
+         CASE WHEN lam.l < 1e-10 THEN 1.0 ELSE LEAST(GREATEST(
+           (SELECT SUM(2.0 * POWER(-1.0, j.range - 1)
+                      * EXP(-2.0 * j.range * j.range * lam.l * lam.l))
+            FROM range(1, 101) j), 0.0), 1.0) END AS pv
+  FROM lam)
+SELECT hour, CAST(nh AS BIGINT) AS n,
+       FLOOR(ks_d * 1000000 + 0.5) / 1000000 AS ks_d,
+       FLOOR(pv * 1000000 + 0.5) / 1000000 AS p_value,
+       pv <= 0.01 AS is_drift
+FROM p
 """
 
 

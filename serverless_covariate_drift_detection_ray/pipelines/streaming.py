@@ -47,16 +47,33 @@ class _RunningTotals:
         self.peak: dict[int, float] = {}
 
     def process(self, users: np.ndarray, values: np.ndarray) -> int:
-        """Consume one time-ordered micro-batch slice. Python-level loop over
-        rows is acceptable here ONLY because each bucket actor sees ~1/N of
-        the stream and the op is a demo of the stateful shape; a hot path
-        would segment by user inside the batch and np.maximum.accumulate."""
+        """Consume one time-ordered micro-batch slice, fully vectorized:
+        stable-sort segments the batch by user (equal keys keep arrival =
+        ts order), one cumsum gives every running value, and
+        np.maximum.reduceat takes each segment's running peak — the only
+        Python-level work is ONE dict update per distinct user in the
+        batch, not per row."""
+        if not len(users):
+            return 0
+        order = np.argsort(users, kind="stable")
+        u = users[order]
+        v = values[order].astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], u.size]
+        uniq = u[starts]
         s, p = self.sum, self.peak
-        for u, v in zip(users.tolist(), values.tolist()):
-            ns = s.get(u, 0.0) + v
-            s[u] = ns
-            if ns > p.get(u, -np.inf):
-                p[u] = ns
+        base = np.array([s.get(int(x), 0.0) for x in uniq])
+        cs = np.cumsum(v)
+        seg_len = ends - starts
+        # running sum = batch cumsum − cumsum at segment start + carried base
+        run = cs - np.repeat(np.r_[0.0, cs[starts[1:] - 1]], seg_len) \
+            + np.repeat(base, seg_len)
+        finals = run[ends - 1]
+        peaks = np.maximum.reduceat(run, starts)
+        for x, fin, pk in zip(uniq.tolist(), finals.tolist(), peaks.tolist()):
+            s[x] = fin
+            if pk > p.get(x, -np.inf):
+                p[x] = pk
         return len(users)
 
     def finish(self) -> pd.DataFrame:
@@ -95,6 +112,67 @@ def _feed_bucketed(ds, actors: list, route):
         ray.get(pending)
     finally:
         ctx.execution_options.preserve_order = prior
+
+
+def _feed_partitioned(make_partition_ds, actors: list, route,
+                      n_feeders: int) -> None:
+    """Multi-node ordered feed: one feeder TASK per log partition, each
+    streaming ITS partition's rows in ts order through the same
+    ``_feed_bucketed`` scaffold (same in-order-per-submitter guarantee,
+    now per feeder). Correctness requires the Kafka-consumer assumption
+    the module docstring names: the partitioning key must co-locate a
+    key's events in ONE log partition, so per-key order is preserved even
+    though different feeders' calls interleave at each actor. On a real
+    cluster each feeder runs next to its partition's storage; here the
+    partitions are hash-filtered reads of the same parquet."""
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    def feeder(fid: int) -> int:
+        _feed_bucketed(make_partition_ds(fid), actors, route)
+        return fid
+
+    ray.get([feeder.remote(f) for f in range(n_feeders)])
+
+
+def streaming_running_totals_partitioned(sf_dir: str, n_feeders: int = 2):
+    """Multi-feeder twin of ``streaming_running_totals``: the log is
+    partitioned by hash(user_id) % n_feeders (a user's events live wholly
+    in one partition), each feeder task streams its partition ts-ordered
+    to the SAME bucket actors. Must equal the single-feeder path exactly
+    (pinned in tests) — per-user running order is preserved inside one
+    feeder, and cross-user interleaving never affects per-user state."""
+    import ray
+
+    actor_cls = ray.remote(_RunningTotals)
+    actors = [actor_cls.remote() for _ in range(N_STREAM_BUCKETS)]
+
+    def make_partition_ds(fid: int):
+        def part_filter(batch: pa.Table) -> pa.Table:
+            sel = (hash64(batch["user_id"].to_numpy(), seed=5)
+                   % n_feeders) == fid
+            return batch.filter(pa.array(sel))
+
+        return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+                .map_batches(part_filter, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .sort(["ts", "event_id"]))
+
+    def route(batch: pa.Table):
+        users = batch["user_id"].to_numpy()
+        values = batch["value"].to_numpy()
+        bkt = (hash64(users) % N_STREAM_BUCKETS).astype(np.int64)
+        for b in np.unique(bkt):
+            sel = bkt == b
+            yield b, (users[sel], values[sel])
+
+    _feed_partitioned(make_partition_ds, actors, route, n_feeders)
+    out = pd.concat(ray.get([a.finish.remote() for a in actors]),
+                    ignore_index=True)
+    out["total"] = _round(out["total"].to_numpy(), 2)
+    out["max_running"] = _round(out["max_running"].to_numpy(), 2)
+    return pa.Table.from_pandas(out.sort_values("user_id").reset_index(drop=True),
+                                preserve_index=False)
 
 
 def streaming_running_totals(sf_dir: str):

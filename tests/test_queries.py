@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (135 queries, 118 oracled) runs in the driver's correctness
+The full sweep (136 queries, 120 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -115,6 +115,43 @@ def test_ann_ivf_recall_vs_exact(ray_session):
     # reported cosines must be the true similarities (exact within-cell math)
     merged = ivf.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_i", "_e"))
     assert np.allclose(merged.cos_i, merged.cos_e, atol=1e-9)
+
+
+def test_embedding_neardup_lsh_path_above_gate(ray_session):
+    """Above NEARDUP_BROADCAST_MAX_DOCS the pair emitter must route to the
+    LSH+within-bucket-verify scale path (no NotImplementedError left on any
+    queries() path): precision 1.0 (every emitted pair is a true >=tau pair
+    with its exact cosine) and recall per the 12-table/4-plane dial
+    (expected ~0.87 at cos 0.4; measured 0.86/0.92 at sf0.001/0.01 —
+    deterministic: fixed seed + fixed fixture)."""
+    from serverless_covariate_drift_detection_ray.pipelines import ann
+
+    exact = _to_df(ann.embedding_neardup_pairs(SF))
+    lsh = _to_df(ann.embedding_neardup_pairs(SF, max_broadcast_docs=0))
+    epairs = set(zip(exact.vec_a, exact.vec_b))
+    lpairs = set(zip(lsh.vec_a, lsh.vec_b))
+    assert lpairs <= epairs  # precision 1.0
+    assert len(lpairs & epairs) >= len(epairs) * 0.75
+    merged = lsh.merge(exact, on=["vec_a", "vec_b"], suffixes=("_l", "_e"))
+    assert np.allclose(merged.cos_l, merged.cos_e, atol=2e-6)
+
+
+def test_dedup_semantic_above_gate_consistent(ray_session):
+    """Semantic dedup through the approximate pair emitter must still be a
+    valid dedup: survivors unique, total cluster mass equals the corpus."""
+    from serverless_covariate_drift_detection_ray.pipelines import ann
+
+    try:
+        orig = ann.NEARDUP_BROADCAST_MAX_DOCS
+        ann.NEARDUP_BROADCAST_MAX_DOCS = 0
+        out = _to_df(ann.dedup_semantic_embeddings(SF))
+    finally:
+        ann.NEARDUP_BROADCAST_MAX_DOCS = orig
+    assert out.vec_id.is_unique
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    assert int(out.cluster_size.sum()) == n
 
 
 def test_minhash_fallback_join_path_matches_broadcast(ray_session, monkeypatch):
@@ -537,3 +574,20 @@ def test_overlap_estimate_within_hll_error(ray_session, oracle):
     assert abs(got.distinct_pk - pk) <= 0.08 * pk + 2
     assert abs(got.est_intersection - inter) <= 0.16 * inter + 4
     assert abs(got.est_pk_coverage - inter / pk) <= 0.2
+
+
+def test_partitioned_feed_matches_single_feeder(ray_session):
+    """The multi-node ordered-feed shape (one feeder task per hash(user)
+    log partition) must produce BIT-IDENTICAL state to the single driver
+    feeder: a user's events ride one feeder, so per-user order is global
+    ts order in both shapes."""
+    from serverless_covariate_drift_detection_ray.pipelines.streaming import (
+        streaming_running_totals,
+        streaming_running_totals_partitioned,
+    )
+
+    single = _canon(_to_df(streaming_running_totals(SF)))
+    multi = _canon(_to_df(streaming_running_totals_partitioned(SF, n_feeders=2)))
+    pd.testing.assert_frame_equal(single, multi, check_exact=True)
+    three = _canon(_to_df(streaming_running_totals_partitioned(SF, n_feeders=3)))
+    pd.testing.assert_frame_equal(single, three, check_exact=True)
