@@ -1026,14 +1026,18 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
 
 
 def build_ivf_index(sf_dir: str, index_dir: str,
-                    n_cells: int = IVF_N_CELLS) -> dict:
+                    n_cells: int = IVF_N_CELLS,
+                    centroids: np.ndarray | None = None) -> dict:
     """Build (or reuse) the on-disk IVF index for the embeddings table.
 
-    Layout: ``index_dir/meta.json`` (centroids + source fingerprint),
-    ``index_dir/cells/cell=NN/*.parquet`` (corpus rows hive-partitioned by
-    nearest-centroid cell). Crash-safe: cells land under a tmp dir first and
-    the meta.json write publishes the index last; a stale/partial build
-    (fingerprint mismatch or missing meta) is rebuilt."""
+    Layout: ``index_dir/meta.json`` (centroids + source fingerprint + the
+    MANIFEST of cell files — queries read only manifest-listed files, so
+    half-appended orphans are invisible), ``index_dir/cells/cell=NN/
+    *.parquet`` (corpus rows hive-partitioned by nearest-centroid cell).
+    Crash-safe: cells land under a tmp dir first and the meta.json write
+    publishes the index last; a stale/partial build (fingerprint mismatch
+    or missing meta) is rebuilt. ``centroids`` skips training (the append
+    path and parity tests hand frozen centroids in)."""
     import json
 
     import ray
@@ -1053,19 +1057,51 @@ def build_ivf_index(sf_dir: str, index_dir: str,
         with open(meta_path) as fh:
             meta = json.load(fh)
         if (meta.get("fingerprint") == fingerprint
-                and meta.get("sf_dir") == sf_dir):
+                and meta.get("sf_dir") == sf_dir
+                and "files" in meta):  # pre-manifest layouts rebuild
             return meta
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    centroids = _ivf_train_centroids(sf_dir, n_cells)
-    wrapped = {"ref": ray.put(centroids)}
+    if centroids is None:
+        centroids = _ivf_train_centroids(sf_dir, n_cells)
+
+    cells_tmp = os.path.join(index_dir, "cells.tmp")
+    cells_dir = os.path.join(index_dir, "cells")
+    import shutil
+
+    shutil.rmtree(cells_tmp, ignore_errors=True)
+    shutil.rmtree(cells_dir, ignore_errors=True)
+    os.makedirs(cells_tmp, exist_ok=True)
+    ds.map_batches(_cell_assigner(centroids), batch_format="pyarrow",
+                   zero_copy_batch=True).repartition(n_cells).write_parquet(
+        cells_tmp, partition_cols=["cell"])
+    os.replace(cells_tmp, cells_dir)
+    meta = {"sf_dir": sf_dir, "source_rows": n_rows,
+            "fingerprint": fingerprint, "n_cells": n_cells,
+            "centroids": centroids.tolist(),
+            "files": _list_cell_files(cells_dir),
+            "appended": []}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def _cell_assigner(centroids: np.ndarray):
+    """Shared build/append stage: corpus rows (queries never enter the
+    index) -> (cell, vec_id, embedding) by nearest centroid. The centroid
+    matrix is broadcast once and read zero-copy per task."""
+    import ray
+
+    wrapped = {"ref": ray.put(np.asarray(centroids, dtype=np.float64))}
 
     def assign(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         c = _ray.get(wrapped["ref"])
         ids = batch["vec_id"].to_numpy().astype(np.int64)
-        corpus = ids >= N_QUERIES  # queries never enter the index
+        corpus = ids >= N_QUERIES
         sub = batch.filter(pa.array(corpus))
         if sub.num_rows == 0:
             return pa.table({"cell": pa.array([], pa.int64()),
@@ -1078,20 +1114,80 @@ def build_ivf_index(sf_dir: str, index_dir: str,
                          "vec_id": sub["vec_id"],
                          "embedding": sub["embedding"]})
 
-    cells_tmp = os.path.join(index_dir, "cells.tmp")
-    cells_dir = os.path.join(index_dir, "cells")
+    return assign
+
+
+def _list_cell_files(root: str) -> dict[str, list[str]]:
+    files: dict[str, list[str]] = {}
+    if not os.path.isdir(root):
+        return files
+    for d in sorted(os.listdir(root)):
+        if d.startswith("cell="):
+            cell = d.split("=", 1)[1]
+            files[cell] = sorted(f for f in os.listdir(os.path.join(root, d))
+                                 if f.endswith(".parquet"))
+    return files
+
+
+def append_ivf_index(index_dir: str, new_parquet: str) -> dict:
+    """Extend a built IVF index with a new source fragment WITHOUT
+    retraining centroids — the index twin of ``extend_reference``
+    (state/reference.py): the frozen model (centroids) stays fixed, new
+    rows are assigned and appended, and the paired fingerprint/manifest
+    update publishes LAST, atomically. Crash mid-append leaves orphan
+    files that no query ever reads (queries open only manifest-listed
+    files); re-running the same append is a no-op (source fingerprint
+    recorded in meta['appended'])."""
+    import json
     import shutil
 
-    shutil.rmtree(cells_tmp, ignore_errors=True)
-    shutil.rmtree(cells_dir, ignore_errors=True)
-    os.makedirs(cells_tmp, exist_ok=True)
-    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
-                   ).repartition(n_cells).write_parquet(
-        cells_tmp, partition_cols=["cell"])
-    os.replace(cells_tmp, cells_dir)
-    meta = {"sf_dir": sf_dir, "source_rows": n_rows,
-            "fingerprint": fingerprint, "n_cells": n_cells,
-            "centroids": centroids.tolist()}
+    import ray.data
+
+    import pyarrow.parquet as pq_
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    st = os.stat(new_parquet)
+    frag_rows = pq_.ParquetFile(new_parquet).metadata.num_rows
+    frag_fp = f"{frag_rows}:{st.st_size}:{st.st_mtime_ns}"
+    if any(a["fingerprint"] == frag_fp for a in meta["appended"]):
+        return meta  # idempotent re-append
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+
+    k = len(meta["appended"])
+    app_tmp = os.path.join(index_dir, f"append.tmp.{k}")
+    shutil.rmtree(app_tmp, ignore_errors=True)
+    os.makedirs(app_tmp, exist_ok=True)
+    ds = ray.data.read_parquet(new_parquet, columns=["vec_id", "embedding"])
+    ds.map_batches(_cell_assigner(centroids), batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        app_tmp, partition_cols=["cell"])
+
+    # move fragment files into the live cell dirs under unique names; they
+    # stay invisible until the manifest (meta.json) publishes them
+    cells_dir = os.path.join(index_dir, "cells")
+    new_files: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(app_tmp)):
+        if not d.startswith("cell="):
+            continue
+        cell = d.split("=", 1)[1]
+        dst_dir = os.path.join(cells_dir, d)
+        os.makedirs(dst_dir, exist_ok=True)
+        for i, f in enumerate(sorted(os.listdir(os.path.join(app_tmp, d)))):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"a{k}-{i}-{f}"
+            os.replace(os.path.join(app_tmp, d, f),
+                       os.path.join(dst_dir, name))
+            new_files.setdefault(cell, []).append(name)
+    shutil.rmtree(app_tmp, ignore_errors=True)
+
+    for cell, names in new_files.items():
+        meta["files"].setdefault(cell, []).extend(names)
+    meta["appended"].append({"source": new_parquet, "rows": frag_rows,
+                             "fingerprint": frag_fp})
+    meta["source_rows"] = meta["source_rows"] + frag_rows
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -1105,13 +1201,24 @@ def ann_ivf_persistent(sf_dir: str, nprobe: int = IVF_NPROBE):
     probed ``cell=NN`` directories — nprobe/n_cells of the index bytes —
     plus the tiny query rows. Same exact within-cell math and per-query
     merge as ann_ivf_cosine, so results match it wherever probes agree."""
-    import ray
-    import ray.data
-
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = f"/tmp/scdd_ivf/{tag}"
     os.makedirs(index_dir, exist_ok=True)
-    meta = build_ivf_index(sf_dir, index_dir)
+    build_ivf_index(sf_dir, index_dir)
+    return _ivf_query(index_dir, sf_dir, nprobe)
+
+
+def _ivf_query(index_dir: str, sf_dir: str, nprobe: int = IVF_NPROBE):
+    """Probed-cell query pass against an already-built index: opens only
+    the manifest-listed files of the nprobe nearest cells per query (a
+    half-appended index is invisible until its meta publishes)."""
+    import json
+
+    import ray
+    import ray.data
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
 
     # queries: a bounded id-pruned read (N_QUERIES rows)
@@ -1124,14 +1231,13 @@ def ann_ivf_persistent(sf_dir: str, nprobe: int = IVF_NPROBE):
     p = min(nprobe, sim.shape[1])
     probes = np.argpartition(-sim, p - 1, axis=1)[:, :p]  # (nq, p)
 
-    # prune at the read: only probed cell directories are opened
+    # prune at the read: only the probed cells' MANIFEST-LISTED files open
     needed = sorted({int(c) for c in probes.ravel()})
     paths = []
     for c in needed:
         d = os.path.join(index_dir, "cells", f"cell={c}")
-        if os.path.isdir(d):
-            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                         if f.endswith(".parquet"))
+        paths.extend(os.path.join(d, f)
+                     for f in meta.get("files", {}).get(str(c), []))
     cell_of_query: dict[int, list[int]] = {}
     for qi, row in zip(qids, probes):
         for c in row:

@@ -49,6 +49,58 @@ def _round(x, d: int):
     return np.floor(np.asarray(x, dtype=np.float64) * s + 0.5) / s
 
 
+def _ensure_staged_cache(out_dir: str, write_fn) -> None:
+    """Content-fingerprinted sink cache (jsonl/csv roundtrips): per-process
+    staging + atomic rename. Stale sibling fingerprints of the same table
+    prefix are pruned before writing (regenerated fixtures change
+    size/mtime and would otherwise accumulate dead dirs forever), and the
+    rename fallback re-checks the published marker — an OSError there is
+    only benign when a concurrent writer actually won; anything else
+    re-raises instead of leaving a confusing missing-dir failure later."""
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    parent = os.path.dirname(out_dir)
+    prefix = os.path.basename(out_dir).rsplit("_", 2)[0] + "_"
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            # never touch live staging dirs (*.tmp.<pid>) or the target
+            if (d.startswith(prefix) and ".tmp." not in d
+                    and os.path.join(parent, d) != out_dir):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):  # not a concurrent winner
+            raise
+
+
+def _footer_min_max(sf_dir: str, table: str, col: str):
+    """(min, max) of a column from parquet FOOTER row-group statistics — no
+    data read. Returns None when any row group lacks stats (caller treats
+    the domain as unknown rather than wrong)."""
+    import pyarrow.parquet as pq_
+
+    pf = pq_.ParquetFile(f"{sf_dir}/{table}.parquet")
+    ci = pf.schema_arrow.get_field_index(col)
+    lo, hi = None, None
+    for g in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(g).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     for col, d in spec.items():
         df[col] = _round(df[col].to_numpy(), d)
@@ -1088,6 +1140,37 @@ def _sorted_column(sf_dir: str, table: str, col: str) -> np.ndarray:
         b[col].to_numpy()
         for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
     ]))
+
+
+QFIT_DRIVER_MAX_ROWS = 50_000_000  # one pruned float64 column, ~400 MB
+
+
+def _fit_bounds_gated(sf_dir: str, table: str, col: str, qs) -> np.ndarray:
+    """Quantile-boundary fit shared by the discretize/winsorize ops:
+    driver-exact sort of the ONE pruned column below QFIT_DRIVER_MAX_ROWS
+    (the oracle anchor — discrete data values, bit-identical comparisons),
+    per-block t-digest partials merged on the driver above it (one ~2 KB
+    digest per block; approximate, accuracy pinned in tests)."""
+    import pyarrow.parquet as pq_
+
+    n = pq_.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    if n <= QFIT_DRIVER_MAX_ROWS:
+        vals = _sorted_column(sf_dir, table, col)
+        return np.array([float(vals[max(int(np.ceil(q * n)) - 1, 0)])
+                         for q in qs])
+    from ..state.sketches import TDigest
+
+    ds = _read(sf_dir, table, [col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        td = TDigest()
+        td.update(batch[col].to_numpy())
+        return pa.table({"blob": pa.array([td.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    merged = TDigest.merge_many([TDigest.from_bytes(b) for b in blobs.blob])
+    return np.asarray(merged.quantile(list(qs)), dtype=np.float64)
 
 
 def quantiles_extendedprice(sf_dir: str):
@@ -2978,17 +3061,16 @@ FROM events WHERE event_type = 'purchase'
 
 def bin_prices_quartile(sf_dir: str):
     """Quantile feature binning (the discretization step of feature
-    engineering): PERCENTILE_DISC quartile boundaries are fit once —
-    driver-side on the one pruned column for oracle exactness; the t-digest
-    sketch is the at-scale fit path (accuracy pinned in tests) — then
-    broadcast, and the bin assignment is a distributed per-batch
-    searchsorted + bincount partial. Discrete (data-value) boundaries keep
-    the <= comparisons bit-identical on both engines."""
+    engineering): PERCENTILE_DISC quartile boundaries are fit once via
+    _fit_bounds_gated — driver-exact on the one pruned column below the
+    row gate (oracle exactness), merged t-digest partials above it
+    (accuracy pinned in tests) — then broadcast, and the bin assignment is
+    a distributed per-batch searchsorted + bincount partial. Discrete
+    (data-value) boundaries keep the <= comparisons bit-identical on both
+    engines."""
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    vals = _sorted_column(sf_dir, "lineitem", "l_extendedprice")
-    n = vals.size
-    bounds = np.array([vals[max(int(np.ceil(q * n)) - 1, 0)]
-                       for q in (0.25, 0.5, 0.75)])
+    bounds = _fit_bounds_gated(sf_dir, "lineitem", "l_extendedprice",
+                               (0.25, 0.5, 0.75))
 
     def assign(batch: pa.Table) -> pa.Table:
         v = batch["l_extendedprice"].to_numpy()
@@ -4449,6 +4531,13 @@ def pagerank_customers_distributed(sf_dir: str, iters: int = PAGERANK_ITERS,
     from ..functions.hashing import hash64
 
     N = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    # same node-domain guard as the driver path, from parquet FOOTER min/max
+    # (no data read): a 1-based or sparse key space would silently route rank
+    # mass to nonexistent nodes exactly at the scale this path is chosen for
+    mm = _footer_min_max(sf_dir, "orders", "o_custkey")
+    if mm is not None and (mm[0] < 0 or mm[1] >= N):
+        raise ValueError("pagerank_customers requires 0-based contiguous "
+                         "c_custkey in [0, N)")
     B = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
     M = np.int64(4294967296)
 
@@ -4915,7 +5004,6 @@ def jsonl_roundtrip_events(sf_dir: str):
             "ts_us": batch["ts"].cast(pa.int64())})
 
     import os
-    import shutil
 
     # content-fingerprinted cache + per-process staging + atomic rename
     # (the partition_roundtrip_events sink convention): concurrent callers
@@ -4924,17 +5012,8 @@ def jsonl_roundtrip_events(sf_dir: str):
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = (f"/tmp/scdd_jsonl/{tag}/"
                f"events_{st.st_size}_{st.st_mtime_ns}")
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        tmp = f"{out_dir}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.map_batches(project, batch_format="pyarrow",
-                       zero_copy_batch=True).write_json(tmp)
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:  # concurrent writer won the rename; use its copy
-            shutil.rmtree(tmp, ignore_errors=True)
+    _ensure_staged_cache(out_dir, lambda tmp: ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True).write_json(tmp))
 
     back = ray.data.read_json(
         [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
@@ -5118,15 +5197,14 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 
 def winsorize_lineitem(sf_dir: str, p_lo: float = 0.01, p_hi: float = 0.99):
     """Winsorization audit: clip l_extendedprice at the discrete p01/p99
-    boundaries (fit like bin_prices_quartile: driver-exact on the one pruned
-    column for the oracle, t-digest at scale), then report clipped counts
-    and the post-clip mean/std from one pass of moment partials over the
-    CLIPPED values — the robust-stats companion to impute_value_events."""
+    boundaries (fit via _fit_bounds_gated: driver-exact on the one pruned
+    column below the row gate — the oracle anchor — merged t-digest
+    partials above it), then report clipped counts and the post-clip
+    mean/std from one pass of moment partials over the CLIPPED values —
+    the robust-stats companion to impute_value_events."""
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
-    vals = _sorted_column(sf_dir, "lineitem", "l_extendedprice")
-    n = vals.size
-    lo = float(vals[max(int(np.ceil(p_lo * n)) - 1, 0)])
-    hi = float(vals[max(int(np.ceil(p_hi * n)) - 1, 0)])
+    lo, hi = (float(b) for b in _fit_bounds_gated(
+        sf_dir, "lineitem", "l_extendedprice", (p_lo, p_hi)))
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch["l_extendedprice"].to_numpy()
@@ -5187,7 +5265,6 @@ def csv_roundtrip_orders(sf_dir: str):
     per-status counts, cent sums and an order-independent key checksum. The
     oracle computes the same aggregates straight from the parquet."""
     import os
-    import shutil
 
     import ray.data
 
@@ -5206,17 +5283,8 @@ def csv_roundtrip_orders(sf_dir: str):
     st = os.stat(f"{sf_dir}/orders.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = f"/tmp/scdd_csv/{tag}/orders_{st.st_size}_{st.st_mtime_ns}"
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if not os.path.exists(marker):
-        tmp = f"{out_dir}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.map_batches(project, batch_format="pyarrow",
-                       zero_copy_batch=True).write_csv(tmp)
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+    _ensure_staged_cache(out_dir, lambda tmp: ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True).write_csv(tmp))
 
     back = ray.data.read_csv(
         [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
@@ -5570,6 +5638,10 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
 
     def first_partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy()
+        if not v.size:  # zero-row block: mirror hist_partial's empty guard
+            return pa.table({"g": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
         gv = (batch[gcol].to_numpy(zero_copy_only=False) if gcol
               else np.full(v.size, "", dtype=object))
         idx = np.minimum(((v - vmin) / max(w0, 1e-300)).astype(np.int64),

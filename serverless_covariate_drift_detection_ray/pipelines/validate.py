@@ -120,6 +120,89 @@ def _column_stats_rows(pid: int, ps: PartialState) -> list[dict]:
     return rows
 
 
+def _swap_quarantine_partitions(qroot: str, qtmp: str, todo) -> None:
+    """Per-partition atomic swap: a partial/resume run must replace ONLY the
+    partitions it just validated, never clobber the rest; partitions in
+    ``todo`` with no freshly-written dir have their stale dirs cleared."""
+    import shutil
+
+    os.makedirs(qroot, exist_ok=True)
+    written = {d for d in os.listdir(qtmp) if d.startswith("partition_id=")}
+    for pid in todo:
+        name = f"partition_id={pid}"
+        dst = os.path.join(qroot, name)
+        stale = dst + ".old"
+        shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, stale)
+        if name in written:
+            os.rename(os.path.join(qtmp, name), dst)
+        shutil.rmtree(stale, ignore_errors=True)
+    shutil.rmtree(qtmp, ignore_errors=True)
+
+
+def _quarantine_streamed(manifest: TableManifest, out_dir: str, todo) -> int:
+    """Follow-up dead-letter job for the streamed-violations path: the
+    violating ids were never assembled driver-side, so each partition's
+    quarantine is built FROM ITS OWN written violations.parquet by a remote
+    task — read the partition's violating ids, zone-map-prune its fragments,
+    re-read only those that can match, filter, write. No global id set ever
+    exists anywhere; per-task memory is one fragment plus that partition's
+    violating rows. Same hive layout + per-partition atomic swap as the
+    driver path, so a repair job can't tell which path ran."""
+    import shutil
+
+    import ray
+
+    viol_root = os.path.join(out_dir, "violations")
+    qroot = os.path.join(out_dir, "quarantine")
+    qtmp = f"{qroot}.tmp.{os.getpid()}"
+    shutil.rmtree(qtmp, ignore_errors=True)
+    os.makedirs(qtmp, exist_ok=True)
+
+    frags_of: dict[int, list[tuple[str, tuple | None]]] = {}
+    for f in manifest.fragments:
+        frags_of.setdefault(f.partition_id, []).append(
+            (os.path.join(manifest.root, f.file), (f.stats or {}).get("image_id")))
+
+    @ray.remote
+    def quarantine_partition(pid: int) -> int:
+        vfile = os.path.join(viol_root, f"partition_id={pid}",
+                             "violations.parquet")
+        if not os.path.exists(vfile):
+            return 0
+        bad = np.unique(pq.read_table(vfile, columns=["image_id"])["image_id"]
+                        .to_numpy(zero_copy_only=False).astype(object))
+        if not bad.size:
+            return 0
+        sorted_bad = np.sort(bad)
+        parts = []
+        for path, st in frags_of.get(pid, []):
+            if st is not None:  # zone-map prune (stats-less legacy kept)
+                lo_i = int(np.searchsorted(sorted_bad, st[0], side="left"))
+                if not (lo_i < sorted_bad.size and sorted_bad[lo_i] <= st[1]):
+                    continue
+            t = pq.read_table(path)
+            m = np.isin(t["image_id"].to_numpy(zero_copy_only=False), bad)
+            if m.any():
+                parts.append(t.filter(pa.array(m)))
+        if not parts:
+            return 0
+        out = pa.concat_tables(parts)
+        if "partition_id" in out.column_names:  # hive layout drops the key col
+            out = out.drop_columns(["partition_id"])
+        d = os.path.join(qtmp, f"partition_id={pid}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "quarantine.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(d, "quarantine.parquet"))
+        return out.num_rows
+
+    counts = ray.get([quarantine_partition.remote(pid) for pid in todo])
+    _swap_quarantine_partitions(qroot, qtmp, todo)
+    return int(sum(counts))
+
+
 def validate(
     manifest_dir: str,
     ref_state_dir: str,
@@ -479,22 +562,7 @@ def validate(
                                 os.path.join(dirpath, f)).metadata.num_rows
             else:  # clean run: nothing to write, but stale dirs still clear
                 os.makedirs(qtmp, exist_ok=True)
-            # per-partition atomic swap: a partial/resume run must replace
-            # ONLY the partitions it just validated, never clobber the rest
-            os.makedirs(qroot, exist_ok=True)
-            written = {d for d in os.listdir(qtmp)
-                       if d.startswith("partition_id=")}
-            for pid in todo:
-                name = f"partition_id={pid}"
-                dst = os.path.join(qroot, name)
-                stale = dst + ".old"
-                shutil.rmtree(stale, ignore_errors=True)
-                if os.path.exists(dst):
-                    os.rename(dst, stale)
-                if name in written:
-                    os.rename(os.path.join(qtmp, name), dst)
-                shutil.rmtree(stale, ignore_errors=True)
-            shutil.rmtree(qtmp, ignore_errors=True)
+            _swap_quarantine_partitions(qroot, qtmp, todo)
             summary["quarantined"] = nq
         else:
             summary["quarantine_skipped"] = "violations exceed quarantine_max_rows"
@@ -506,9 +574,26 @@ def validate(
                               ignore_errors=True)
         stage_t["quarantine"] = time.time() - tq
     elif cfg.quarantine and violations is None:
-        # streamed-violations path: ids were never assembled driver-side;
-        # a follow-up job can quarantine from the written violation files
-        summary["quarantine_skipped"] = "streamed-violations path"
+        # streamed-violations path: ids were never assembled driver-side —
+        # build the dead-letter sink FROM the written per-partition violation
+        # files (same zone-map-pruned re-read, one remote task per partition).
+        # The gate is the total violation ROW count (known without a collect;
+        # an upper bound on the driver path's unique-id count, so it can only
+        # skip more conservatively).
+        tq = time.time()
+        if n_viol <= cfg.quarantine_max_rows:
+            summary["quarantined"] = _quarantine_streamed(
+                manifest, out_dir, todo)
+        else:
+            summary["quarantine_skipped"] = (
+                "violations exceed quarantine_max_rows")
+            import shutil
+
+            qroot = os.path.join(out_dir, "quarantine")
+            for pid in todo:  # stale dead-letter rows would mislead repair
+                shutil.rmtree(os.path.join(qroot, f"partition_id={pid}"),
+                              ignore_errors=True)
+        stage_t["quarantine"] = time.time() - tq
 
     # ---- per-partition commit with lineage (I/O-bound → thread pool) ----
     from concurrent.futures import ThreadPoolExecutor

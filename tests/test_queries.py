@@ -424,6 +424,47 @@ def test_ann_ivf_persistent_index_reuse_and_recall(ray_session, tmp_path):
     assert meta["source_rows"] > 0
 
 
+def test_ivf_append_matches_full_rebuild(ray_session, tmp_path):
+    """Incremental IVF append (extend-reference semantics: frozen centroids,
+    manifest+fingerprint published last) must answer probed queries
+    IDENTICALLY to a full rebuild over base+fragment with the same
+    centroids — same cells, same exact within-cell math."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.pipelines import ann
+
+    src = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = src["vec_id"].to_numpy()
+    corpus = ids >= ann.N_QUERIES
+    # split the corpus in half by vec_id parity; queries ride with part 1
+    part1 = src.filter(~corpus | (ids % 2 == 0))
+    part2 = src.filter(corpus & (ids % 2 == 1))
+    p1 = str(tmp_path / "embeddings.parquet")  # build_ivf expects this name
+    p2 = str(tmp_path / "frag2.parquet")
+    pq.write_table(part1, p1)
+    pq.write_table(part2, p2)
+
+    # frozen centroids shared by both sides (trained on the full source)
+    cents = ann._ivf_train_centroids(SF, ann.IVF_N_CELLS)
+
+    idx_a = str(tmp_path / "idx_append")
+    ann.build_ivf_index(str(tmp_path), idx_a, centroids=cents)
+    meta = ann.append_ivf_index(idx_a, p2)
+    assert meta["source_rows"] == part1.num_rows + part2.num_rows
+    # idempotent: re-appending the same fragment is a no-op
+    meta2 = ann.append_ivf_index(idx_a, p2)
+    assert meta2["source_rows"] == meta["source_rows"]
+
+    idx_b = str(tmp_path / "idx_full")
+    ann.build_ivf_index(SF, idx_b, centroids=cents)
+
+    appended = _canon(_to_df(ann._ivf_query(idx_a, SF)))
+    rebuilt = _canon(_to_df(ann._ivf_query(idx_b, SF)))
+    pd.testing.assert_frame_equal(appended, rebuilt, check_exact=True)
+
+
 def test_entity_clusters_distributed_path_matches_driver(ray_session, monkeypatch):
     """Forcing the pair gate to 0 routes entity clustering through the
     distributed CC; output must match the driver-kernel path exactly."""
@@ -591,3 +632,23 @@ def test_partitioned_feed_matches_single_feeder(ray_session):
     pd.testing.assert_frame_equal(single, multi, check_exact=True)
     three = _canon(_to_df(streaming_running_totals_partitioned(SF, n_feeders=3)))
     pd.testing.assert_frame_equal(single, three, check_exact=True)
+
+
+def test_quantile_bound_fit_sketch_path(ray_session, monkeypatch):
+    """Forcing the row gate to 0 routes the winsorize/bin bound fit through
+    merged t-digest partials; bounds must stay within t-digest tolerance of
+    the driver-exact fit (the query is only oracle-exact below the gate)."""
+    from serverless_covariate_drift_detection_ray.pipelines import queries as Q
+
+    exact = Q._fit_bounds_gated(SF, "lineitem", "l_extendedprice",
+                                (0.01, 0.25, 0.5, 0.75, 0.99))
+    monkeypatch.setattr(Q, "QFIT_DRIVER_MAX_ROWS", 0)
+    sketch = Q._fit_bounds_gated(SF, "lineitem", "l_extendedprice",
+                                 (0.01, 0.25, 0.5, 0.75, 0.99))
+    rel = np.abs(sketch - exact) / np.abs(exact)
+    # tails are the hard case for t-digest at sf0.001's 60k rows (measured
+    # 1.1% at p01); mid-quantile accuracy is pinned tighter elsewhere
+    assert (rel < 0.02).all(), rel
+    # and the winsorize query still runs end to end on the sketch path
+    out = _to_df(Q.winsorize_lineitem(SF))
+    assert len(out) == 1 and out.n_clipped_lo.iloc[0] >= 0

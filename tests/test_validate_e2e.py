@@ -518,3 +518,37 @@ def test_explain_drift_attributes_flagged_columns(ray_session, run):
         rows = exp[str(jitter[0])]["pixel_mean"]
         assert abs(rows[0]["delta"]) > 0.02
 
+
+
+def test_streamed_violations_path_quarantines_identically(
+        run, tmp_path_factory, monkeypatch):
+    """Forcing the distributed violation writer (VIOLATIONS_DRIVER_MAX=0)
+    must produce the SAME dead-letter rows as the driver path: the
+    follow-up job rebuilds quarantine from the written per-partition
+    violation files with the same zone-map-pruned re-read."""
+    import glob
+    import hashlib
+
+    from serverless_covariate_drift_detection_ray.pipelines import (
+        validate as vmod,
+    )
+
+    out2 = str(tmp_path_factory.mktemp("qstream") / "out")
+    monkeypatch.setattr(vmod, "VIOLATIONS_DRIVER_MAX", 0)
+    s2 = vmod.validate(run["fix"], run["ref_dir"], out2, run["cfg"],
+                       resume=False)
+    assert s2["violations_streamed"] is True
+    assert s2["quarantined"] == run["summary"]["quarantined"] > 0
+
+    def load_rows(out_dir):
+        rows = []
+        for f in sorted(glob.glob(os.path.join(out_dir, "quarantine",
+                                               "*", "*.parquet"))):
+            pid = int(f.split("partition_id=")[1].split(os.sep)[0])
+            df = pq.read_table(f).to_pandas()
+            for r in df.itertuples(index=False):
+                rows.append((pid, r.image_id, r.fmt, r.w, r.h, r.caption,
+                             r.phash, hashlib.sha256(r.bytes).hexdigest()))
+        return sorted(rows)
+
+    assert load_rows(run["out_dir"]) == load_rows(out2)
