@@ -1,11 +1,14 @@
-"""Self-contained image codecs: PNG (zlib), BMP (raw 24/8-bit), ``lossy8``.
+"""Self-contained image codecs: PNG (zlib), BMP (raw 24/8-bit), ``lossy8``,
+and baseline JPEG (functions/jpeg.py — pure numpy DCT/Huffman).
 
 PIL/libjpeg are unavailable in-sandbox (SURVEY.md §7), so the engine ships its
 own stdlib-only codecs. ``lossy8`` is a deterministic lossy format (uniform
 6-bit quantization + zlib) whose PSNR ≈ 46 dB genuinely exercises the
 "decoded-pixel allclose, PSNR ≥ 40 dB for lossy fmt" per-row invariant from
-BASELINE.json ``input_hint``. Decode-on-ingress mirrors the reference's
-bytes→image validation at /root/reference/dimensionality_reduction_api/app/schemas/dr.py:15-30.
+BASELINE.json ``input_hint``; the JPEG path exercises the same invariant on a
+real interchange format (PSNR ≥ 40 dB at quality ≥ 98, pinned in tests).
+Decode-on-ingress mirrors the reference's bytes→image validation at
+/root/reference/dimensionality_reduction_api/app/schemas/dr.py:15-30.
 
 Images are numpy uint8 arrays of shape (h, w) grayscale or (h, w, 3) RGB.
 """
@@ -19,8 +22,8 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 LOSSY8_MAGIC = b"LS8\x01"
-FMT_DOMAIN = ("png", "bmp", "lossy8")
-LOSSY_FMTS = ("lossy8",)
+FMT_DOMAIN = ("png", "bmp", "lossy8")  # the synthetic table's fmt domain
+LOSSY_FMTS = ("lossy8", "jpeg")
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -217,9 +220,14 @@ def decode_lossy8(data: bytes) -> np.ndarray:
 # Dispatch
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "lossy8": encode_lossy8}
-_DECODERS = {"png": decode_png, "bmp": decode_bmp, "lossy8": decode_lossy8}
-_HEADERS = {"png": png_header, "bmp": bmp_header, "lossy8": lossy8_header}
+from .jpeg import decode_jpeg, encode_jpeg, jpeg_header  # noqa: E402
+
+_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "lossy8": encode_lossy8,
+             "jpeg": encode_jpeg}
+_DECODERS = {"png": decode_png, "bmp": decode_bmp, "lossy8": decode_lossy8,
+             "jpeg": decode_jpeg}
+_HEADERS = {"png": png_header, "bmp": bmp_header, "lossy8": lossy8_header,
+            "jpeg": jpeg_header}
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
@@ -252,13 +260,17 @@ EXTERNAL_FMTS = ("jpeg", "webp")
 
 
 def decode_external(data: bytes, fmt: str) -> "np.ndarray":
-    """Decode stub for codecs whose libraries (libjpeg/libwebp/PIL) are not in
-    this container. The Ray-side plumbing — schema, actor signature, batch
-    sizing — is real and tested (tests/test_multimodal.py); swap this body for
-    ``PIL.Image.open`` / ``cv2.imdecode`` on a cluster with the libs baked in.
-    """
+    """Decode hook for codecs a cluster image supplies as native libraries
+    (libjpeg-turbo/libwebp/PIL). The Ray-side plumbing — schema, actor
+    signature, batch sizing — is real and tested (tests/test_multimodal.py);
+    swap this body for ``PIL.Image.open`` / ``cv2.imdecode`` on a cluster
+    with the libs baked in. In-sandbox, ``jpeg`` falls back to the pure-numpy
+    baseline decoder (functions/jpeg.py — correct, ~100x slower than
+    libjpeg's SIMD path); ``webp`` has no baseline and fails loudly."""
     if fmt not in EXTERNAL_FMTS:
         raise ValueError(f"unknown external format {fmt!r}")
+    if fmt == "jpeg":
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"{fmt} decode requires an image library not present in this sandbox"
     )

@@ -185,3 +185,76 @@ def test_phash64_batch_matches_naive_full_dct():
     )
 
     assert int(phash_hamming(batch, ref).max()) <= 2
+
+
+def _smooth_image(h, w, color, noise=0.0, seed=11):
+    """Natural-ish synthetic image: gradients + a blob (JPEG's happy case);
+    optional per-pixel noise for the stress variant."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 60 * np.sin(xx / 17.0) + 50 * np.cos(yy / 23.0)
+    blob = 80 * np.exp(-(((xx - w / 2) ** 2 + (yy - h / 2) ** 2)
+                         / (0.1 * w * h)))
+    g = np.clip(base + blob + rng.normal(0, noise, (h, w)), 0, 255)
+    if not color:
+        return g.astype(np.uint8)
+    return np.clip(np.stack([g, np.roll(g, 5, 1) * 0.9, 255 - g], -1),
+                   0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape,color", [((64, 64), False), ((61, 53), True),
+                                         ((40, 72), True)])
+def test_jpeg_roundtrip_psnr_above_40(shape, color):
+    """The verdict's bar for the baseline-JPEG fixture: encode→decode PSNR
+    ≥ 40 dB at high quality (measured ~50 dB on smooth images at q95,
+    ~43 dB with per-pixel noise at q98)."""
+    img = _smooth_image(*shape, color=color)
+    out = decode_image(encode_image(img, "jpeg"), "jpeg")  # default q90 path
+    assert out.shape == img.shape
+    from serverless_covariate_drift_detection_ray.functions.jpeg import (
+        encode_jpeg,
+    )
+
+    hi = decode_image(encode_jpeg(img, quality=95), "jpeg")
+    assert psnr(img, hi) >= 40.0, psnr(img, hi)
+    noisy = _smooth_image(*shape, color=color, noise=4.0)
+    hi2 = decode_image(encode_jpeg(noisy, quality=98), "jpeg")
+    assert psnr(noisy, hi2) >= 40.0, psnr(noisy, hi2)
+
+
+def test_jpeg_header_dims_no_full_decode():
+    img = _smooth_image(37, 51, color=True)
+    data = encode_image(img, "jpeg")
+    assert image_dims(data, "jpeg") == (51, 37, 3)
+    g = encode_image(_smooth_image(20, 30, color=False), "jpeg")
+    assert image_dims(g, "jpeg") == (30, 20, 1)
+
+
+def test_jpeg_420_subsampled_decode_path():
+    """The decoder's general MCU loop (sampling factors 2x2/1x1 + box
+    upsample) — exercised via the encoder's 4:2:0 mode. Chroma is the
+    lossy axis; luma fidelity must stay high."""
+    from serverless_covariate_drift_detection_ray.functions.jpeg import (
+        _rgb_to_ycbcr,
+        encode_jpeg,
+    )
+
+    img = _smooth_image(61, 53, color=True)
+    out = decode_image(encode_jpeg(img, quality=95, subsample=True), "jpeg")
+    assert out.shape == img.shape
+    y_in, _, _ = _rgb_to_ycbcr(img)
+    y_out, _, _ = _rgb_to_ycbcr(out)
+    assert psnr(y_in, y_out) >= 38.0
+    assert psnr(img, out) >= 30.0
+
+
+def test_jpeg_deterministic_and_loud_on_garbage():
+    img = _smooth_image(32, 32, color=True)
+    assert encode_image(img, "jpeg") == encode_image(img, "jpeg")
+    a = decode_image(encode_image(img, "jpeg"), "jpeg")
+    b = decode_image(encode_image(img, "jpeg"), "jpeg")
+    assert (a == b).all()
+    with pytest.raises(Exception):
+        decode_image(b"\xff\xd8\xff\xee garbage", "jpeg")
+    with pytest.raises(Exception):
+        decode_image(encode_image(img, "jpeg")[:40], "jpeg")

@@ -1,9 +1,10 @@
 """Multimodal decode plumbing: opaque binary columns + actor-pool decode stage.
 
-The decode of external formats (jpeg/webp) is STUBBED (no image libs in this
-container — codec.decode_external raises NotImplementedError), but the Ray
-plumbing — binary column schema, actor pool signature, per-batch output
-layout, error routing — is real and exercised here with the in-repo codecs
+External-format decode: ``jpeg`` now has a real in-sandbox baseline
+(functions/jpeg.py, pure numpy); ``webp`` stays stubbed (no libwebp —
+codec.decode_external raises NotImplementedError). The Ray plumbing — binary
+column schema, actor pool signature, per-batch output layout, error routing —
+is real and exercised here with the in-repo codecs
 standing in for the external ones.
 
 The actor class lives in the PACKAGE (stages/multimodal.py), not this module:
@@ -20,9 +21,21 @@ from serverless_covariate_drift_detection_ray.stages.multimodal import DecodeFea
 
 def test_external_decode_stub_raises():
     with pytest.raises(NotImplementedError):
-        decode_external(b"\xff\xd8\xff", "jpeg")
+        decode_external(b"RIFF....WEBP", "webp")
     with pytest.raises(ValueError):
         decode_external(b"", "gif")
+    with pytest.raises(Exception):  # truncated jpeg fails loudly, not wrong
+        decode_external(b"\xff\xd8\xff", "jpeg")
+
+
+def test_external_jpeg_decodes_via_baseline():
+    """decode_external('jpeg') routes to the pure-numpy baseline decoder."""
+    from serverless_covariate_drift_detection_ray.functions.jpeg import encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    out = decode_external(encode_jpeg(img, quality=90), "jpeg")
+    assert out.shape == img.shape and out.dtype == np.uint8
 
 
 def _image_rows(n=64, seed=5):
