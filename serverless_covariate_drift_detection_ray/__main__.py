@@ -90,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--partitions", required=True,
                    help="comma-separated partition ids to add")
 
+    sw = sub.add_parser("score-window",
+                        help="serving mode: score ONE window of image rows "
+                             "against frozen reference state, now")
+    sw.add_argument("--window", required=True,
+                    help="parquet file or directory holding the window rows")
+    sw.add_argument("--state", required=True, help="reference_state dir")
+    sw.add_argument("--alpha", type=float, default=None,
+                    help="per-request significance level override")
+
     r = sub.add_parser("report", help="summarize a validate output dir to JSON")
     r.add_argument("--out", required=True)
     r.add_argument("--path", default=None, help="write JSON here (default: stdout)")
@@ -128,6 +137,16 @@ def main(argv: list[str] | None = None) -> int:
             rep = build_report(args.out)
             rep.update(extra or {})
             print(json.dumps(rep, indent=2))
+        return 0
+
+    if args.cmd == "score-window":
+        # serving path: small windows run fully in-process (no Ray session);
+        # score_window only fans out above its row gate, and then Ray Data
+        # auto-inits a local session
+        from .pipelines.serve import score_window
+
+        print(json.dumps(score_window(args.window, args.state,
+                                      alpha=args.alpha), default=str))
         return 0
 
     ray = _ray_session(args.num_cpus)

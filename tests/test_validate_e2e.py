@@ -552,3 +552,37 @@ def test_streamed_violations_path_quarantines_identically(
         return sorted(rows)
 
     assert load_rows(run["out_dir"]) == load_rows(out2)
+
+
+def test_score_window_matches_batch_verdicts(run):
+    """Serving shim parity: score_window over one partition's fragment must
+    emit BIT-IDENTICAL drift verdicts to the batch pipeline's rows for that
+    partition (same kernels, same seeded permutation RNG), plus the same
+    violation ids."""
+    from serverless_covariate_drift_detection_ray.pipelines.serve import score_window
+    from serverless_covariate_drift_detection_ray.sources.fragmented import TableManifest
+
+    manifest = TableManifest.load(run["fix"])
+    pid = next(p for p, k in run["kinds"].items() if k == "drift-blur-2.0")
+    frag = next(f for f in manifest.fragments if f.partition_id == pid)
+
+    res = score_window(os.path.join(run["fix"], frag.file),
+                       run["ref_dir"], run["cfg"])
+    assert res["n_rows"] == frag.rows and res["is_drift"]
+
+    served = {(c["check"], c["column"]):
+              (c["distance"], c["p_value"], c["is_drift"], c["datetime"])
+              for c in res["checks"]}
+    v = run["verdicts"]
+    batch = v[(v.partition_id == pid) & v.check.isin(
+        {c for c, _ in served})]
+    assert len(batch) == len(served) > 0
+    for r in batch.itertuples(index=False):
+        d, p, drift, ts = served[(r.check, r.column)]
+        assert d == r.statistic and p == r.p_value, (r.check, r.column)
+        assert drift == (not r.passed) and ts == r.datetime
+
+    # alpha is a per-request override (the reference's request field)
+    strict = score_window(os.path.join(run["fix"], frag.file),
+                          run["ref_dir"], run["cfg"], alpha=1e-9)
+    assert all(c["alpha"] == 1e-9 for c in strict["checks"])
