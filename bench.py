@@ -53,7 +53,15 @@ def run_headline(rounds: int | None = None) -> dict:
     cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
                        decode_fraction=1.0, phash_verify=True)
     fix = ensure_fixture(BENCH_SCALE, parallel=True)
-    ref_dir = f"/tmp/scdd_bench/{BENCH_SCALE}/refstate"
+    # ref state keyed by (fixture version, config fingerprint): a stale
+    # refstate fit under an older fmt-category domain or generator version
+    # must never be compared against freshly-generated partials
+    from serverless_covariate_drift_detection_ray.state.checkpoint import (
+        config_fingerprint,
+    )
+
+    ref_dir = (f"/tmp/scdd_bench/{BENCH_SCALE}/refstate-"
+               f"{os.path.basename(fix)}-{config_fingerprint(cfg)[:12]}")
     if not os.path.exists(os.path.join(ref_dir, "reference_meta.json")):
         fit(fix, ref_dir, cfg)
     # warm the page cache (measure compute+shuffle, not first disk read)

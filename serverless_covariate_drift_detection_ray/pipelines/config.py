@@ -20,7 +20,7 @@ DEFAULT_MARGINALS: dict[str, tuple[float, float, int]] = {
     "pixel_std": (0.0, 128.0, 128),
 }
 
-FMT_CATEGORIES = ("png", "bmp", "lossy8")
+FMT_CATEGORIES = ("png", "bmp", "lossy8", "jpeg")
 
 
 @dataclass

@@ -13,7 +13,7 @@ def test_gen_fixture_and_report_roundtrip(tmp_path, capsys, monkeypatch, ray_ses
     dest = str(tmp_path / "tbl")
     assert cli.main(["gen-fixture", "--scale", "tiny", "--dest", dest]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["partitions"] == 11 and out["rows"] == 2750
+    assert out["partitions"] == 12 and out["rows"] == 3000
 
     class _NoShutdown:
         @staticmethod
@@ -27,11 +27,11 @@ def test_gen_fixture_and_report_roundtrip(tmp_path, capsys, monkeypatch, ray_ses
     assert cli.main(["validate", "--manifest", dest, "--state", state,
                      "--out", run]) == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert summary["partitions_processed"] == 11
+    assert summary["partitions_processed"] == 12
 
     assert cli.main(["report", "--out", run]) == 0
     rep = json.loads(capsys.readouterr().out)
-    assert rep["partitions"] == 11
+    assert rep["partitions"] == 12
     assert rep["verdicts"]["total"] > 0
 
 
