@@ -53,8 +53,16 @@ def _flagship(sf_dir: str = "/root/testdata/sf0.001"):
     fix = ensure_fixture("tiny")
     cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    ref_dir = f"/tmp/scdd_run/{tag}/refstate"
-    out_dir = f"/tmp/scdd_run/{tag}/out"
+    # ref/out dirs keyed by (fixture version, config fingerprint), like
+    # bench.py: a stale refstate fit under an older fmt-category domain
+    # now fails loudly at load, so it must never be reused silently
+    from serverless_covariate_drift_detection_ray.state.checkpoint import (
+        config_fingerprint,
+    )
+
+    key = f"{os.path.basename(fix)}-{config_fingerprint(cfg)[:12]}"
+    ref_dir = f"/tmp/scdd_run/{tag}/refstate-{key}"
+    out_dir = f"/tmp/scdd_run/{tag}/out-{key}"
     if not os.path.exists(os.path.join(ref_dir, "reference_meta.json")):
         fit(fix, ref_dir, cfg)
     validate(fix, ref_dir, out_dir, cfg, resume=True)

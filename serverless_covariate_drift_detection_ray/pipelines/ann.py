@@ -1052,6 +1052,15 @@ def build_ivf_index(sf_dir: str, index_dir: str,
     st = os.stat(src)
     n_rows = pq_.ParquetFile(src).metadata.num_rows
     fingerprint = f"{n_rows}:{st.st_size}:{st.st_mtime_ns}"
+    if centroids is not None:
+        # explicit centroids are part of the index identity: without this a
+        # later call handing in DIFFERENT frozen centroids would hit the
+        # source-only fingerprint and silently get cells assigned under the
+        # cached build's centroids — wrong nearest-cell routing, no error
+        import hashlib
+
+        carr = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+        fingerprint += ":c" + hashlib.sha256(carr.tobytes()).hexdigest()[:16]
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
@@ -1148,6 +1157,14 @@ def append_ivf_index(index_dir: str, new_parquet: str) -> dict:
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as fh:
         meta = json.load(fh)
+    if "files" not in meta or "appended" not in meta:
+        # pre-manifest layout: build_ivf_index's rebuild gate protects the
+        # query path, but append has no cells manifest to extend — fail
+        # loudly instead of a raw KeyError deep in the append bookkeeping
+        raise ValueError(
+            f"IVF index at {index_dir} uses a pre-manifest layout (no "
+            "files/appended in meta.json) and cannot be appended to; "
+            "rebuild it with build_ivf_index first")
     st = os.stat(new_parquet)
     frag_rows = pq_.ParquetFile(new_parquet).metadata.num_rows
     frag_fp = f"{frag_rows}:{st.st_size}:{st.st_mtime_ns}"

@@ -717,7 +717,9 @@ cum AS (
   FROM f JOIN gl ON gl.bin = f.bin),
 d AS (
   SELECT cum.hour, hn.nh,
-         (SELECT SUM(x.n) FROM f x) - hn.nh AS nr,
+         -- clamp like the engine's n_rest = max(rest, 1): a single-window
+         -- stream otherwise yields nr = 0 and lam divides 0.11 by SQRT(0)
+         GREATEST((SELECT SUM(x.n) FROM f x) - hn.nh, 1) AS nr,
          MAX(ABS(cum.ch / GREATEST(hn.nh, 1)
                  - cum.cr / GREATEST((SELECT SUM(x.n) FROM f x) - hn.nh, 1))) AS ks_d
   FROM cum JOIN hn ON hn.hour = cum.hour
@@ -3005,10 +3007,9 @@ def partition_roundtrip_events(sf_dir: str):
     opens ONLY the wanted partition's directory, so the probe is file-level
     pruning, not a full-table scan + filter. The write is staged to a tmp
     dir and atomically renamed (a killed writer leaves no half partition)
-    and cached per (sf, row count) so repeated calls measure the pruned
-    read."""
+    and cached per source content fingerprint so repeated calls measure the
+    pruned read."""
     import os
-    import shutil
 
     import pyarrow.parquet as pq
     import ray.data
@@ -3019,17 +3020,9 @@ def partition_roundtrip_events(sf_dir: str):
     # cache key = source content fingerprint (size + mtime), so a
     # regenerated fixture with the same row count can't serve stale data
     root = f"/tmp/scdd_query/{tag}/events_by_type_{st.st_size}_{int(st.st_mtime)}"
-    marker = os.path.join(root, "_SUCCESS")
-    if not os.path.exists(marker):
-        tmp = f"{root}.tmp.{os.getpid()}"  # per-process staging: no races
-        shutil.rmtree(tmp, ignore_errors=True)
-        _read(sf_dir, "events", ["event_type", "value"]).write_parquet(
-            tmp, partition_cols=["event_type"])
-        open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        try:
-            os.rename(tmp, root)
-        except OSError:  # concurrent writer won the rename; use its copy
-            shutil.rmtree(tmp, ignore_errors=True)
+    _ensure_staged_cache(root, lambda tmp: _read(
+        sf_dir, "events", ["event_type", "value"]).write_parquet(
+        tmp, partition_cols=["event_type"]))
 
     part_dir = f"{root}/event_type=purchase"
     if not os.path.isdir(part_dir):  # no purchase rows: match the oracle

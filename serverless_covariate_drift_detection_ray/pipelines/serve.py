@@ -83,7 +83,10 @@ def score_window(window, ref_state_dir: str,
         import ray
         import ray.data
 
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        else:  # Ray Data auto-inits on execution; size the pool from the host
+            ncpu = os.cpu_count() or 8
         reduced_ds = ray.data.from_arrow(table).map_batches(
             FeaturizeAndSketch,
             fn_constructor_args=(cfg, None),

@@ -47,12 +47,18 @@ class _RunningTotals:
         self.peak: dict[int, float] = {}
 
     def process(self, users: np.ndarray, values: np.ndarray) -> int:
-        """Consume one time-ordered micro-batch slice, fully vectorized:
-        stable-sort segments the batch by user (equal keys keep arrival =
-        ts order), one cumsum gives every running value, and
-        np.maximum.reduceat takes each segment's running peak — the only
-        Python-level work is ONE dict update per distinct user in the
-        batch, not per row."""
+        """Consume one time-ordered micro-batch slice: stable-sort segments
+        the batch by user (equal keys keep arrival = ts order), then one
+        ``np.cumsum`` PER SEGMENT seeded with the carried base, and
+        np.maximum.reduceat takes each segment's running peak — Python-level
+        work is one cumsum + one dict update per distinct user in the
+        batch, not per row. The per-segment cumsum (rather than one global
+        cumsum differenced at segment starts) is deliberate: it reproduces
+        the exact left-to-right float association of a sequential
+        ``s += v`` loop, so results are bit-identical regardless of which
+        other users share the micro-batch — the property the multi-feeder
+        parity test and the SUM() OVER (... ROWS UNBOUNDED PRECEDING)
+        DuckDB oracle both rely on."""
         if not len(users):
             return 0
         order = np.argsort(users, kind="stable")
@@ -62,12 +68,12 @@ class _RunningTotals:
         ends = np.r_[starts[1:], u.size]
         uniq = u[starts]
         s, p = self.sum, self.peak
-        base = np.array([s.get(int(x), 0.0) for x in uniq])
-        cs = np.cumsum(v)
-        seg_len = ends - starts
-        # running sum = batch cumsum − cumsum at segment start + carried base
-        run = cs - np.repeat(np.r_[0.0, cs[starts[1:] - 1]], seg_len) \
-            + np.repeat(base, seg_len)
+        run = np.empty_like(v)
+        for i in range(starts.size):
+            st, en = starts[i], ends[i]
+            seg = np.cumsum(
+                np.concatenate(([s.get(int(uniq[i]), 0.0)], v[st:en])))
+            run[st:en] = seg[1:]
         finals = run[ends - 1]
         peaks = np.maximum.reduceat(run, starts)
         for x, fin, pk in zip(uniq.tolist(), finals.tolist(), peaks.tolist()):

@@ -146,10 +146,15 @@ def _quarantine_streamed(manifest: TableManifest, out_dir: str, todo) -> int:
     violating ids were never assembled driver-side, so each partition's
     quarantine is built FROM ITS OWN written violations.parquet by a remote
     task — read the partition's violating ids, zone-map-prune its fragments,
-    re-read only those that can match, filter, write. No global id set ever
-    exists anywhere; per-task memory is one fragment plus that partition's
-    violating rows. Same hive layout + per-partition atomic swap as the
-    driver path, so a repair job can't tell which path ran."""
+    re-read only those that can match, filter, write. The one global piece
+    of state is the DUPLICATED-KEY id set (check == unique_image_id): a
+    duplicate violation is recorded once at its min-partition locus, so the
+    other partitions' copies can only be found with a cross-partition id
+    set. Those ids are collected by a first wave of tiny per-partition
+    tasks (ids only, bounded by the quarantine row gate that admitted us
+    here) and broadcast via ray.put; everything else stays per-partition.
+    Same hive layout + per-partition atomic swap as the driver path, so a
+    repair job can't tell which path ran."""
     import shutil
 
     import ray
@@ -165,23 +170,49 @@ def _quarantine_streamed(manifest: TableManifest, out_dir: str, todo) -> int:
         frags_of.setdefault(f.partition_id, []).append(
             (os.path.join(manifest.root, f.file), (f.stats or {}).get("image_id")))
 
+    def _vfile(pid: int) -> str:
+        return os.path.join(viol_root, f"partition_id={pid}",
+                            "violations.parquet")
+
+    @ray.remote
+    def dup_ids_of(pid: int) -> np.ndarray:
+        vfile = _vfile(pid)
+        if not os.path.exists(vfile):
+            return np.empty(0, dtype=object)
+        t = pq.read_table(vfile, columns=["image_id", "check"])
+        t = t.filter(pc.equal(t["check"], "unique_image_id"))
+        return (t["image_id"].drop_null()
+                .to_numpy(zero_copy_only=False).astype(object))
+
+    dup_parts = ray.get([dup_ids_of.remote(pid) for pid in todo])
+    dup_ids = np.unique(np.concatenate([p for p in dup_parts if p.size])
+                        ) if any(p.size for p in dup_parts) else \
+        np.empty(0, dtype=object)
+    dup_ref = ray.put(dup_ids)
+
     @ray.remote
     def quarantine_partition(pid: int) -> int:
-        vfile = os.path.join(viol_root, f"partition_id={pid}",
-                             "violations.parquet")
-        if not os.path.exists(vfile):
-            return 0
-        bad = np.unique(pq.read_table(vfile, columns=["image_id"])["image_id"]
-                        .to_numpy(zero_copy_only=False).astype(object))
+        vfile = _vfile(pid)
+        own = np.empty(0, dtype=object)
+        if os.path.exists(vfile):
+            # null ids (image_id_nonnull violations) can't be re-identified
+            # by key — drop before the object-dtype sort-based unique
+            own = (pq.read_table(vfile, columns=["image_id"])["image_id"]
+                   .drop_null().to_numpy(zero_copy_only=False).astype(object))
+        bad = np.unique(np.concatenate([own, ray.get(dup_ref)]))
         if not bad.size:
             return 0
         sorted_bad = np.sort(bad)
         parts = []
         for path, st in frags_of.get(pid, []):
-            if st is not None:  # zone-map prune (stats-less legacy kept)
+            if st is not None:  # zone-map prune
                 lo_i = int(np.searchsorted(sorted_bad, st[0], side="left"))
                 if not (lo_i < sorted_bad.size and sorted_bad[lo_i] <= st[1]):
                     continue
+            elif not own.size:
+                # stats-less legacy fragment with no local violations:
+                # mirror the driver path's flagged-partition fallback scope
+                continue
             t = pq.read_table(path)
             m = np.isin(t["image_id"].to_numpy(zero_copy_only=False), bad)
             if m.any():
@@ -514,8 +545,11 @@ def validate(
     summary["quarantined"] = 0
     if cfg.quarantine and violations is not None:
         tq = time.time()
+        # null ids (image_id_nonnull violations) can't be re-identified by
+        # key — drop them before the (object-dtype, sort-based) unique
         bad_ids = np.unique(
-            violations["image_id"].to_numpy(zero_copy_only=False).astype(object))
+            violations["image_id"].drop_null()
+            .to_numpy(zero_copy_only=False).astype(object))
         bad_pids = {int(p) for p in
                     violations["partition_id"].to_numpy(zero_copy_only=False)}
         if bad_ids.size <= cfg.quarantine_max_rows:
@@ -531,15 +565,22 @@ def validate(
 
             # fragment pruning: a fragment is re-read only if its
             # image_id zone map can contain a violating id (sorted-probe
-            # intersection; stats-less legacy fragments are always kept)
+            # intersection). The probe runs over ALL partitions, not just
+            # the flagged ones, so every copy of a cross-partition
+            # duplicated key is quarantined — a unique_image_id violation
+            # is recorded once at its min-partition locus, but the other
+            # partitions' copies match here by id. Stats-less legacy
+            # fragments (no zone map) fall back to the flagged-partition
+            # scope.
             sorted_bad = np.sort(bad_ids)
+            todo_set = set(todo)  # resumed partitions keep no dead letters
 
             def frag_may_match(f) -> bool:
-                if f.partition_id not in bad_pids:
+                if f.partition_id not in todo_set:
                     return False
                 st = (f.stats or {}).get("image_id")
                 if st is None:
-                    return True
+                    return f.partition_id in bad_pids
                 lo_i = int(np.searchsorted(sorted_bad, st[0], side="left"))
                 return lo_i < sorted_bad.size and sorted_bad[lo_i] <= st[1]
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.graph import cc_labels
 from ..functions.hashing import hash64
@@ -39,7 +40,12 @@ VIOLATION_SCHEMA = pa.schema(
 
 
 def _precount(batch: pa.Table) -> pa.Table:
-    """Per-block (image_id → count, one partition sample) pre-aggregation."""
+    """Per-block (image_id → count, one partition sample) pre-aggregation.
+
+    Null ids are excluded (SQL PK semantics: null never equals null) — they
+    are flagged by featurize's image_id_nonnull check instead; without the
+    filter every pair of null ids would be reported as a PK duplicate."""
+    batch = batch.filter(pc.is_valid(batch["image_id"]))
     df = batch.select(["image_id", "partition_id"]).to_pandas()
     g = df.groupby("image_id", sort=False).agg(
         cnt=("image_id", "size"), partition_id=("partition_id", "min")
@@ -77,7 +83,10 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
 
     if total_rows <= SCREEN_MAX_ROWS:
         def id_hashes(batch: pa.Table) -> pa.Table:
-            h = hash64(batch["image_id"].to_numpy(zero_copy_only=False))
+            # nulls excluded: PK uniqueness is over non-null keys only (two
+            # nulls hash identically and would screen as a duplicate)
+            ids = batch["image_id"].drop_null().to_numpy(zero_copy_only=False)
+            h = hash64(ids)
             return pa.table({"h": pa.array(h.astype(np.int64))})
 
         # one bulk to_pandas transfer — iter_batches pays ~10x per-batch
@@ -91,6 +100,7 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
             return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
 
         def collect_dups(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch["image_id"]))
             h = hash64(batch["image_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
             pos = np.minimum(np.searchsorted(dup_hashes, h), dup_hashes.size - 1)
             mask = dup_hashes[pos] == h
@@ -157,6 +167,10 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
 
 
 def _explode_bands(batch: pa.Table, n_bands: int) -> pa.Table:
+    # null-id rows are excluded: their violation row would carry no usable
+    # key (image_id_nonnull already flags them) and a None id crashes the
+    # object-dtype sorts in the downstream per-bucket dedupe
+    batch = batch.filter(pc.is_valid(batch["image_id"]))
     ph = batch["phash"].to_numpy(zero_copy_only=False)
     bands = phash_bands(ph, n_bands)  # (n, n_bands)
     n = ph.size

@@ -53,6 +53,24 @@ class DriftTestActor:
     def __init__(self, cfg: EngineConfig, ref_state_dir: str):
         self.cfg = cfg
         self.ref = ReferenceState.load(ref_state_dir)
+        # sketch-shape guard: a state fit under a different fmt domain or
+        # marginal spec would otherwise surface as an opaque numpy broadcast
+        # error deep inside chi2/KS (obs and ref vectors of different
+        # lengths) — e.g. any reference fit before a fmt_categories change.
+        rs = self.ref.state
+        if tuple(rs.fmt_categories) != tuple(cfg.fmt_categories):
+            raise ValueError(
+                f"reference state in {ref_state_dir} was fit with "
+                f"fmt_categories={tuple(rs.fmt_categories)} but the current "
+                f"config has {tuple(cfg.fmt_categories)}; re-fit the "
+                "reference window or set cfg.fmt_categories to match")
+        if ({c: tuple(v) for c, v in rs.marginal_spec.items()}
+                != {c: tuple(v) for c, v in cfg.marginals.items()}):
+            raise ValueError(
+                f"reference state in {ref_state_dir} was fit with marginal "
+                f"spec {rs.marginal_spec} but the current config has "
+                f"{cfg.marginals}; re-fit the reference window or set "
+                "cfg.marginals to match")
         # check plugin resolution (SURVEY.md §2.10): registered names and/or
         # custom Check instances carried in the config — see stages/checks.py
         self.checks = resolve_checks(cfg.drift_checks)
