@@ -48,17 +48,19 @@ class _RunningTotals:
 
     def process(self, users: np.ndarray, values: np.ndarray) -> int:
         """Consume one time-ordered micro-batch slice: stable-sort segments
-        the batch by user (equal keys keep arrival = ts order), then one
-        ``np.cumsum`` PER SEGMENT seeded with the carried base, and
-        np.maximum.reduceat takes each segment's running peak — Python-level
-        work is one cumsum + one dict update per distinct user in the
-        batch, not per row. The per-segment cumsum (rather than one global
-        cumsum differenced at segment starts) is deliberate: it reproduces
-        the exact left-to-right float association of a sequential
-        ``s += v`` loop, so results are bit-identical regardless of which
-        other users share the micro-batch — the property the multi-feeder
-        parity test and the SUM() OVER (... ROWS UNBOUNDED PRECEDING)
-        DuckDB oracle both rely on."""
+        the batch by user (equal keys keep arrival = ts order), then compute
+        every running value EXACTLY as a sequential ``s += v`` loop would —
+        per-segment cumsum seeded with the carried base when segments are
+        few and long, rounds-wise vectorized adds (round j adds each active
+        segment's j-th value) when segments are many and short, whichever
+        needs fewer Python iterations. Both preserve each user's exact
+        left-to-right float association, so results are bit-identical
+        regardless of how the stream is batched or which other users share
+        the micro-batch — the property the multi-feeder parity test and the
+        SUM() OVER (... ROWS UNBOUNDED PRECEDING) DuckDB oracle rely on.
+        (A single global cumsum differenced at segment starts is faster but
+        NOT associativity-safe.) np.maximum.reduceat takes each segment's
+        running peak; one dict update per distinct user, never per row."""
         if not len(users):
             return 0
         order = np.argsort(users, kind="stable")
@@ -68,12 +70,27 @@ class _RunningTotals:
         ends = np.r_[starts[1:], u.size]
         uniq = u[starts]
         s, p = self.sum, self.peak
+        base = np.array([s.get(int(x), 0.0) for x in uniq])
+        seg_len = ends - starts
+        maxlen = int(seg_len.max())
         run = np.empty_like(v)
-        for i in range(starts.size):
-            st, en = starts[i], ends[i]
-            seg = np.cumsum(
-                np.concatenate(([s.get(int(uniq[i]), 0.0)], v[st:en])))
-            run[st:en] = seg[1:]
+        if starts.size <= maxlen:
+            # few long segments: one exact cumsum per segment
+            for i in range(starts.size):
+                st, en = starts[i], ends[i]
+                seg = np.cumsum(np.concatenate(([base[i]], v[st:en])))
+                run[st:en] = seg[1:]
+        else:
+            # many short segments (the high-cardinality shape): rounds-wise
+            # vectorized adds — round j adds each active segment's j-th value
+            # to its running total, so every user's adds happen in exactly
+            # the sequential left-to-right order
+            cur = base.copy()
+            for j in range(maxlen):
+                act = seg_len > j
+                idx = starts[act] + j
+                cur[act] = cur[act] + v[idx]
+                run[idx] = cur[act]
         finals = run[ends - 1]
         peaks = np.maximum.reduceat(run, starts)
         for x, fin, pk in zip(uniq.tolist(), finals.tolist(), peaks.tolist()):
