@@ -9,4 +9,7 @@ violation rows, and per-partition lineage checkpoints — all built on
 ``ray.data.Dataset`` streaming execution over zero-copy Arrow batches.
 """
 
-__version__ = "0.1.0"
+# 0.2.0: FixedHistogram hi-edge now in-range (FH2) — the version is part of
+# every config fingerprint, so resume markers and fingerprint-keyed state
+# caches fit under the old binning invalidate rather than mixing CDFs
+__version__ = "0.2.0"

@@ -224,9 +224,10 @@ def _quarantine_streamed(manifest: TableManifest, out_dir: str, todo) -> int:
             out = out.drop_columns(["partition_id"])
         d = os.path.join(qtmp, f"partition_id={pid}")
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, "quarantine.parquet.tmp")
-        pq.write_table(out, tmp)
-        os.replace(tmp, os.path.join(d, "quarantine.parquet"))
+        from ..state.atomic import atomic_publish
+
+        atomic_publish(os.path.join(d, "quarantine.parquet"),
+                       lambda tmp: pq.write_table(out, tmp))
         return out.num_rows
 
     counts = ray.get([quarantine_partition.remote(pid) for pid in todo])
@@ -492,9 +493,11 @@ def validate(
             t = batch.sort_by([("check", "ascending"), ("image_id", "ascending")])
             d = os.path.join(viol_root, f"partition_id={pid}")
             os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, "violations.parquet.tmp")
-            pq.write_table(t, tmp, compression="zstd")
-            os.replace(tmp, os.path.join(d, "violations.parquet"))
+            from ..state.atomic import atomic_publish
+
+            atomic_publish(os.path.join(d, "violations.parquet"),
+                           lambda tmp: pq.write_table(t, tmp,
+                                                      compression="zstd"))
             checks = t["check"].to_numpy(zero_copy_only=False)
             names = list(CONSTRAINT_CHECKS)
             counts = [int((checks == c).sum()) for c in names]
@@ -514,6 +517,17 @@ def validate(
             key = "domain" if r.check == "__domain__" else r.check
             d[key] += int(r.n)
             d["total"] += int(r.n)
+        # partitions with ZERO violations this run never enter write_group,
+        # so a violations.parquet left by a PRIOR run (different config, or
+        # resume=False rerun) would otherwise be committed as this run's
+        # output with violation_count=0 — remove it before commit_one's
+        # exists() check so read_all/quarantine can't serve stale rows
+        for pid in todo:
+            if viol_counts.get(pid, {}).get("total", 0) == 0:
+                stale = os.path.join(viol_root, f"partition_id={pid}",
+                                     "violations.parquet")
+                if os.path.exists(stale):
+                    os.remove(stale)
 
     # constraint verdict rows (per partition × constraint check)
     c_rows = []

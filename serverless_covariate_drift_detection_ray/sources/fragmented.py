@@ -24,6 +24,8 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..state.atomic import atomic_write_bytes, atomic_write_json
+
 MANIFEST = "manifest.json"
 
 IMAGES_SCHEMA = pa.schema(
@@ -138,10 +140,7 @@ class TableManifest:
             ],
             "partitions": {str(k): v for k, v in self.partitions.items()},
         }
-        tmp = os.path.join(self.root, MANIFEST + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh, indent=1)
-        os.replace(tmp, os.path.join(self.root, MANIFEST))
+        atomic_write_json(os.path.join(self.root, MANIFEST), payload, indent=1)
 
     @classmethod
     def load(cls, root: str, version: int | None = None) -> "TableManifest":
@@ -193,7 +192,10 @@ def read_images(
         keep = {p for p in manifest.partition_ids() if p not in skip_partitions}
     paths = manifest.fragment_paths(keep, predicate)
     if not paths:
-        return ray.data.from_arrow(IMAGES_SCHEMA.empty_table())
+        empty = IMAGES_SCHEMA.empty_table()
+        if columns:  # match the projected schema of the non-empty path
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty)
     kwargs = {}
     if predicate is not None:
         import pyarrow.compute as pc
@@ -220,12 +222,9 @@ def create_snapshot(root: str) -> int:
     n = (versions[-1] + 1) if versions else 1
     src = os.path.join(root, MANIFEST)
     dst = os.path.join(root, _snapshot_name(n))
-    tmp = dst + ".tmp"
-    with open(src) as fh:
+    with open(src, "rb") as fh:
         payload = fh.read()
-    with open(tmp, "w") as fh:
-        fh.write(payload)
-    os.replace(tmp, dst)
+    atomic_write_bytes(dst, payload)
     return n
 
 

@@ -28,6 +28,13 @@ def _normalize(target: pa.Schema):
     def cast(batch: pa.Table) -> pa.Table:
         cols = {}
         for f in target:
+            if f.name not in batch.column_names:
+                # schema evolution: a JSONL row omitting an optional field
+                # (absent key, standard JSON practice) or a CSV file landed
+                # before a column existed null-fills, mirroring the
+                # fragmented reader's pre-column-fragment semantics
+                cols[f.name] = pa.nulls(batch.num_rows, f.type)
+                continue
             col = batch[f.name]
             if not col.type.equals(f.type):
                 # Arrow casts ISO-8601 strings -> timestamp natively; other

@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .. import __version__
+from .atomic import atomic_publish, atomic_write_bytes, atomic_write_json
 
 LINEAGE_DIR = "lineage"
 
@@ -32,20 +33,33 @@ def config_fingerprint(cfg) -> str:
     """Stable hash of the validation config + engine version: resume must
     NOT skip partitions committed under a different config (e.g. a changed
     drift-check set would otherwise serve stale verdicts). Custom Check
-    INSTANCES fingerprint by class qualname only — their constructor params
-    are not inspected (re-run manually after retuning a custom check)."""
+    INSTANCES fingerprint by module-qualified class name plus their field
+    values (dataclass fields / instance ``__dict__``) — read from the
+    ORIGINAL cfg object, because ``dataclasses.asdict`` recursively turns
+    dataclass check instances into plain dicts first, which previously
+    collapsed every dataclass check to the qualname ``'dict'`` and made
+    two different custom checks fingerprint identically."""
     import dataclasses
     import hashlib
 
+    def check_key(s) -> str:
+        if isinstance(s, str):
+            return s
+        name = f"{type(s).__module__}.{type(s).__qualname__}"
+        if dataclasses.is_dataclass(s):
+            return f"{name}:{sorted(dataclasses.asdict(s).items())!r}"
+        if getattr(s, "__dict__", None):
+            return f"{name}:{sorted(vars(s).items())!r}"
+        return name
+
+    orig_checks = getattr(cfg, "drift_checks", None) or \
+        (cfg.get("drift_checks", ()) if isinstance(cfg, dict) else ())
     d = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else dict(cfg)
     # sink-only options do not change any committed verdict/violation/stat,
     # so toggling them must not invalidate finished partitions
     d.pop("quarantine", None)
     d.pop("quarantine_max_rows", None)
-    d["drift_checks"] = [
-        s if isinstance(s, str) else type(s).__qualname__
-        for s in d.get("drift_checks", ())
-    ]
+    d["drift_checks"] = [check_key(s) for s in orig_checks]
     blob = json.dumps({"v": __version__, **{k: repr(v) for k, v in sorted(d.items())}},
                       sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
@@ -82,9 +96,8 @@ class CheckpointStore:
     def _write_part(self, sub: str, partition_id: int, table: pa.Table, fname: str) -> None:
         d = os.path.join(self.out_dir, sub, f"partition_id={partition_id}")
         os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, fname + ".tmp")
-        pq.write_table(table, tmp, compression="zstd")
-        os.replace(tmp, os.path.join(d, fname))
+        atomic_publish(os.path.join(d, fname),
+                       lambda tmp: pq.write_table(table, tmp, compression="zstd"))
 
     def commit_partition(
         self,
@@ -109,10 +122,8 @@ class CheckpointStore:
         self._write_part("column_stats", partition_id, column_stats, "column_stats.parquet")
         blob_dir = os.path.join(self.out_dir, "stats_blobs")
         os.makedirs(blob_dir, exist_ok=True)
-        btmp = os.path.join(blob_dir, f"{partition_id}.bin.tmp")
-        with open(btmp, "wb") as fh:
-            fh.write(stats_blob)
-        os.replace(btmp, os.path.join(blob_dir, f"{partition_id}.bin"))
+        atomic_write_bytes(os.path.join(blob_dir, f"{partition_id}.bin"),
+                           stats_blob)
         lineage = {
             "partition_id": partition_id,
             "fragment_ids": fragment_ids,
@@ -124,10 +135,11 @@ class CheckpointStore:
             "config_hash": config_hash,
             "completed_at": time.time(),
         }
-        tmp = os.path.join(self.out_dir, LINEAGE_DIR, f"{partition_id}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(lineage, fh, indent=1)
-        os.replace(tmp, os.path.join(self.out_dir, LINEAGE_DIR, f"{partition_id}.json"))
+        # the lineage marker publishes LAST: everything it vouches for is
+        # already durable by the time a resume can observe it
+        atomic_write_json(
+            os.path.join(self.out_dir, LINEAGE_DIR, f"{partition_id}.json"),
+            lineage, indent=1)
 
     def read_all(self, sub: str) -> pa.Table | None:
         """Concatenate all committed per-partition tables of one kind."""

@@ -16,6 +16,7 @@ import os
 
 from ..functions.phash import phash_to_embedding
 from ..functions.stats import median_heuristic_sigma
+from .atomic import atomic_write_bytes, atomic_write_json
 from .partials import PartialState
 
 STATE_FILE = "reference_state.bin"
@@ -38,10 +39,7 @@ class ReferenceState:
 
         os.makedirs(out_dir, exist_ok=True)
         blob = self.state.to_bytes()
-        tmp = os.path.join(out_dir, STATE_FILE + ".tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        os.replace(tmp, os.path.join(out_dir, STATE_FILE))
+        atomic_write_bytes(os.path.join(out_dir, STATE_FILE), blob)
         meta = dict(self.meta)
         meta.update({"sigma": self.sigma, "n_rows": self.state.n_rows,
                      "n_sample": int(self.state.sample_phash.shape[0]),
@@ -50,10 +48,7 @@ class ReferenceState:
                      # meta next to new state (in-place refit would then
                      # double-merge partitions)
                      "state_sha": hashlib.sha256(blob).hexdigest()})
-        tmpm = os.path.join(out_dir, META_FILE + ".tmp")
-        with open(tmpm, "w") as fh:
-            json.dump(meta, fh, indent=1)
-        os.replace(tmpm, os.path.join(out_dir, META_FILE))
+        atomic_write_json(os.path.join(out_dir, META_FILE), meta, indent=1)
 
     @classmethod
     def load(cls, in_dir: str) -> "ReferenceState":

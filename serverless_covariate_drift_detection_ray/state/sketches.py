@@ -286,7 +286,10 @@ class FixedHistogram:
     these counts (SURVEY.md §2.3 A7).
     """
 
-    TAG = b"FH1"
+    # FH2: v == hi counts in the LAST bin (closed [lo, hi] as documented);
+    # FH1 blobs put it in overflow — the tag bump makes any state fit under
+    # the old binning fail loudly at load instead of silently mixing CDFs
+    TAG = b"FH2"
 
     def __init__(self, lo: float, hi: float, bins: int = 256):
         self.lo, self.hi, self.bins = float(lo), float(hi), int(bins)
@@ -299,6 +302,7 @@ class FixedHistogram:
         if v.size == 0:
             return
         idx = np.searchsorted(self.edges, v, side="right")  # 0 = under, bins+1 = over
+        idx[v == self.hi] = self.bins  # hi inclusive: [lo, hi] is closed
         np.add.at(self.counts, idx, 1)
 
     def merge(self, other: "FixedHistogram") -> "FixedHistogram":

@@ -268,3 +268,109 @@ def test_quarantine_null_ids_and_cross_partition_dups(dup_fixture,
     assert s2["violations_streamed"] is True
     assert _quarantined(out2) == q1
     assert s2["quarantined"] == s1["quarantined"]
+
+
+# ---------------------------------------------------------------------------
+# histogram hi-edge, fingerprint identity, tabular null-fill, empty projection
+# ---------------------------------------------------------------------------
+
+
+def test_fixed_histogram_hi_edge_in_range():
+    """[lo, hi] is closed: v == hi counts in the LAST bin, not overflow."""
+    from serverless_covariate_drift_detection_ray.state.sketches import FixedHistogram
+
+    h = FixedHistogram(0.0, 160.0, 160)
+    h.update(np.array([0.0, 159.5, 160.0]))
+    assert h.counts[0] == 0          # underflow empty
+    assert h.counts[-1] == 0         # overflow empty — 160.0 is in-range
+    assert h.counts[160] == 2        # 159.5 and 160.0 share the last bin
+    assert h.cdf()[-1] == 1.0
+    h.update(np.array([160.0001, -0.1]))
+    assert h.counts[-1] == 1 and h.counts[0] == 1
+    # round-trip keeps the new tag
+    h2 = FixedHistogram.from_bytes(h.to_bytes())
+    assert (h2.counts == h.counts).all()
+
+
+def test_config_fingerprint_distinguishes_dataclass_checks():
+    """Two different dataclass Check instances (and the same class with
+    different params) must fingerprint differently — previously asdict
+    collapsed every dataclass check to the string 'dict'."""
+    import dataclasses
+
+    from serverless_covariate_drift_detection_ray.state.checkpoint import (
+        config_fingerprint,
+    )
+
+    @dataclasses.dataclass
+    class CheckA:
+        threshold: float = 0.5
+
+    @dataclasses.dataclass
+    class CheckB:
+        threshold: float = 0.5
+
+    f_a = config_fingerprint(EngineConfig(drift_checks=("ks", CheckA())))
+    f_b = config_fingerprint(EngineConfig(drift_checks=("ks", CheckB())))
+    f_a2 = config_fingerprint(EngineConfig(drift_checks=("ks", CheckA(0.9))))
+    assert len({f_a, f_b, f_a2}) == 3
+    # determinism: same instance values → same fingerprint
+    assert f_a == config_fingerprint(EngineConfig(drift_checks=("ks", CheckA())))
+
+
+def test_tabular_jsonl_missing_field_null_fills(ray_session, tmp_path):
+    """A JSONL row omitting an optional field (absent key) null-fills to
+    the target schema instead of raising KeyError."""
+    from serverless_covariate_drift_detection_ray.sources.tabular import read_table
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string()),
+                        ("c", pa.float64())])
+    t = read_table(str(p), fmt="jsonl", schema=schema).take_all()
+    assert [r["c"] for r in t] == [None, None]
+    assert [r["a"] for r in t] == [1, 2]
+
+
+def test_read_images_all_pruned_keeps_projected_schema(ray_session,
+                                                       dup_fixture):
+    """When zone-map pruning eliminates every fragment, the empty Dataset
+    must carry the PROJECTED schema, not the full nine-column one."""
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        read_images,
+    )
+
+    man = TableManifest.load(dup_fixture["fix"])
+    ds = read_images(man, columns=["image_id", "phash"],
+                     predicate=("image_id", "==", "zzz-no-such-id"))
+    assert set(ds.schema().names) == {"image_id", "phash"}
+
+
+def test_streamed_path_clears_stale_violation_files(dup_fixture,
+                                                    tmp_path_factory,
+                                                    monkeypatch):
+    """A violations.parquet left by a prior run under a now-clean partition
+    must not be committed as this run's output by the streamed path."""
+    from serverless_covariate_drift_detection_ray.pipelines import validate as vmod
+
+    fx = dup_fixture
+    out = str(tmp_path_factory.mktemp("qstale") / "out")
+    monkeypatch.setattr(vmod, "VIOLATIONS_DRIVER_MAX", 0)
+    vmod.validate(fx["fix"], fx["ref_dir"], out, fx["cfg"], resume=False)
+    # plant a stale file under the clean reference partition (p0)
+    stale_dir = os.path.join(out, "violations", "partition_id=0")
+    os.makedirs(stale_dir, exist_ok=True)
+    pq.write_table(pa.table({"partition_id": pa.array([0], pa.int32()),
+                             "image_id": pa.array(["ghost"]),
+                             "check": pa.array(["unique_image_id"]),
+                             "column": pa.array(["image_id"]),
+                             "observed": pa.array(["2"]),
+                             "expected": pa.array(["1"])}),
+                   os.path.join(stale_dir, "violations.parquet"))
+    vmod.validate(fx["fix"], fx["ref_dir"], out, fx["cfg"], resume=False)
+    # the stale rows are gone: commit replaced the file with this run's
+    # (empty) output, same as the driver path writes for clean partitions
+    t = pq.read_table(os.path.join(stale_dir, "violations.parquet"))
+    assert t.num_rows == 0
+    lineage = json.load(open(os.path.join(out, "lineage", "0.json")))
+    assert lineage["violation_count"] == 0
