@@ -43,6 +43,19 @@ def hash64(values, seed: int = 0) -> np.ndarray:
     return splitmix64(base)
 
 
+def probe_sorted(sorted_vals: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Membership mask: True where ``keys[i]`` is present in the SORTED
+    array ``sorted_vals`` — the broadcast-probe kernel shared by the
+    referential check, the uniqueness dup filter, the near-dup flag filter
+    and the hot-band filter (one copy, with the empty-set guard all call
+    sites need: an empty probe set means nothing matches, not IndexError)."""
+    if sorted_vals.size == 0:
+        return np.zeros(keys.shape, dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_vals, keys),
+                     sorted_vals.size - 1)
+    return sorted_vals[pos] == keys
+
+
 def hash_family(base_hash: np.ndarray, n_hashes: int, seed: int = 0) -> np.ndarray:
     """(n_hashes, len) matrix of independent hashes derived from one base hash.
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.graph import cc_labels
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, probe_sorted
 from ..functions.phash import hamming_leq_pairs, phash_bands, phash_hamming
 from ..pipelines.config import EngineConfig
 
@@ -102,8 +102,7 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
         def collect_dups(batch: pa.Table) -> pa.Table:
             batch = batch.filter(pc.is_valid(batch["image_id"]))
             h = hash64(batch["image_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
-            pos = np.minimum(np.searchsorted(dup_hashes, h), dup_hashes.size - 1)
-            mask = dup_hashes[pos] == h
+            mask = probe_sorted(dup_hashes, h)
             dup = batch.filter(pa.array(mask))
             n = dup.num_rows
             if n == 0:
@@ -130,12 +129,25 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
             return batch.append_column("dbkt", pa.array(b))
 
         def dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            # numpy first-per-key mask — .ne(.shift()) silently drops every
-            # first row under pandas nullable string dtype (<NA> filter)
+            # exact verify of the hash screen: the dup set keys on
+            # hash64(image_id), so a 64-bit collision between two DISTINCT
+            # ids would otherwise surface both as false PK duplicates with
+            # the hash's pooled count. All physical rows of an id share
+            # this bucket (bucket = hash64(id) % 64), so the id's true
+            # global count is its within-group count — keep only ids that
+            # actually repeat and report that exact count.
+            # (numpy first-per-key mask — .ne(.shift()) silently drops
+            # every first row under pandas nullable string dtype)
             d = df.sort_values(["image_id", "partition_id"], kind="mergesort")
             ids = d.image_id.to_numpy()
-            first = np.r_[True, ids[1:] != ids[:-1]] if len(ids) else np.empty(0, bool)
-            return d[first].drop(columns=["dbkt"])
+            if not len(ids):
+                return d.drop(columns=["dbkt"])
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            counts = np.diff(np.r_[starts, ids.size])
+            keep = counts > 1
+            out = d.iloc[starts[keep]].copy()
+            out["observed"] = counts[keep].astype(np.int64).astype(str)
+            return out.drop(columns=["dbkt"])
 
         return dup_rows.map_batches(add_bucket, batch_format="pyarrow"
                                     ).groupby("dbkt").map_groups(
@@ -166,23 +178,6 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
     return agg.map_batches(to_violations, batch_format="pyarrow")
 
 
-def _explode_bands(batch: pa.Table, n_bands: int) -> pa.Table:
-    # null-id rows are excluded: their violation row would carry no usable
-    # key (image_id_nonnull already flags them) and a None id crashes the
-    # object-dtype sorts in the downstream per-bucket dedupe
-    batch = batch.filter(pc.is_valid(batch["image_id"]))
-    ph = batch["phash"].to_numpy(zero_copy_only=False)
-    bands = phash_bands(ph, n_bands)  # (n, n_bands)
-    n = ph.size
-    rep_ids = np.repeat(np.arange(n), n_bands)
-    return pa.table({
-        "band_key": pa.array(bands.ravel(), pa.int64()),
-        "image_id": batch["image_id"].take(pa.array(rep_ids)),
-        "phash": pa.array(np.repeat(ph, n_bands), pa.int64()),
-        "partition_id": batch["partition_id"].take(pa.array(rep_ids)),
-    })
-
-
 NEARDUP_DRIVER_MAX = 50_000_000  # distinct phash values the driver will hold (8 B each)
 
 
@@ -196,7 +191,8 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
     components by scatter-min label propagation. Only the final violation-row
     emit is distributed (broadcast flagged values → filter per batch).
     Beyond the driver bound, ``check_neardup_distributed`` runs the same
-    algorithm as explode → hot-band prefilter → groupby(band_key) shuffles.
+    algorithm as distinct-value reduction → band-bucket shuffles emitting
+    verified edges → ONE global connected components — same output contract.
     """
     import ray
     import ray.data
@@ -214,10 +210,12 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
     if total_rows is None or total_rows > NEARDUP_DRIVER_MAX:
         return check_neardup_distributed(ds, cfg)
 
-    # per-block unique partials (dups collapse before leaving the workers)
+    # per-block unique partials (dups collapse before leaving the workers);
+    # drop_null BEFORE to_numpy — a null upcasts the column to float64,
+    # which aliases 64-bit phash values (null rows: phash_nonnull flags them)
     def block_uniques(batch: pa.Table) -> pa.Table:
-        v, c = np.unique(batch["phash"].to_numpy(zero_copy_only=False),
-                         return_counts=True)
+        ph = batch["phash"].drop_null().to_numpy(zero_copy_only=False)
+        v, c = np.unique(ph.astype(np.int64), return_counts=True)
         return pa.table({"v": pa.array(v, pa.int64()),
                          "c": pa.array(c.astype(np.int64))})
 
@@ -245,12 +243,13 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
                 continue
             gsel = np.flatnonzero(sizes == m)
             mm = int(m)
-            if mm > 1024:
+            if mm > NEARDUP_BAND_CAP:
                 import logging
 
                 logging.getLogger(__name__).warning(
-                    "neardup: %d band groups capped %d → 1024", gsel.size, mm)
-                mm = 1024
+                    "neardup: %d band groups capped %d → %d", gsel.size, mm,
+                    NEARDUP_BAND_CAP)
+                mm = NEARDUP_BAND_CAP
             mat = order[starts[gsel][:, None] + np.arange(mm)[None, :]]
             iu, ju = np.triu_indices(mm, 1)
             pair_a.append(mat[:, iu].ravel())
@@ -280,28 +279,48 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
         ["cluster-%016x" % (v & 0xFFFFFFFFFFFFFFFF) for v in
          (rep_of[l] for l in flag_labels.tolist())], dtype=object)
     order2 = np.argsort(flag_vals, kind="stable")
-    fv, fr = flag_vals[order2], rep_str[order2]
-    wrapped = {"ref": ray.put((fv, fr))}
+    return _emit_flagged(ds, flag_vals[order2], rep_str[order2], hmax)
+
+
+def _emit_flagged(ds, flag_vals: np.ndarray, reps: np.ndarray,
+                  hmax: int) -> "ray.data.Dataset":  # noqa: F821
+    """Broadcast flagged-value emit shared by BOTH near-dup paths: one
+    violation row per input ROW whose phash is in the flagged set, observed
+    = the cluster rep string — so crossing the driver/distributed gate never
+    changes the output contract. ``flag_vals`` must be sorted int64;
+    ``reps`` is the aligned "cluster-%016x" string array. Null phash rows
+    never match (phash_nonnull flags them); the int64 re-cast keeps the
+    probe exact when a null upcast the batch column to float64."""
+    import ray
+    import ray.data
+
+    if flag_vals.size == 0:
+        return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+    wrapped = {"ref": ray.put((flag_vals, reps))}
 
     def emit_violations(batch: pa.Table) -> pa.Table:
         # stateless task: the broadcast probe is a shared-memory zero-copy
         # ray.get per call (no actor spawn, scales with free CPUs and reuses
         # warm workers — a 2-actor pool ceiling cost ~2s of the commit tail)
         fv, fr = ray.get(wrapped["ref"])
-        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        ph_null = pc.is_null(batch["phash"]).to_numpy(zero_copy_only=False)
+        # fill_null BEFORE to_numpy: a null would upcast the column to
+        # float64 and drop low bits of 64-bit values (lossy ≥ 2^53)
+        ph = pc.fill_null(batch["phash"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         pos = np.minimum(np.searchsorted(fv, ph), fv.size - 1)
-        mask = fv[pos] == ph
+        mask = (fv[pos] == ph) & ~ph_null
         hit = batch.filter(pa.array(mask))
         n = hit.num_rows
         if n == 0:
             return VIOLATION_SCHEMA.empty_table()
-        reps = fr[pos[mask]]
+        hit_reps = fr[pos[mask]]
         return pa.table({
             "partition_id": hit["partition_id"].cast(pa.int32()),
             "image_id": hit["image_id"],
             "check": pa.array(["neardup_phash"] * n),
             "column": pa.array(["phash"] * n),
-            "observed": pa.array(reps.astype(str)),
+            "observed": pa.array(hit_reps.astype(str)),
             "expected": pa.array([f"hamming>{hmax}"] * n),
         }, schema=VIOLATION_SCHEMA)
 
@@ -309,145 +328,281 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
                           zero_copy_batch=True)
 
 
+NEARDUP_CC_MAX_EDGES = 20_000_000  # driver CC gate (~320 MB of edge arrays)
+NEARDUP_BAND_CAP = 1024  # distinct values verified per band group (matches driver cap)
+
+
 def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
-    """At-scale near-dup path: explode band keys → hot-band prefilter →
-    groupby(band_key) verify — all-to-all only over candidate-bucket members.
+    """At-scale near-dup path with DRIVER-IDENTICAL semantics: reduce to
+    distinct (phash, multiplicity) → band-explode the distinct values →
+    prefilter bands holding ≥ 2 distinct values → salted band-bucket
+    shuffles emit exact-verified EDGES over values (16 B/pair) → one GLOBAL
+    connected components (driver kernel ≤ ``NEARDUP_CC_MAX_EDGES``,
+    int64-exact distributed label propagation above) → cluster weight =
+    Σ multiplicity ≥ min_cluster flags values → the same broadcast
+    flagged-value emit as the driver path.
+
+    This fixes the two round-2 review findings on the old shape: (1) chain
+    clusters spanning DIFFERENT bands are assembled (CC is global, and the
+    band prefilter keeps any band with ≥ 2 distinct values — a pair is all
+    it takes to contribute an edge); (2) ``observed`` carries the same
+    "cluster-%016x" min-phash rep as the driver path, so crossing the
+    row-count gate never changes the output contract. Remaining documented
+    approximation (shared with the driver path): band groups are capped at
+    the ``NEARDUP_BAND_CAP`` smallest values, so edges between values that
+    ONLY co-occur past the cap of a degenerate hot band are missed.
     """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
 
-    hamming_max = cfg.neardup_hamming_max
-    min_cluster = cfg.neardup_min_cluster
+    from ..functions.graph import cc_min_label, cc_min_label_distributed
 
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame({
-            "partition_id": pd.array([], dtype="int64"),
-            "image_id": pd.array([], dtype="string"),
-            "rep": pd.array([], dtype="string"),
+    hmax, min_cluster = cfg.neardup_hamming_max, cfg.neardup_min_cluster
+
+    # ---- 1. distinct (v, mult): per-block unique partials, exact groupby ----
+    def block_uniques(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].drop_null().to_numpy(zero_copy_only=False)
+        v, c = np.unique(ph.astype(np.int64), return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    distinct = (ds.select_columns(["phash"])
+                .map_batches(block_uniques, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("v").aggregate(Sum("c", alias_name="mult"))
+                .materialize())
+
+    # ---- 2. band explode over distinct values + ≥2-distinct prefilter ----
+    def explode(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy().astype(np.int64)
+        m = batch["mult"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bands = phash_bands(v, 3)  # (n, 3); band idx lives in bits 58+
+        return pa.table({
+            "band_key": pa.array(bands.ravel(), pa.int64()),
+            "v": pa.array(np.repeat(v, 3)),
+            "mult": pa.array(np.repeat(m, 3)),
         })
 
-    def verify_group(df: pd.DataFrame) -> pd.DataFrame:
-        # drop exact-duplicate image_ids within the band group (PK check owns those)
-        df = df.drop_duplicates("image_id")
-        m = len(df)
-        if m < min_cluster:
-            return _empty()
-        if m > 512:  # hot-band cap: flat/degenerate hashes; deterministic subset
-            df = df.sort_values("image_id").head(512)
-            m = len(df)
-        ph = df["phash"].to_numpy()
-        dist = phash_hamming(ph[:, None], ph[None, :])
-        close = dist <= hamming_max
-        # connected components over the close-pair edges (shared kernel)
-        ii, jj = np.nonzero(np.triu(close, 1))
-        labels = cc_labels(m, ii, jj)
-        ids = df["image_id"].to_numpy()
-        parts = df["partition_id"].to_numpy()
-        rows = []
-        for lbl in np.unique(labels):
-            members = np.nonzero(labels == lbl)[0]
-            if members.size >= min_cluster:
-                rep = min(ids[members])
-                for i in members:
-                    rows.append((int(parts[i]), ids[i], rep))
-        if not rows:
-            return _empty()
-        out = pd.DataFrame(rows, columns=["partition_id", "image_id", "rep"])
-        return out.astype({"partition_id": "int64", "image_id": "string", "rep": "string"})
-
-    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # one salt bucket holds every row of its band keys — verify each band
-        # segment in turn (bounded segment count per bucket; Ray charges
-        # ~2 ms per map_groups GROUP, so the shuffle key is the fixed salt,
-        # never the band key itself)
-        outs = [
-            verify_group(seg)
-            for _, seg in df.groupby("band_key", sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
-        return pd.concat(outs, ignore_index=True) if outs else _empty()
-
-    # Hot-band prefilter: almost every band bucket holds < min_cluster images,
-    # so counting first and shuffling ONLY members of candidate buckets turns
-    # the groupby from per-image-size to per-candidate-size. Counts stream to
-    # the driver as (band_key, n) partials (≈ one row per distinct band per
-    # block); at multi-node scale the same partials tree-reduce in tasks.
-    # materialized: consumed twice (count pass + hot-filter pass); band rows
-    # are ~40 B/image — tiny next to the bytes column that never enters here
-    exploded = ds.map_batches(
-        lambda b: _explode_bands(b, 3), batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    # materialized: consumed twice (count pass + hot-filter pass); 24 B per
+    # distinct value per band — tiny next to the bytes column absent here
+    exploded = distinct.map_batches(explode, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
 
     def band_counts(batch: pa.Table) -> pa.Table:
         v, c = np.unique(batch["band_key"].to_numpy(), return_counts=True)
         return pa.table({"band_key": pa.array(v), "n": pa.array(c.astype(np.int64))})
 
-    # one bulk to_pandas transfer — iter_batches pays ~10x per-batch driver
-    # overhead at this partial count (verify-skill note, measured round 2)
-    part = exploded.map_batches(
-        band_counts, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    if not len(part):
-        return ds.map_batches(lambda t: VIOLATION_SCHEMA.empty_table(),
-                              batch_format="pyarrow")
-    all_keys = part["band_key"].to_numpy()
-    all_counts = part["n"].to_numpy()
-    uniq_keys, inv = np.unique(all_keys, return_inverse=True)
-    totals = np.zeros(uniq_keys.size, dtype=np.int64)
-    np.add.at(totals, inv, all_counts)
-    hot = np.sort(uniq_keys[totals >= min_cluster])
+    # one bulk to_pandas transfer of (band_key, n) partials — one row per
+    # distinct band per block; at multi-node scale the same partials
+    # tree-reduce in tasks
+    part = exploded.map_batches(band_counts, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    flagged_v = np.empty(0, np.int64)
+    flagged_rep = np.empty(0, np.int64)
+    if len(part):
+        uniq_keys, inv = np.unique(part["band_key"].to_numpy(),
+                                   return_inverse=True)
+        totals = np.zeros(uniq_keys.size, dtype=np.int64)
+        np.add.at(totals, inv, part["n"].to_numpy())
+        # ≥ 2 distinct values: the minimum that can contribute an edge — a
+        # chain cluster may cross bands pair by pair (review finding), so
+        # filtering at min_cluster here would drop its links
+        hot = np.sort(uniq_keys[totals >= 2])
+    else:
+        hot = np.empty(0, np.int64)
 
-    import ray
-
-    hot_wrapped = {"ref": ray.put(hot)}
     n_salt = 256
+    if hot.size:
+        hot_wrapped = {"ref": ray.put(hot)}
 
-    def hot_filter(batch: pa.Table) -> pa.Table:
-        # stateless task: shared-memory zero-copy ray.get of the hot-key
-        # probe per call — no actor spawn, scales with free CPUs. Surviving
-        # rows get a salt bucket of their band key so the verify shuffle has
-        # a fixed group count.
-        hotk = ray.get(hot_wrapped["ref"])
-        k = batch["band_key"].to_numpy()
-        pos = np.minimum(np.searchsorted(hotk, k), max(hotk.size - 1, 0))
-        mask = hotk[pos] == k if hotk.size else np.zeros(k.size, bool)
-        kept = batch.filter(pa.array(mask))
-        salt = (hash64(kept["band_key"].to_numpy()) % n_salt).astype(np.int64)
-        return kept.append_column("vbkt", pa.array(salt))
+        def hot_filter(batch: pa.Table) -> pa.Table:
+            # stateless task: shared-memory zero-copy ray.get of the hot-key
+            # probe per call; survivors get a salt bucket of their band key
+            # so the verify shuffle has a fixed group count
+            hotk = ray.get(hot_wrapped["ref"])
+            k = batch["band_key"].to_numpy()
+            kept = batch.filter(pa.array(probe_sorted(hotk, k)))
+            salt = (hash64(kept["band_key"].to_numpy())
+                    % np.uint64(n_salt)).astype(np.int64)
+            return kept.append_column("vbkt", pa.array(salt))
 
-    hot_rows = exploded.map_batches(hot_filter, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    candidates = hot_rows.groupby("vbkt").map_groups(verify_bucket,
-                                                     batch_format="pandas")
+        # ---- 3. per-band exact verify → edges over values ----
+        def edges_bucket(t: pa.Table) -> pa.Table:
+            # one salt bucket holds EVERY row of its band keys (values are
+            # globally distinct here, so a segment is a full band group);
+            # same-sized segments batch into one matrix like the driver path
+            bk = t["band_key"].to_numpy()
+            v = t["v"].to_numpy().astype(np.int64)
+            order = np.lexsort((v, bk))  # per band, values ascending
+            bk, v = bk[order], v[order]
+            starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+            sizes = np.diff(np.r_[starts, bk.size])
+            va_all, vb_all = [], []
+            for m in np.unique(sizes):
+                if m < 2:
+                    continue
+                gsel = np.flatnonzero(sizes == m)
+                mm = int(m)
+                if mm > NEARDUP_BAND_CAP:
+                    import logging
 
-    def dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized first-per-image within the salt bucket (an image can be
-        # flagged via several bands; keep the smallest cluster rep). numpy
-        # mask, NOT .ne(.shift()): with pandas nullable string dtype the
-        # first row's comparison is <NA>, which the boolean filter DROPS —
-        # silently emptying the output
-        d = df.sort_values(["image_id", "rep"], kind="mergesort")
-        ids = d.image_id.to_numpy()
-        first = np.r_[True, ids[1:] != ids[:-1]] if len(ids) else np.empty(0, bool)
-        return d[first].drop(columns=["ibkt"])
+                    logging.getLogger(__name__).warning(
+                        "neardup-dist: %d band groups capped %d → %d",
+                        gsel.size, mm, NEARDUP_BAND_CAP)
+                    mm = NEARDUP_BAND_CAP
+                # rows ascending by value ⇒ the cap keeps the SMALLEST mm
+                # values, exactly like the driver path's truncation
+                mat = v[starts[gsel][:, None] + np.arange(mm)[None, :]]
+                iu, ju = np.triu_indices(mm, 1)
+                a = mat[:, iu].ravel()
+                b = mat[:, ju].ravel()
+                close = phash_hamming(a, b) <= hmax
+                va_all.append(a[close])
+                vb_all.append(b[close])
+            if va_all:
+                va = np.concatenate(va_all)
+                vb = np.concatenate(vb_all)
+            else:
+                va = vb = np.empty(0, np.int64)
+            return pa.table({"va": pa.array(va, pa.int64()),
+                             "vb": pa.array(vb, pa.int64())})
 
-    def add_id_bucket(batch: pa.Table) -> pa.Table:
-        b = (hash64(batch["image_id"].to_numpy(zero_copy_only=False))
-             % np.uint64(n_salt)).astype(np.int64)
-        return batch.append_column("ibkt", pa.array(b))
+        edges = (exploded.map_batches(hot_filter, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                 .groupby("vbkt").map_groups(edges_bucket,
+                                             batch_format="pyarrow")
+                 .materialize())
+        n_edges = edges.count()
+    else:
+        edges, n_edges = None, 0
 
-    uniq = candidates.map_batches(add_id_bucket, batch_format="pyarrow"
-                                  ).groupby("ibkt").map_groups(
-        dedupe_bucket, batch_format="pandas")
+    # ---- 4. global CC + cluster weights → flagged (value, rep) ----
+    if n_edges == 0:
+        nodes = np.empty(0, np.int64)
+    elif n_edges <= NEARDUP_CC_MAX_EDGES:
+        e = edges.to_pandas()
+        nodes, node_rep = cc_min_label(e["va"].to_numpy().astype(np.int64),
+                                       e["vb"].to_numpy().astype(np.int64))
+        # multiplicities of edge-involved values: broadcast probe on distinct
+        nodes_wrapped = {"ref": ray.put(nodes)}
 
-    def to_violations(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return VIOLATION_SCHEMA.empty_table()
-        return pa.table({
-            "partition_id": batch["partition_id"].cast(pa.int32()),
-            "image_id": batch["image_id"],
-            "check": pa.array(["neardup_phash"] * n),
-            "column": pa.array(["phash"] * n),
-            "observed": batch["rep"].cast(pa.string()),
-            "expected": pa.array([f"hamming>{cfg.neardup_hamming_max}"] * n),
-        }, schema=VIOLATION_SCHEMA)
+        def node_mult(batch: pa.Table) -> pa.Table:
+            nd = ray.get(nodes_wrapped["ref"])
+            v = batch["v"].to_numpy().astype(np.int64)
+            keep = batch.filter(pa.array(probe_sorted(nd, v)))
+            return pa.table({"v": keep["v"].cast(pa.int64()),
+                             "mult": keep["mult"].cast(pa.int64())})
 
-    return uniq.map_batches(to_violations, batch_format="pyarrow")
+        nm = distinct.map_batches(node_mult, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+        pos = np.searchsorted(nodes, nm["v"].to_numpy().astype(np.int64))
+        reps_u, rep_inv = np.unique(node_rep, return_inverse=True)
+        weight = np.zeros(reps_u.size, dtype=np.int64)
+        np.add.at(weight, rep_inv[pos], nm["mult"].to_numpy().astype(np.int64))
+        keep_node = weight[rep_inv] >= min_cluster
+        flagged_v = nodes[keep_node]
+        flagged_rep = node_rep[keep_node]
+    else:
+        labels = cc_min_label_distributed(edges)
+        n_b = max(8, distinct.count() // 2_000_000)
+
+        def tag_dist(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy().astype(np.int64)
+            return pa.table({
+                "v": pa.array(v), "lab": pa.nulls(v.size, pa.int64()),
+                "mult": batch["mult"].cast(pa.int64()),
+                "jbkt": pa.array((hash64(v) % np.uint64(n_b)).astype(np.int64)),
+            })
+
+        def tag_lab(batch: pa.Table) -> pa.Table:
+            v = batch["node"].to_numpy().astype(np.int64)
+            return pa.table({
+                "v": pa.array(v), "lab": batch["lab"].cast(pa.int64()),
+                "mult": pa.nulls(v.size, pa.int64()),
+                "jbkt": pa.array((hash64(v) % np.uint64(n_b)).astype(np.int64)),
+            })
+
+        def attach_lab(t: pa.Table) -> pa.Table:
+            # value rows adopt their CC label; values absent from the edge
+            # set are singleton components labelled by themselves.
+            # drop_null keeps int64 exact (nulls mark the other row kind)
+            is_lab = pc.is_valid(t["lab"]).to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy()
+            lv = v[is_lab]
+            lab = t["lab"].drop_null().to_numpy().astype(np.int64)
+            o = np.argsort(lv, kind="stable")
+            lv, lab = lv[o], lab[o]
+            dv = v[~is_lab]
+            mult = t["mult"].drop_null().to_numpy().astype(np.int64)
+            out_lab = dv.copy()
+            if lv.size:
+                p = np.minimum(np.searchsorted(lv, dv), lv.size - 1)
+                hit = lv[p] == dv
+                out_lab[hit] = lab[p[hit]]
+            return pa.table({"v": pa.array(dv), "lab": pa.array(out_lab),
+                             "mult": pa.array(mult)})
+
+        joined = (distinct.map_batches(tag_dist, batch_format="pyarrow")
+                  .union(labels.map_batches(tag_lab, batch_format="pyarrow"))
+                  .groupby("jbkt").map_groups(attach_lab,
+                                              batch_format="pyarrow"))
+
+        def tag_labbkt(batch: pa.Table) -> pa.Table:
+            lab = batch["lab"].to_numpy().astype(np.int64)
+            return batch.append_column(
+                "lbkt", pa.array((hash64(lab) % np.uint64(n_b)).astype(np.int64)))
+
+        def flag_components(t: pa.Table) -> pa.Table:
+            # all members of a label share its bucket: exact cluster weight
+            lab = t["lab"].to_numpy().astype(np.int64)
+            v = t["v"].to_numpy().astype(np.int64)
+            mult = t["mult"].to_numpy().astype(np.int64)
+            o = np.argsort(lab, kind="stable")
+            lab, v, mult = lab[o], v[o], mult[o]
+            starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+            w = np.add.reduceat(mult, starts)
+            keep = np.repeat(w >= min_cluster, np.diff(np.r_[starts, lab.size]))
+            return pa.table({"v": pa.array(v[keep]), "rep": pa.array(lab[keep])})
+
+        # flagged set collects to the driver for the broadcast emit — its
+        # size is bounded by the ACTUAL near-dup violation count (16 B/value)
+        fl = (joined.map_batches(tag_labbkt, batch_format="pyarrow")
+              .groupby("lbkt").map_groups(flag_components,
+                                          batch_format="pyarrow")
+              .to_pandas())
+        flagged_v = fl["v"].to_numpy().astype(np.int64)
+        flagged_rep = fl["rep"].to_numpy().astype(np.int64)
+
+    # singleton exact-dup clusters: a value with mult ≥ min_cluster and no
+    # qualifying edges is its own flagged cluster (driver parity — cc_labels
+    # weights isolated nodes by their own multiplicity). Any such value that
+    # IS an edge node was already flagged above (its component weight ≥ its
+    # own mult), so probing against flagged_v excludes exactly those.
+    sing_wrapped = {"ref": ray.put(np.sort(flagged_v))}
+
+    def singleton_flags(batch: pa.Table) -> pa.Table:
+        known = ray.get(sing_wrapped["ref"])
+        v = batch["v"].to_numpy().astype(np.int64)
+        mult = batch["mult"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (mult >= min_cluster) & ~probe_sorted(known, v)
+        return pa.table({"v": pa.array(v[mask]),
+                         "rep": pa.array(v[mask])})
+
+    sing = distinct.map_batches(singleton_flags, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    if len(sing):
+        flagged_v = np.concatenate([flagged_v,
+                                    sing["v"].to_numpy().astype(np.int64)])
+        flagged_rep = np.concatenate(
+            [flagged_rep, sing["rep"].to_numpy().astype(np.int64)])
+
+    if flagged_v.size == 0:
+        import ray.data
+
+        return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+    order = np.argsort(flagged_v, kind="stable")
+    fv = flagged_v[order]
+    fr = np.array(["cluster-%016x" % (r & 0xFFFFFFFFFFFFFFFF)
+                   for r in flagged_rep[order].tolist()], dtype=object)
+    return _emit_flagged(ds, fv, fr, hmax)

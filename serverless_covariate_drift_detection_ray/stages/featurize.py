@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.codec import LOSSY_FMTS, decode_image, image_dims
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, probe_sorted
 from ..functions.phash import phash64_batch, phash_gray_small, phash_hamming
 from ..pipelines.config import EngineConfig
 from ..state.partials import PartialState
@@ -73,11 +73,11 @@ class FeaturizeAndSketch:
             self.manifest_hashes = ray.get(manifest_broadcast["ref"])
 
     def _probe_manifest(self, id_hashes: np.ndarray) -> np.ndarray:
-        """True where the id IS in the manifest. Sorted-array probe in-sandbox;
-        at 10^12-id scale swap in a Bloom filter (same broadcast shape)."""
-        pos = np.searchsorted(self.manifest_hashes, id_hashes)
-        pos = np.minimum(pos, self.manifest_hashes.size - 1)
-        return self.manifest_hashes[pos] == id_hashes
+        """True where the id IS in the manifest. Sorted-array probe in-sandbox
+        (probe_sorted handles the empty-universe case — every id is then an
+        orphan); at 10^12-id scale swap in a Bloom filter (same broadcast
+        shape)."""
+        return probe_sorted(self.manifest_hashes, id_hashes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -88,8 +88,15 @@ class FeaturizeAndSketch:
         ids = batch["image_id"].to_numpy(zero_copy_only=False)
         w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w_null = pc.is_null(batch["w"]).to_numpy(zero_copy_only=False)
+        h_null = pc.is_null(batch["h"]).to_numpy(zero_copy_only=False)
         fmt = batch["fmt"].to_numpy(zero_copy_only=False)
-        phash = batch["phash"].to_numpy(zero_copy_only=False)
+        phash_null = pc.is_null(batch["phash"]).to_numpy(zero_copy_only=False)
+        # fill_null BEFORE to_numpy: one null otherwise upcasts the whole
+        # column to float64, which silently drops low bits of 64-bit hashes
+        # (|phash| ≥ 2^53) — the filled zeros are mask-excluded everywhere
+        phash = pc.fill_null(batch["phash"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         part_ids = batch["partition_id"].to_numpy(zero_copy_only=False)
         captions = batch["caption"].to_numpy(zero_copy_only=False)
         caption_null = pc.is_null(batch["caption"]).to_numpy(zero_copy_only=False)
@@ -131,6 +138,11 @@ class FeaturizeAndSketch:
                  lambda i: str(fmt[i]), "|".join(cfg.fmt_categories))
         add_mask(w <= 0, "w_positive", "w", lambda i: str(int(w[i])), ">0")
         add_mask(h <= 0, "h_positive", "h", lambda i: str(int(h[i])), ">0")
+        # null dims/phash get their own violations (a NaN passes `<= 0`
+        # silently and int(NaN) crashes the dims comparison below)
+        add_mask(w_null, "w_nonnull", "w", "null", "non-null")
+        add_mask(h_null, "h_nonnull", "h", "null", "non-null")
+        add_mask(phash_null, "phash_nonnull", "phash", "null", "non-null")
         add_mask(caption_null, "caption_nonnull", "caption", "null", "non-null")
         if self.manifest_hashes is not None:
             present = self._probe_manifest(id_hash)
@@ -162,7 +174,10 @@ class FeaturizeAndSketch:
                     add_one(i, "decodable", "bytes", type(exc).__name__,
                             "decodable header")
                     continue
-                if dw != int(w[i]) or dh != int(h[i]):
+                # null w/h can't be compared (already flagged w/h_nonnull);
+                # the header-decodability check above still ran for the row
+                if not (w_null[i] or h_null[i]) and (
+                        dw != int(w[i]) or dh != int(h[i])):
                     add_one(i, "dims_match_decoded", "w,h",
                             f"{dw}x{dh}", f"{int(w[i])}x{int(h[i])}")
             if not decode_mask[i]:
@@ -183,7 +198,7 @@ class FeaturizeAndSketch:
             pm_part.append(int(part_ids[i]))
             pm_val.append(m)
             ps_val.append(float(np.sqrt(max(s2 / img.size - m * m, 0.0))))
-            if cfg.phash_verify:
+            if cfg.phash_verify and not phash_null[i]:
                 ver_idx.append(i)
                 ver_ph.append(phash_gray_small(img))
         if ver_idx:
@@ -209,8 +224,8 @@ class FeaturizeAndSketch:
             sel = part_ids == pid
             ps = PartialState(cfg.marginals, cfg.fmt_categories)
             ps.n_rows = int(sel.sum())
-            ps.update_numeric("w", w[sel])
-            ps.update_numeric("h", h[sel])
+            ps.update_numeric("w", w[sel], n_null=int(w_null[sel].sum()))
+            ps.update_numeric("h", h[sel], n_null=int(h_null[sel].sum()))
             ps.update_numeric("caption_len", caption_len[sel],
                               n_null=int(caption_null[sel].sum()))
             if pm_val_arr.size:
@@ -226,11 +241,12 @@ class FeaturizeAndSketch:
             )
             np.add.at(ps.fmt_counts, fidx, 1)
             ps.id_hll.update_hashes(id_hash[sel])
-            ps.phash_hll.update(phash[sel])
+            selp = sel & ~phash_null  # null phash: no hash, no MMD sample
+            ps.phash_hll.update(phash[selp])
             ps.caption_cms.update(np.where(caption_null[sel], "", captions[sel]).astype(object))
-            keys = id_hash[sel]
+            keys = id_hash[selp]
             order = np.argsort(keys, kind="stable")[: cfg.mmd_sample_cap]
-            ps.add_sample(keys[order], phash[sel][order], cfg.mmd_sample_cap)
+            ps.add_sample(keys[order], phash[selp][order], cfg.mmd_sample_cap)
             partials.append((int(pid), ps))
 
         # --- assemble union-schema output ---

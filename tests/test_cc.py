@@ -69,3 +69,38 @@ def test_distributed_cc_dedup_matches_driver_path(ray_session, monkeypatch):
     b = ann.dedup_semantic_embeddings(sf).to_pandas().sort_values(
         "vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
+def test_cc_min_label_distributed_full_int64_range(ray_session):
+    """The arrow-exact distributed CC must match the driver kernel on ids
+    spanning the FULL signed-int64 domain (|id| >= 2^53 would alias through
+    a pandas float64 round-trip — the reason ann's CC refuses them), on a
+    long chain (adversarial diameter for plain propagation), with duplicate
+    and self edges."""
+    import pyarrow as pa
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.functions.graph import (
+        cc_min_label_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    ids = np.unique(rng.integers(-2**63, 2**63 - 1, size=120, dtype=np.int64))
+    chain = ids[:17]
+    a = list(chain[:-1]) + [int(ids[0])]          # chain + a self edge
+    b = list(chain[1:]) + [int(ids[0])]
+    for _ in range(60):
+        i, j = rng.integers(0, ids.size, 2)
+        a.append(int(ids[i]))
+        b.append(int(ids[j]))
+    a += a[:10]                                    # duplicate edges
+    b += b[:10]
+    a = np.array(a, np.int64)
+    b = np.array(b, np.int64)
+    nodes_ref, rep_ref = _cc_min_label(a, b)
+    pairs = ray.data.from_arrow(
+        pa.table({"va": pa.array(a), "vb": pa.array(b)})).repartition(4)
+    out = cc_min_label_distributed(pairs).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert np.array_equal(out["node"].to_numpy(), nodes_ref)
+    assert np.array_equal(out["lab"].to_numpy(), rep_ref)

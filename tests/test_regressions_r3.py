@@ -374,3 +374,47 @@ def test_streamed_path_clears_stale_violation_files(dup_fixture,
     assert t.num_rows == 0
     lineage = json.load(open(os.path.join(out, "lineage", "0.json")))
     assert lineage["violation_count"] == 0
+
+
+def test_featurize_null_dims_and_phash_flag_not_crash(ray_session):
+    """Null w/h/phash must produce *_nonnull violations instead of crashing
+    the featurize task (int(NaN) raised in the dims loop; a null phash
+    upcast the column to float64 and corrupted the HLL/MMD-sample hash
+    domain) — round-3 review finding."""
+    import pyarrow as pa
+
+    from serverless_covariate_drift_detection_ray.functions.codec import encode_png
+    from serverless_covariate_drift_detection_ray.functions.phash import phash64
+    from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+    from serverless_covariate_drift_detection_ray.stages.featurize import FeaturizeAndSketch
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    png = encode_png(img)
+    ph = int(phash64(img))
+    cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                       dims_check_fraction=1.0, decode_fraction=1.0,
+                       phash_verify=True)
+    batch = pa.table({
+        "image_id": pa.array(["a", "b", "c", "d"]),
+        "partition_id": pa.array([0, 0, 0, 0], pa.int32()),
+        "w": pa.array([8, None, 8, 8], pa.int32()),
+        "h": pa.array([8, 8, None, 8], pa.int32()),
+        "fmt": pa.array(["png"] * 4),
+        "phash": pa.array([ph, ph, ph, None], pa.int64()),
+        "caption": pa.array(["x"] * 4),
+        "bytes": pa.array([png] * 4, pa.binary()),
+    })
+    out = FeaturizeAndSketch(cfg)(batch)
+    vio = out.filter(pa.compute.equal(out["kind"], "violation")).to_pandas()
+    checks = set(zip(vio.image_id, vio.check))
+    assert ("b", "w_nonnull") in checks
+    assert ("c", "h_nonnull") in checks
+    assert ("d", "phash_nonnull") in checks
+    # the good row produced no violation; null-dim rows did NOT crash the
+    # dims loop and did NOT emit a bogus dims_match_decoded for null w/h
+    assert "a" not in set(vio.image_id)
+    assert not any(c == "dims_match_decoded" for _, c in checks)
+    # partials still cover all 4 rows
+    parts = out.filter(pa.compute.equal(out["kind"], "partial"))
+    assert int(parts["n_rows"][0].as_py()) == 4

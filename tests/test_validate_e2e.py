@@ -252,15 +252,85 @@ class TestNeardupDistributedParity:
         ds = read_images(manifest, columns=["image_id", "phash", "partition_id"]
                          ).materialize()
         cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000")
-        driver = C.check_neardup(ds, cfg).to_pandas()
-        dist = C.check_neardup_distributed(ds, cfg).to_pandas()
+        sort_cols = ["image_id", "observed"]
+        driver = C.check_neardup(ds, cfg).to_pandas().sort_values(
+            sort_cols).reset_index(drop=True)
+        dist = C.check_neardup_distributed(ds, cfg).to_pandas().sort_values(
+            sort_cols).reset_index(drop=True)
         assert len(driver) > 0  # the fixture seeds near-dup clusters
-        # same flagged images; cluster REPs may differ (driver path labels by
-        # phash-cluster rep, distributed by lexicographically-min image id)
-        assert set(driver.image_id) == set(dist.image_id)
-        a = driver.groupby("observed").size().sort_values().to_numpy()
-        b = dist.groupby("observed").size().sort_values().to_numpy()
-        assert list(a) == list(b)  # same cluster-size multiset
+        # BIT-IDENTICAL output contract: same rows, same cluster-%016x reps —
+        # crossing the row-count gate must not change what a consumer sees
+        pd.testing.assert_frame_equal(driver, dist)
+
+    def test_chain_cluster_across_bands(self, ray_session):
+        """A cluster linked pair-by-pair through DIFFERENT bands (A-B close
+        via one band, A-C via another; band buckets of size 2 each) must be
+        assembled by the distributed path's GLOBAL connected components —
+        the round-2 review found the old band-local CC dropped it."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+        from serverless_covariate_drift_detection_ray.stages import constraints as C
+
+        # A = 0, B flips bits {0, 42}, C flips bits {21, 63}: d(A,B)=d(A,C)=2,
+        # d(B,C)=4 — a 3-chain via A only; plus far-away noise values
+        A, B, Cv = 0, (1 | (1 << 42)), ((1 << 21) | (1 << 63))
+        noise = [int(x) for x in
+                 np.random.default_rng(3).integers(2**63 - 10**9, 2**63 - 1, 5)]
+        phs = np.array([A, B, Cv] + noise, dtype=np.uint64).astype(np.int64)
+        t = pa.table({
+            "image_id": pa.array([f"img-{i:03d}" for i in range(phs.size)]),
+            "phash": pa.array(phs),
+            "partition_id": pa.array([0] * phs.size, pa.int32()),
+        })
+        ds = ray.data.from_arrow(t).repartition(3).materialize()
+        cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                           neardup_hamming_max=2, neardup_min_cluster=3)
+        sort_cols = ["image_id", "observed"]
+        driver = C.check_neardup(ds, cfg).to_pandas().sort_values(
+            sort_cols).reset_index(drop=True)
+        dist = C.check_neardup_distributed(ds, cfg).to_pandas().sort_values(
+            sort_cols).reset_index(drop=True)
+        assert set(driver.image_id) == {"img-000", "img-001", "img-002"}
+        pd.testing.assert_frame_equal(driver, dist)
+
+    def test_distributed_cc_branch_and_singletons(self, ray_session, monkeypatch):
+        """Above the edge gate the distributed path must route through the
+        int64-exact distributed CC and still match the driver path; exact-dup
+        singleton clusters (mult >= min_cluster, no edges) flag in both."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
+        from serverless_covariate_drift_detection_ray.stages import constraints as C
+
+        A, B, Cv = 0, (1 | (1 << 42)), ((1 << 21) | (1 << 63))
+        dup = 2**64 - 2**62 - 12345  # exact-dup singleton (negative int64)
+        far = 0x0F0F0F0F0F0F0F0F  # popcount 32: far from every other value
+        phs = np.array([A, B, Cv, dup, dup, dup, far],
+                       dtype=np.uint64).astype(np.int64)
+        t = pa.table({
+            "image_id": pa.array([f"img-{i:03d}" for i in range(phs.size)]),
+            "phash": pa.array(phs),
+            "partition_id": pa.array([0] * phs.size, pa.int32()),
+        })
+        ds = ray.data.from_arrow(t).repartition(3).materialize()
+        cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
+                           neardup_hamming_max=2, neardup_min_cluster=3)
+        sort_cols = ["image_id", "observed"]
+        driver = C.check_neardup(ds, cfg).to_pandas().sort_values(
+            sort_cols).reset_index(drop=True)
+        monkeypatch.setattr(C, "NEARDUP_CC_MAX_EDGES", 0)
+        dist = C.check_neardup_distributed(ds, cfg).to_pandas().sort_values(
+            sort_cols).reset_index(drop=True)
+        assert set(driver.image_id) == {
+            "img-000", "img-001", "img-002", "img-003", "img-004", "img-005"}
+        pd.testing.assert_frame_equal(driver, dist)
 
 
 class TestResumeConfigInvalidation:
