@@ -181,7 +181,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     row_bytes = w * channels
     pad = (4 - row_bytes % 4) % 4
     raw = np.frombuffer(data, dtype=np.uint8, count=(row_bytes + pad) * h, offset=offset)
-    rows = raw.reshape(h, row_bytes + pad)[:, :row_bytes][::-1]
+    rows = raw.reshape(h, row_bytes + pad)[:, :row_bytes]
+    (raw_h,) = struct.unpack("<i", data[22:26])
+    if raw_h > 0:  # positive biHeight = bottom-up; negative = top-down as-is
+        rows = rows[::-1]
     if channels == 1:
         return rows.reshape(h, w).copy()
     return rows.reshape(h, w, 3)[:, :, ::-1].copy()  # BGR -> RGB

@@ -441,6 +441,14 @@ def jpeg_header(data: bytes) -> tuple[int, int, int]:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI without SOF
+            break
         if marker in (0xC0, 0xC1):  # baseline / extended sequential
             h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
             return w, h, data[pos + 9]
@@ -490,6 +498,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+            pos += 2
+            continue
         (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
         seg = data[pos + 4:pos + 2 + length]
         if marker == 0xDB:  # DQT (may hold several tables)

@@ -258,3 +258,52 @@ def test_jpeg_deterministic_and_loud_on_garbage():
         decode_image(b"\xff\xd8\xff\xee garbage", "jpeg")
     with pytest.raises(Exception):
         decode_image(encode_image(img, "jpeg")[:40], "jpeg")
+
+
+def test_jpeg_fill_bytes_and_lengthless_markers():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker, and TEM (0x01)
+    / RSTn carry no length field — real encoders emit both, and the marker
+    walk previously read the next byte pair as a bogus segment length."""
+    from serverless_covariate_drift_detection_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_header,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (24, 17, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=90)
+    ref = decode_jpeg(data)
+    # splice fill bytes + a TEM marker right after SOI
+    spliced = data[:2] + b"\xff\xff\xff\x01" + data[2:]
+    assert jpeg_header(spliced) == jpeg_header(data)
+    np.testing.assert_array_equal(decode_jpeg(spliced), ref)
+
+
+def test_bmp_top_down_negative_height():
+    """A top-down BMP (negative biHeight) stores rows first-to-last; the
+    decoder previously flipped unconditionally, mirroring the image and
+    tripping phash_match_decoded on externally-ingested files."""
+    from serverless_covariate_drift_detection_ray.functions.codec import (
+        bmp_header,
+        decode_bmp,
+        encode_bmp,
+    )
+    import struct
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 255, (9, 7, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(img))
+    (offset,) = struct.unpack("<I", bytes(data[10:14]))
+    w, h = img.shape[1], img.shape[0]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    stride = row_bytes + pad
+    # flip the payload to top-down order and negate biHeight
+    payload = np.frombuffer(bytes(data[offset:offset + stride * h]),
+                            dtype=np.uint8).reshape(h, stride)
+    data[offset:offset + stride * h] = payload[::-1].tobytes()
+    data[22:26] = struct.pack("<i", -h)
+    td = bytes(data)
+    assert bmp_header(td) == (w, h, 3)  # dims still positive
+    np.testing.assert_array_equal(decode_bmp(td), img)
