@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_events": relq.window_tumbling_events,
         "window_hopping_events": relq.window_hopping_events,
         "chi2_by_window_events": relq.chi2_by_window_events,
+        "cusum_changepoint_events": relq.cusum_changepoint_events,
         "ks_by_window_events": relq.ks_by_window_events,
         "sessionize_events": relq.sessionize_events,
         "running_sum_events": relq.running_sum_events,
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_documents": textops.cap_per_source_documents,
         "duplicate_ngram_spans": textops.duplicate_ngram_spans,
         "bigram_repetition_documents": textops.bigram_repetition_documents,
+        "gopher_repetition_documents": textops.gopher_repetition_documents,
         "skyline_orders": relq.skyline_orders,
         "ntile_orders": relq.ntile_orders,
         "percent_rank_orders": relq.percent_rank_orders,
@@ -270,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source_documents": textops.CAP_PER_SOURCE_SQL,
         "duplicate_ngram_spans": textops.DUP_NGRAM_SQL,
         "bigram_repetition_documents": textops.BIGRAM_REP_SQL,
+        "gopher_repetition_documents": textops.GOPHER_REP_SQL,
         "skyline_orders": relq.SKYLINE_SQL,
         "ntile_orders": relq.NTILE_SQL,
         "percent_rank_orders": relq.PERCENT_RANK_SQL,
@@ -301,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling_events": relq.WINDOW_SQL,
         "window_hopping_events": relq.WINDOW_HOP_SQL,
         "chi2_by_window_events": relq.CHI2_WINDOW_SQL,
+        "cusum_changepoint_events": relq.CUSUM_SQL,
         "ks_by_window_events": relq.KS_WINDOW_SQL,
         "asof_join_purchase_click": relq.ASOF_SQL,
         "interval_join_purchase_clicks": relq.INTERVAL_JOIN_SQL,

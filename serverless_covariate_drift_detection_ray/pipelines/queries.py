@@ -744,6 +744,105 @@ FROM p
 """
 
 
+def cusum_changepoint_events(sf_dir: str, slack: float = 0.25,
+                             threshold: float = 4.0):
+    """Sequential change-point detection (two-sided standardized CUSUM,
+    Page 1954) on the hourly mean of ``value`` per event_type — the
+    accumulate-small-shifts complement to the per-window two-sample tests
+    (chi2/ks_by_window score each window independently; CUSUM flags a
+    persistent mean shift that no single window can).
+
+    Shape: per-block (hour, type) → (n, sum) partials → salted merge →
+    hours × types driver finish (metadata-sized by construction — the raw
+    values never leave their blocks). The recursion
+    ``s_k = max(0, s_{k-1} + z_k - slack)`` is evaluated in closed form as
+    ``cum_k - min(0, min_{j<=k} cum_j)`` over cumulative (z - slack),
+    which is exactly how the SQL twin expresses it with running-sum /
+    running-min windows — same op order, so the 1e-6 rounding matches."""
+    from ..functions.hashing import hash64
+
+    n_buckets = _salt_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        g = pa.table({"hour": hour, "event_type": batch["event_type"],
+                      "value": batch["value"]}).group_by(
+            ["hour", "event_type"]).aggregate([([], "count_all"),
+                                               ("value", "sum")])
+        g = pa.table({"hour": g["hour"], "event_type": g["event_type"],
+                      "n": g["count_all"], "s": g["value_sum"]})
+        b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
+             ).astype(np.int64)
+        return g.append_column("b", pa.array(b))
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["hour", "event_type"], sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+
+    c = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                       ).groupby("b").map_groups(
+        bucket_merge, batch_format="pandas").to_pandas()
+    c = c.sort_values(["event_type", "hour"], kind="mergesort")
+    m = c.s.to_numpy(np.float64) / c.n.to_numpy(np.float64)
+    types = c.event_type.to_numpy()
+    s_pos = np.zeros(len(c))
+    s_neg = np.zeros(len(c))
+    for t in np.unique(types):
+        sel = types == t
+        mt = m[sel]
+        mu = mt.mean()
+        sd = np.sqrt(((mt - mu) ** 2).mean())
+        z = (mt - mu) / sd if sd > 0 else np.zeros_like(mt)
+        cum_p = np.cumsum(z - slack)
+        cum_n = np.cumsum(-z - slack)
+        s_pos[sel] = cum_p - np.minimum(np.minimum.accumulate(cum_p), 0.0)
+        s_neg[sel] = cum_n - np.minimum(np.minimum.accumulate(cum_n), 0.0)
+    return pa.table({
+        "event_type": pa.array(types),
+        "hour": pa.array(c.hour.to_numpy().astype("datetime64[us]")),
+        "n": pa.array(c.n.to_numpy().astype(np.int64)),
+        "mean_value": pa.array(_round(m, 6)),
+        "cusum_pos": pa.array(_round(s_pos, 6)),
+        "cusum_neg": pa.array(_round(s_neg, 6)),
+        "is_alarm": pa.array((s_pos > threshold) | (s_neg > threshold)),
+    })
+
+
+# SQL twin of cusum_changepoint_events: the max(0, s+y) recursion as
+# running-sum minus clamped running-min per event_type, mirrored op-for-op.
+CUSUM_SQL = """
+WITH m AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*)::BIGINT AS n, SUM(value) / COUNT(*) AS mv
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, AVG(mv) AS mu, SQRT(VAR_POP(mv)) AS sd
+  FROM m GROUP BY 1),
+z AS (
+  SELECT m.event_type, m.hour, m.n, m.mv,
+         CASE WHEN st.sd > 0 THEN (m.mv - st.mu) / st.sd ELSE 0.0 END AS z
+  FROM m JOIN st ON st.event_type = m.event_type),
+c AS (
+  SELECT event_type, hour, n, mv,
+         SUM(z - 0.25) OVER w AS cp, SUM(-z - 0.25) OVER w AS cn
+  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                      ROWS UNBOUNDED PRECEDING)),
+s AS (
+  SELECT event_type, hour, n, mv,
+         cp - LEAST(0, MIN(cp) OVER w) AS s_pos,
+         cn - LEAST(0, MIN(cn) OVER w) AS s_neg
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                      ROWS UNBOUNDED PRECEDING))
+SELECT event_type, hour, n,
+       FLOOR(mv * 1000000 + 0.5) / 1000000 AS mean_value,
+       FLOOR(s_pos * 1000000 + 0.5) / 1000000 AS cusum_pos,
+       FLOOR(s_neg * 1000000 + 0.5) / 1000000 AS cusum_neg,
+       (s_pos > 4.0 OR s_neg > 4.0) AS is_alarm
+FROM s
+"""
+
+
 def _ts_us(series: pd.Series) -> np.ndarray:
     """Timestamp column → int64 microseconds, unit-safe: an explicit
     datetime64[us] cast first, so a ns-stored batch (older pandas /

@@ -1479,6 +1479,95 @@ FROM c GROUP BY doc_id
 """
 
 
+def gopher_repetition_documents(sf_dir: str):
+    """The rest of the published repetition-filter bundle (Gopher rules;
+    bigram_repetition_documents covers n=2): per doc the duplicate-word
+    fraction (fraction of tokens whose word occurs ≥2 times in the doc)
+    and the top-3-gram / top-4-gram fractions (count of the most frequent
+    n-gram over the doc's n-gram positions). Stateless map_batches — per
+    doc one np.unique over hashed tokens plus two rolling pair-code
+    uniques; docs with < 4 tokens have no 4-grams and are excluded (both
+    engines). Collision-safe within a doc: n-grams are coded over the
+    doc's own token vocabulary, never raw 64-bit hashes."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        toks = _tokens(batch["text"].to_pandas())
+        out = {"doc_id": [], "dup_word_frac": [], "top_trigram_frac": [],
+               "top_quadgram_frac": []}
+
+        def top_frac(codes: np.ndarray, v: int, n: int) -> float:
+            # positional n-gram code over the doc vocab; v^n bounded by the
+            # per-doc token count so the int64 product can't overflow here
+            code = codes[: codes.size - n + 1].astype(np.int64)
+            for j in range(1, n):
+                code = code * v + codes[j: codes.size - n + 1 + j]
+            top = int(np.unique(code, return_counts=True)[1].max())
+            tot = codes.size - n + 1
+            return np.floor(float(top) * 1e6 / float(tot) + 0.5) / 1e6
+
+        for i, ws in zip(ids, toks):
+            if len(ws) < 4:
+                continue
+            h = hash64(np.asarray(ws, dtype=object))
+            vocab, codes = np.unique(h, return_inverse=True)
+            counts = np.bincount(codes)
+            dup = int(counts[counts >= 2].sum())
+            v = int(vocab.size)
+            if v ** 4 >= 2 ** 62:  # ~1.5M distinct tokens in ONE doc
+                raise ValueError("gopher_repetition: doc vocabulary too "
+                                 "large for the positional n-gram code")
+            out["doc_id"].append(i)
+            out["dup_word_frac"].append(
+                np.floor(float(dup) * 1e6 / float(len(ws)) + 0.5) / 1e6)
+            out["top_trigram_frac"].append(top_frac(codes, v, 3))
+            out["top_quadgram_frac"].append(top_frac(codes, v, 4))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(out["doc_id"], np.int64)),
+            "dup_word_frac": pa.array(
+                np.asarray(out["dup_word_frac"], np.float64)),
+            "top_trigram_frac": pa.array(
+                np.asarray(out["top_trigram_frac"], np.float64)),
+            "top_quadgram_frac": pa.array(
+                np.asarray(out["top_quadgram_frac"], np.float64)),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GOPHER_REP_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+e AS (SELECT doc_id, len(toks) AS nt FROM t WHERE len(toks) >= 4),
+w AS (
+  SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE len(toks) >= 4),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+dup AS (
+  SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS d, SUM(c) AS n
+  FROM wc GROUP BY 1),
+g3 AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ng
+  FROM t WHERE len(toks) >= 4),
+c3 AS (SELECT doc_id, ng, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM c3 GROUP BY 1),
+g4 AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 2),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      AS ng
+  FROM t WHERE len(toks) >= 4),
+c4 AS (SELECT doc_id, ng, COUNT(*) AS c FROM g4 GROUP BY 1, 2),
+t4 AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS tot FROM c4 GROUP BY 1)
+SELECT e.doc_id,
+  FLOOR(dup.d * 1e6 / dup.n + 0.5) / 1e6 AS dup_word_frac,
+  FLOOR(t3.top * 1e6 / t3.tot + 0.5) / 1e6 AS top_trigram_frac,
+  FLOOR(t4.top * 1e6 / t4.tot + 0.5) / 1e6 AS top_quadgram_frac
+FROM e JOIN dup USING (doc_id) JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Duplicate n-gram spans (exact passage-level dedup signal)
 # ---------------------------------------------------------------------------
