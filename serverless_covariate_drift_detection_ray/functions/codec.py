@@ -165,24 +165,31 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + palette + buf[::-1].tobytes()  # bottom-up
 
 
-def bmp_header(data: bytes) -> tuple[int, int, int]:
+def _bmp_raw_header(data: bytes) -> tuple[int, int, int]:
+    """(width, SIGNED biHeight, channels) — the single place the BMP info
+    header layout is known; biHeight < 0 means top-down row order."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     w, h = struct.unpack("<ii", data[18:26])
     (bpp,) = struct.unpack("<H", data[28:30])
     if bpp not in (8, 24):
         raise ValueError("unsupported BMP depth")
-    return w, abs(h), 1 if bpp == 8 else 3
+    return w, h, 1 if bpp == 8 else 3
+
+
+def bmp_header(data: bytes) -> tuple[int, int, int]:
+    w, h, channels = _bmp_raw_header(data)
+    return w, abs(h), channels
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    w, h, channels = bmp_header(data)
+    w, raw_h, channels = _bmp_raw_header(data)
+    h = abs(raw_h)
     (offset,) = struct.unpack("<I", data[10:14])
     row_bytes = w * channels
     pad = (4 - row_bytes % 4) % 4
     raw = np.frombuffer(data, dtype=np.uint8, count=(row_bytes + pad) * h, offset=offset)
     rows = raw.reshape(h, row_bytes + pad)[:, :row_bytes]
-    (raw_h,) = struct.unpack("<i", data[22:26])
     if raw_h > 0:  # positive biHeight = bottom-up; negative = top-down as-is
         rows = rows[::-1]
     if channels == 1:

@@ -499,148 +499,22 @@ def _cc_bkt(x: np.ndarray, n_buckets: int) -> np.ndarray:
 
 def cc_labels_distributed(pairs_ds, max_rounds: int = 64):
     """Distributed connected components over a pair Dataset (vec_a, vec_b):
-    Pregel-style min-label propagation with a distributed pointer-jumping
-    (shortcut) step, for edge lists too large for the driver kernel
-    (functions/graph.py).
-
-    Each round is three salted-bucket shuffles (the union + map_groups hash
-    join of textops._attach_words — Ray's join operator has ~10 s fixed
-    aggregator cost, and per-key groupby is infeasible at Ray 2.49's
-    ~2 ms/group): (1) bucket by edge source to attach the source's current
-    label to each directed edge, emitting (dst, candidate); (2) bucket by
-    node to take the min over candidates + current label, counting changed
-    nodes; (3) shortcut — bucket pointer rows by their label's NODE id so
-    every node relabels to its label's label (lab ← lab[lab]), which
-    contracts chains geometrically. Propagation alone converges in
-    O(diameter) rounds (a 1000-node path needs 1000); with the shortcut the
-    bound is O(log n). The driver sees only the per-round changed COUNT;
-    labels stay distributed. Bucket count scales with the edge count
-    (fixed per-block/per-bucket shuffle cost dominates small exchanges).
-    Node ids must stay exact through the nullable-int float64 round-trip
-    (< 2^53, as the id columns here are).
+    thin column-rename delegate to the shared arrow-exact kernel
+    (functions/graph.cc_min_label_distributed — Pregel-style min-label
+    propagation + pointer jumping, O(log n) rounds, pyarrow bucket merges
+    with numpy searchsorted joins so full-range int64 node ids never
+    round-trip through pandas float64; this path previously carried its own
+    pandas kernel with a hard 2^53 id limit).
 
     Returns a (node, lab) Dataset covering every node that appears in an
     edge; isolated nodes are absent (callers treat them as singletons)."""
-    n_buckets = max(8, pairs_ds.count() // 2_000_000)
+    from ..functions.graph import cc_min_label_distributed
 
-    def sym(batch: pa.Table) -> pa.Table:
-        a = batch["vec_a"].to_numpy().astype(np.int64)
-        b = batch["vec_b"].to_numpy().astype(np.int64)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        if src.size and int(np.abs(src).max()) >= (1 << 53):
-            # ids ride through pandas nullable-int -> float64 in the bucket
-            # merges; >= 2^53 would silently lose low bits and corrupt
-            # components — fail loudly (the minhash composite-key convention)
-            raise ValueError("node id >= 2^53: float64 round-trip would alias")
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst),
-                         "lab": pa.nulls(src.size, pa.int64()),
-                         "bkt": pa.array(_cc_bkt(src, n_buckets))})
-
-    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
-
-    def init_part(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch["src"].to_numpy())
-        return pa.table({"node": pa.array(u), "lab": pa.array(u),
-                         "bkt": pa.array(_cc_bkt(u, n_buckets))})
-
-    def init_merge(df: pd.DataFrame) -> pd.DataFrame:
-        u = np.unique(df["node"].to_numpy())
-        return pd.DataFrame({"node": u, "lab": u, "changed": np.zeros(u.size, np.int64)})
-
-    labels = (edges.map_batches(init_part, batch_format="pyarrow")
-              .groupby("bkt").map_groups(init_merge, batch_format="pandas")
-              .materialize())
-
-    def tag_labels_for_join(batch: pa.Table) -> pa.Table:
-        n = batch["node"].to_numpy().astype(np.int64)
-        return pa.table({"src": pa.array(n), "dst": pa.nulls(n.size, pa.int64()),
-                         "lab": batch["lab"].cast(pa.int64()),
-                         "bkt": pa.array(_cc_bkt(n, n_buckets))})
-
-    def join_msgs(df: pd.DataFrame) -> pd.DataFrame:
-        is_lab = df["dst"].isna()
-        labs = df.loc[is_lab, ["src", "lab"]]
-        eds = df.loc[~is_lab, ["src", "dst"]]
-        m = eds.merge(labs, on="src", how="inner")
-        out = pd.DataFrame({"node": m["dst"].to_numpy().astype(np.int64),
-                            "cand": m["lab"].to_numpy().astype(np.int64)})
-        return out
-
-    def tag_msgs(batch: pa.Table) -> pa.Table:
-        n = batch["node"].to_numpy().astype(np.int64)
-        return pa.table({"node": pa.array(n), "cand": batch["cand"].cast(pa.int64()),
-                         "old": pa.nulls(n.size, pa.int64()),
-                         "nbkt": pa.array(_cc_bkt(n, n_buckets))})
-
-    def tag_old(batch: pa.Table) -> pa.Table:
-        n = batch["node"].to_numpy().astype(np.int64)
-        return pa.table({"node": pa.array(n),
-                         "cand": batch["lab"].cast(pa.int64()),
-                         "old": batch["lab"].cast(pa.int64()),
-                         "nbkt": pa.array(_cc_bkt(n, n_buckets))})
-
-    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)
-        new = g["cand"].min()
-        old = g["old"].min()  # exactly one old row per node
-        changed = (new < old).to_numpy().astype(np.int64)
-        return pd.DataFrame({"node": new.index.to_numpy().astype(np.int64),
-                             "lab": new.to_numpy().astype(np.int64),
-                             "changed": changed})
-
-    # shortcut pass: co-locate each pointer row (node -> lab) with lab's own
-    # label row (lab -> lab[lab]) by bucketing BOTH by hash(lab-as-node-id)
-    def tag_ptr(batch: pa.Table) -> pa.Table:
-        lab = batch["lab"].to_numpy().astype(np.int64)
-        return pa.table({"key": pa.array(lab),
-                         "node": batch["node"].cast(pa.int64()),
-                         "plab": pa.nulls(lab.size, pa.int64()),
-                         "sbkt": pa.array(_cc_bkt(lab, n_buckets))})
-
-    def tag_parent(batch: pa.Table) -> pa.Table:
-        n = batch["node"].to_numpy().astype(np.int64)
-        return pa.table({"key": pa.array(n),
-                         "node": pa.nulls(n.size, pa.int64()),
-                         "plab": batch["lab"].cast(pa.int64()),
-                         "sbkt": pa.array(_cc_bkt(n, n_buckets))})
-
-    def shortcut_merge(df: pd.DataFrame) -> pd.DataFrame:
-        is_parent = df["node"].isna()
-        parents = df.loc[is_parent, ["key", "plab"]]
-        ptrs = df.loc[~is_parent, ["key", "node"]]
-        m = ptrs.merge(parents, on="key", how="left")
-        # every lab IS some labeled node, so plab is always present; guard
-        # with the lab itself for robustness
-        lab = m["plab"].fillna(m["key"]).to_numpy().astype(np.int64)
-        return pd.DataFrame({"node": m["node"].to_numpy().astype(np.int64),
-                             "lab": lab,
-                             "changed": np.zeros(len(m), np.int64)})
-
-    for _ in range(max_rounds):
-        tagged_lab = labels.map_batches(tag_labels_for_join, batch_format="pyarrow")
-        msgs = (edges.union(tagged_lab).groupby("bkt")
-                .map_groups(join_msgs, batch_format="pandas")
-                .map_batches(tag_msgs, batch_format="pyarrow"))
-        olds = labels.map_batches(tag_old, batch_format="pyarrow")
-        # repartition caps the block count: union doubles blocks and a
-        # groupby's output partition count tracks its INPUT block count, so
-        # without the cap blocks (and the per-round blocks x partitions
-        # sort-shuffle cost) grow geometrically — measured 3.6 s -> 20 s ->
-        # 276 s over three rounds before the cap
-        labels = (msgs.union(olds).groupby("nbkt")
-                  .map_groups(min_merge, batch_format="pandas")
-                  .repartition(n_buckets).materialize())
-        # Dataset.sum returns None on an empty dataset — an empty pair list
-        # is trivially converged, not a non-convergence
-        if not labels.sum("changed"):
-            return labels.select_columns(["node", "lab"])
-        ptrs = labels.map_batches(tag_ptr, batch_format="pyarrow")
-        parents = labels.map_batches(tag_parent, batch_format="pyarrow")
-        labels = (ptrs.union(parents).groupby("sbkt")
-                  .map_groups(shortcut_merge, batch_format="pandas")
-                  .repartition(n_buckets).materialize())
-    raise RuntimeError(f"distributed CC did not converge in {max_rounds} rounds")
+    renamed = pairs_ds.map_batches(
+        lambda b: pa.table({"va": b["vec_a"].cast(pa.int64()),
+                            "vb": b["vec_b"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cc_min_label_distributed(renamed, max_rounds=max_rounds)
 
 
 def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):

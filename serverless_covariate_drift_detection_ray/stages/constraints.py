@@ -95,7 +95,6 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
                               zero_copy_batch=True).to_pandas()["h"].to_numpy()
         uniq, counts = np.unique(allh, return_counts=True)
         dup_hashes = np.sort(uniq[counts > 1])
-        dup_counts = dict(zip(uniq[counts > 1].tolist(), counts[counts > 1].tolist()))
         if dup_hashes.size == 0:
             return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
 
@@ -107,13 +106,14 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
             n = dup.num_rows
             if n == 0:
                 return VIOLATION_SCHEMA.empty_table()
-            hd = h[mask]
             return pa.table({
                 "partition_id": dup["partition_id"].cast(pa.int32()),
                 "image_id": dup["image_id"],
                 "check": pa.array(["unique_image_id"] * n),
                 "column": pa.array(["image_id"] * n),
-                "observed": pa.array([str(dup_counts[int(x)]) for x in hd]),
+                # placeholder: dedupe_bucket below overwrites observed with
+                # the exact within-bucket count for every surviving row
+                "observed": pa.array([""] * n),
                 "expected": pa.array(["1"] * n),
             }, schema=VIOLATION_SCHEMA)
 
@@ -181,6 +181,17 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
 NEARDUP_DRIVER_MAX = 50_000_000  # distinct phash values the driver will hold (8 B each)
 
 
+def _block_uniques(batch: pa.Table) -> pa.Table:
+    """Per-block distinct (phash, count) partials — dups collapse before
+    leaving the workers. drop_null BEFORE to_numpy: a null upcasts the
+    column to float64, which aliases 64-bit phash values (null rows are
+    flagged separately by phash_nonnull). Shared by both near-dup paths."""
+    ph = batch["phash"].drop_null().to_numpy(zero_copy_only=False)
+    v, c = np.unique(ph.astype(np.int64), return_counts=True)
+    return pa.table({"v": pa.array(v, pa.int64()),
+                     "c": pa.array(c.astype(np.int64))})
+
+
 def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
     """phash near-duplicate buckets (SURVEY.md §2.7 item 4), driver-coordinated.
 
@@ -210,19 +221,10 @@ def check_neardup(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # noqa: F821
     if total_rows is None or total_rows > NEARDUP_DRIVER_MAX:
         return check_neardup_distributed(ds, cfg)
 
-    # per-block unique partials (dups collapse before leaving the workers);
-    # drop_null BEFORE to_numpy — a null upcasts the column to float64,
-    # which aliases 64-bit phash values (null rows: phash_nonnull flags them)
-    def block_uniques(batch: pa.Table) -> pa.Table:
-        ph = batch["phash"].drop_null().to_numpy(zero_copy_only=False)
-        v, c = np.unique(ph.astype(np.int64), return_counts=True)
-        return pa.table({"v": pa.array(v, pa.int64()),
-                         "c": pa.array(c.astype(np.int64))})
-
     # to_pandas (one bulk transfer) — iter_batches has ~10x per-batch driver
     # overhead at this row count (measured round 2)
     part = ds.select_columns(["phash"]).map_batches(
-        block_uniques, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        _block_uniques, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     if len(part):
         vals, inv = np.unique(part.v.to_numpy(), return_inverse=True)
         mult = np.zeros(vals.size, dtype=np.int64)
@@ -361,14 +363,8 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
     hmax, min_cluster = cfg.neardup_hamming_max, cfg.neardup_min_cluster
 
     # ---- 1. distinct (v, mult): per-block unique partials, exact groupby ----
-    def block_uniques(batch: pa.Table) -> pa.Table:
-        ph = batch["phash"].drop_null().to_numpy(zero_copy_only=False)
-        v, c = np.unique(ph.astype(np.int64), return_counts=True)
-        return pa.table({"v": pa.array(v, pa.int64()),
-                         "c": pa.array(c.astype(np.int64))})
-
     distinct = (ds.select_columns(["phash"])
-                .map_batches(block_uniques, batch_format="pyarrow",
+                .map_batches(_block_uniques, batch_format="pyarrow",
                              zero_copy_batch=True)
                 .groupby("v").aggregate(Sum("c", alias_name="mult"))
                 .materialize())
@@ -478,6 +474,7 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
         edges, n_edges = None, 0
 
     # ---- 4. global CC + cluster weights → flagged (value, rep) ----
+    dist_cc_ran = False
     if n_edges == 0:
         nodes = np.empty(0, np.int64)
     elif n_edges <= NEARDUP_CC_MAX_EDGES:
@@ -504,6 +501,7 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
         flagged_v = nodes[keep_node]
         flagged_rep = node_rep[keep_node]
     else:
+        dist_cc_ran = True
         labels = cc_min_label_distributed(edges)
         n_b = max(8, distinct.count() // 2_000_000)
 
@@ -579,23 +577,28 @@ def check_neardup_distributed(ds, cfg: EngineConfig) -> "ray.data.Dataset":  # n
     # weights isolated nodes by their own multiplicity). Any such value that
     # IS an edge node was already flagged above (its component weight ≥ its
     # own mult), so probing against flagged_v excludes exactly those.
-    sing_wrapped = {"ref": ray.put(np.sort(flagged_v))}
+    # Skipped when distributed CC ran: attach_lab there covers EVERY
+    # distinct value (non-edge values label themselves) and flag_components
+    # already emitted all heavy singletons — this pass would re-scan the
+    # full distinct set, at the largest scale tier, to produce zero rows.
+    if not dist_cc_ran:
+        sing_wrapped = {"ref": ray.put(np.sort(flagged_v))}
 
-    def singleton_flags(batch: pa.Table) -> pa.Table:
-        known = ray.get(sing_wrapped["ref"])
-        v = batch["v"].to_numpy().astype(np.int64)
-        mult = batch["mult"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = (mult >= min_cluster) & ~probe_sorted(known, v)
-        return pa.table({"v": pa.array(v[mask]),
-                         "rep": pa.array(v[mask])})
+        def singleton_flags(batch: pa.Table) -> pa.Table:
+            known = ray.get(sing_wrapped["ref"])
+            v = batch["v"].to_numpy().astype(np.int64)
+            mult = batch["mult"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = (mult >= min_cluster) & ~probe_sorted(known, v)
+            return pa.table({"v": pa.array(v[mask]),
+                             "rep": pa.array(v[mask])})
 
-    sing = distinct.map_batches(singleton_flags, batch_format="pyarrow",
-                                zero_copy_batch=True).to_pandas()
-    if len(sing):
-        flagged_v = np.concatenate([flagged_v,
-                                    sing["v"].to_numpy().astype(np.int64)])
-        flagged_rep = np.concatenate(
-            [flagged_rep, sing["rep"].to_numpy().astype(np.int64)])
+        sing = distinct.map_batches(singleton_flags, batch_format="pyarrow",
+                                    zero_copy_batch=True).to_pandas()
+        if len(sing):
+            flagged_v = np.concatenate([flagged_v,
+                                        sing["v"].to_numpy().astype(np.int64)])
+            flagged_rep = np.concatenate(
+                [flagged_rep, sing["rep"].to_numpy().astype(np.int64)])
 
     if flagged_v.size == 0:
         import ray.data
