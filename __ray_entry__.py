@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_ngram_spans": textops.duplicate_ngram_spans,
         "bigram_repetition_documents": textops.bigram_repetition_documents,
         "gopher_repetition_documents": textops.gopher_repetition_documents,
+        "vocab_drift_documents": textops.vocab_drift_documents,
         "skyline_orders": relq.skyline_orders,
         "ntile_orders": relq.ntile_orders,
         "percent_rank_orders": relq.percent_rank_orders,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_ngram_spans": textops.DUP_NGRAM_SQL,
         "bigram_repetition_documents": textops.BIGRAM_REP_SQL,
         "gopher_repetition_documents": textops.GOPHER_REP_SQL,
+        "vocab_drift_documents": textops.VOCAB_DRIFT_SQL,
         "skyline_orders": relq.SKYLINE_SQL,
         "ntile_orders": relq.NTILE_SQL,
         "percent_rank_orders": relq.PERCENT_RANK_SQL,

@@ -628,6 +628,107 @@ FROM t
 """
 
 
+def vocab_drift_documents(sf_dir: str):
+    """Vocabulary drift between the even-doc_id reference split and the
+    odd-doc_id current split: out-of-vocabulary mass/type counts plus the
+    Jensen-Shannon divergence (nats) between the two token unigram
+    distributions — the vocabulary-shift companion to the numeric KS /
+    categorical Chi² drift checks (a new domain's tokens move OOV mass and
+    JS long before length marginals react).
+
+    Shape: per-block (token-hash, side) partial counts materialized once
+    and consumed twice — side totals via two tiny sums, then a salted
+    token-hash bucket shuffle where each bucket folds its tokens' exact
+    (ref, cur) counts into three partial reductions (JS terms, OOV mass,
+    OOV types) against the closure-captured scalar totals. The driver sums
+    ~n_buckets rows; token strings never shuffle (64-bit hashes stand in,
+    the DUP_NGRAM collision contract)."""
+    from .queries import _salt_buckets
+
+    nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000, floor=32)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = _tokens(df.text)
+        reps = toks.map(len).to_numpy()
+        if not reps.sum():
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "cr": pa.array([], pa.int64()),
+                             "cc": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        allw = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
+        h = hash64(allw).astype(np.int64)
+        side = np.repeat(df.doc_id.to_numpy() % 2, reps)
+        g = pd.DataFrame({"h": h, "r": (side == 0).astype(np.int64),
+                          "c": (side == 1).astype(np.int64)}).groupby(
+            "h", sort=False).agg(cr=("r", "sum"), cc=("c", "sum")).reset_index()
+        g["bkt"] = (g.h.to_numpy().astype(np.uint64) % np.uint64(nb)
+                    ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    nr = float(parts.sum("cr") or 0)
+    nc = float(parts.sum("cc") or 0)
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False).agg(cr=("cr", "sum"),
+                                            cc=("cc", "sum"))
+        p = g.cr.to_numpy(np.float64) / nr
+        q = g.cc.to_numpy(np.float64) / nc
+        m = (p + q) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            js = (0.5 * np.where(p > 0, p * np.log(np.where(p > 0, p, 1) / m), 0.0).sum()
+                  + 0.5 * np.where(q > 0, q * np.log(np.where(q > 0, q, 1) / m), 0.0).sum())
+        oov = g.cr.to_numpy() == 0
+        return pd.DataFrame({
+            "js_part": [float(js)],
+            "oov_mass": [int(g.cc.to_numpy()[oov].sum())],
+            "oov_types": [int((oov & (g.cc.to_numpy() > 0)).sum())],
+        })
+
+    folded = parts.groupby("bkt").map_groups(
+        bucket_fold, batch_format="pandas").to_pandas()
+    js = float(folded.js_part.sum())
+    oov_mass = int(folded.oov_mass.sum())
+    oov_types = int(folded.oov_types.sum())
+    return pa.Table.from_pylist([{
+        "n_ref_tokens": int(nr), "n_cur_tokens": int(nc),
+        "oov_types": oov_types,
+        "oov_rate": np.floor(float(oov_mass) * 1e6 / nc + 0.5) / 1e6,
+        "js_divergence": np.floor(js * 1e6 + 0.5) / 1e6,
+    }])
+
+
+VOCAB_DRIFT_SQL = """
+WITH tok AS (
+  SELECT doc_id % 2 AS side,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT w,
+        SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)::DOUBLE AS cr,
+        SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)::DOUBLE AS cc
+      FROM tok GROUP BY w),
+t AS (SELECT SUM(cr) AS nr, SUM(cc) AS nc FROM c),
+j AS (SELECT
+        SUM(CASE WHEN c.cr > 0 THEN
+          0.5 * (c.cr / t.nr) * LN((c.cr / t.nr) / ((c.cr / t.nr + c.cc / t.nc) / 2))
+          ELSE 0 END)
+      + SUM(CASE WHEN c.cc > 0 THEN
+          0.5 * (c.cc / t.nc) * LN((c.cc / t.nc) / ((c.cr / t.nr + c.cc / t.nc) / 2))
+          ELSE 0 END) AS js,
+        SUM(CASE WHEN c.cr = 0 THEN c.cc ELSE 0 END) AS oov_mass,
+        SUM(CASE WHEN c.cr = 0 AND c.cc > 0 THEN 1 ELSE 0 END) AS oov_types
+      FROM c, t GROUP BY ALL)
+SELECT CAST(t.nr AS BIGINT) AS n_ref_tokens, CAST(t.nc AS BIGINT) AS n_cur_tokens,
+       CAST(j.oov_types AS BIGINT) AS oov_types,
+       FLOOR(j.oov_mass * 1e6 / t.nc + 0.5) / 1e6 AS oov_rate,
+       FLOOR(j.js * 1e6 + 0.5) / 1e6 AS js_divergence
+FROM j, t
+"""
+
+
 def langid_confusion(sf_dir: str):
     """Marker-word language-ID heuristic vs the labeled ``lang`` column;
     returns the confusion counts. Ties break by LANG_MARKERS order."""
