@@ -809,6 +809,107 @@ def cusum_changepoint_events(sf_dir: str, slack: float = 0.25,
     })
 
 
+def ewma_control_events(sf_dir: str, lam: float = 0.2, big_l: float = 3.0):
+    """EWMA control chart (Roberts 1959) on the hourly mean of ``value``
+    per event_type — the third classic sequential monitor next to the
+    per-window tests and CUSUM: the exponentially-weighted smoother reacts
+    to small sustained shifts faster than a Shewhart rule and, unlike
+    CUSUM, carries a closed-form time-varying control limit.
+
+    Same distributed shape as cusum_changepoint_events (per-block
+    (hour, type) → (n, sum) partials, salted merge, hours × types driver
+    finish). The recursion ``s_k = lam*x_k + (1-lam)*s_{k-1}`` (s_0 = the
+    type's mean of hourly means) and the limit
+    ``L*sd*sqrt(lam/(2-lam)*(1-(1-lam)^(2k)))`` are mirrored term-for-term
+    in the SQL twin's recursive CTE so the 1e-6 rounding matches;
+    out-of-control additionally requires sd > 0 (a constant series differs
+    from its mean only by float round-off of the recursion itself)."""
+    from ..functions.hashing import hash64
+
+    n_buckets = _salt_buckets(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        g = pa.table({"hour": hour, "event_type": batch["event_type"],
+                      "value": batch["value"]}).group_by(
+            ["hour", "event_type"]).aggregate([([], "count_all"),
+                                               ("value", "sum")])
+        g = pa.table({"hour": g["hour"], "event_type": g["event_type"],
+                      "n": g["count_all"], "s": g["value_sum"]})
+        b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
+             ).astype(np.int64)
+        return g.append_column("b", pa.array(b))
+
+    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["hour", "event_type"], sort=False).agg(
+            n=("n", "sum"), s=("s", "sum")).reset_index()
+
+    c = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                       ).groupby("b").map_groups(
+        bucket_merge, batch_format="pandas").to_pandas()
+    c = c.sort_values(["event_type", "hour"], kind="mergesort")
+    m = c.s.to_numpy(np.float64) / c.n.to_numpy(np.float64)
+    types = c.event_type.to_numpy()
+    ewma = np.zeros(len(c))
+    limit = np.zeros(len(c))
+    ooc = np.zeros(len(c), dtype=bool)
+    for t in np.unique(types):
+        sel = np.flatnonzero(types == t)
+        mt = m[sel]
+        mu = mt.mean()
+        sd = np.sqrt(((mt - mu) ** 2).mean())
+        s = mu
+        for i, x in enumerate(mt):
+            s = lam * x + (1 - lam) * s
+            ewma[sel[i]] = s
+        k = np.arange(1, mt.size + 1, dtype=np.float64)
+        lim = big_l * sd * np.sqrt(
+            lam / (2 - lam) * (1 - (1 - lam) ** (2 * k)))
+        limit[sel] = lim
+        ooc[sel] = (sd > 0) & (np.abs(ewma[sel] - mu) > lim)
+    return pa.table({
+        "event_type": pa.array(types),
+        "hour": pa.array(c.hour.to_numpy().astype("datetime64[us]")),
+        "n": pa.array(c.n.to_numpy().astype(np.int64)),
+        "mean_value": pa.array(_round(m, 6)),
+        "ewma": pa.array(_round(ewma, 6)),
+        "limit": pa.array(_round(limit, 6)),
+        "is_ooc": pa.array(ooc),
+    })
+
+
+# SQL twin of ewma_control_events: the smoother as a recursive CTE stepping
+# k → k+1 per event_type with the identical lam*x + (1-lam)*s arithmetic.
+EWMA_SQL = """
+WITH RECURSIVE m AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*)::BIGINT AS n, SUM(value) / COUNT(*) AS mv
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, AVG(mv) AS mu, SQRT(VAR_POP(mv)) AS sd
+  FROM m GROUP BY 1),
+o AS (
+  SELECT m.*, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS k
+  FROM m),
+r(event_type, k, s) AS (
+  SELECT o.event_type, o.k, 0.2 * o.mv + 0.8 * st.mu
+  FROM o JOIN st USING (event_type) WHERE o.k = 1
+  UNION ALL
+  SELECT o.event_type, o.k, 0.2 * o.mv + 0.8 * r.s
+  FROM r JOIN o ON o.event_type = r.event_type AND o.k = r.k + 1)
+SELECT o.event_type, o.hour, o.n,
+  FLOOR(o.mv * 1000000 + 0.5) / 1000000 AS mean_value,
+  FLOOR(r.s * 1000000 + 0.5) / 1000000 AS ewma,
+  FLOOR(3.0 * st.sd * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * o.k)))
+        * 1000000 + 0.5) / 1000000 AS "limit",
+  (st.sd > 0 AND ABS(r.s - st.mu)
+     > 3.0 * st.sd * SQRT(0.2 / 1.8 * (1 - POWER(0.8, 2 * o.k)))) AS is_ooc
+FROM o JOIN st USING (event_type) JOIN r ON r.event_type = o.event_type
+                                        AND r.k = o.k
+"""
+
+
 # SQL twin of cusum_changepoint_events: the max(0, s+y) recursion as
 # running-sum minus clamped running-min per event_type, mirrored op-for-op.
 CUSUM_SQL = """
