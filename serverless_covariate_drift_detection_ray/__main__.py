@@ -113,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="also delete unreferenced old fragments (only when "
                         "no concurrent reader holds the old manifest)")
 
+    cl = sub.add_parser("cluster", help="re-sort each partition by a key "
+                                        "(CLUSTER BY) so zone maps prune")
+    cl.add_argument("--manifest", required=True, help="table dir (manifest.json)")
+    cl.add_argument("--by", default="phash")
+    cl.add_argument("--target-rows", type=int, default=1_000_000)
+    cl.add_argument("--gc", action="store_true",
+                    help="also delete unreferenced old fragments (only when "
+                         "no concurrent reader holds the old manifest)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-fixture":
@@ -171,6 +180,18 @@ def main(argv: list[str] | None = None) -> int:
             man = compact_fragments(args.manifest, target_rows=args.target_rows,
                                     gc=args.gc)
             print(json.dumps({"manifest": args.manifest,
+                              "fragments_before": before,
+                              "fragments_after": len(man.fragments),
+                              "rows": man.num_rows}))
+            return 0
+
+        if args.cmd == "cluster":
+            from .sources.fragmented import TableManifest, cluster_fragments
+
+            before = len(TableManifest.load(args.manifest).fragments)
+            man = cluster_fragments(args.manifest, by=args.by,
+                                    target_rows=args.target_rows, gc=args.gc)
+            print(json.dumps({"manifest": args.manifest, "by": args.by,
                               "fragments_before": before,
                               "fragments_after": len(man.fragments),
                               "rows": man.num_rows}))

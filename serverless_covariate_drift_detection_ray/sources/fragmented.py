@@ -339,3 +339,78 @@ def compact_fragments(root: str, target_rows: int = 1_000_000,
     if gc:
         gc_orphans(root)
     return man
+
+
+def cluster_fragments(root: str, by: str = "phash",
+                      target_rows: int = 1_000_000,
+                      row_group_rows: int = 10_000,
+                      gc: bool = False) -> TableManifest:
+    """CLUSTER BY / layout optimization: re-sort each partition's rows by
+    ``by`` and rewrite its fragments as contiguous key ranges, so the
+    manifest zone maps on that column become tight and pairwise disjoint —
+    a point/range predicate then opens ~1 fragment per partition instead
+    of all of them (the quarantine and violation re-read paths both prune
+    on exactly such predicates). The clustering never crosses partition
+    boundaries: the partition is the lineage/resume unit, and a global
+    sort would also be an avoidable ALL-fragment exchange — within-
+    partition runs capture ~all of the pruning benefit because predicate
+    reads already select partitions first.
+
+    Each partition rewrites as one independent Ray task (read its
+    fragments → one arrow sort_indices take → range-sliced fragment
+    writes); per-task memory is one partition, the same bound
+    ``compact_fragments``'s bins accept. For partitions beyond single-task
+    memory, pre-split them with ``compact_fragments`` range bins or run
+    the same slice-write over ``read_images(...).sort(by)`` — the
+    manifest/commit protocol below is unchanged either way. Crash-safe
+    ordering matches compaction: new files land first, the manifest flips
+    via atomic save, old files await ``gc_orphans``."""
+    import ray
+
+    man = TableManifest.load(root)
+    next_id = max((f.id for f in man.fragments), default=-1) + 1
+
+    @ray.remote
+    def rewrite_sorted(root: str, pid: int, files: list[str],
+                       first_id: int) -> list[dict]:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(root, f)) for f in files])
+        t = t.take(pc.sort_indices(t, sort_keys=[(by, "ascending")]))
+        if t.num_rows == 0:  # keep the (empty) partition present
+            info = write_fragment(root, first_id, pid, t,
+                                  row_group_rows=row_group_rows)
+            return [{"id": info.id, "file": info.file, "rows": info.rows,
+                     "partition_id": info.partition_id, "stats": info.stats}]
+        out = []
+        n_chunks = max(1, -(-t.num_rows // target_rows))
+        step = -(-t.num_rows // n_chunks)
+        for j, lo in enumerate(range(0, t.num_rows, step)):
+            chunk = t.slice(lo, step)
+            new_id = first_id + j
+            if "fragment_id" in chunk.column_names:
+                idx = chunk.column_names.index("fragment_id")
+                chunk = chunk.set_column(idx, "fragment_id", pa.array(
+                    np.full(chunk.num_rows, new_id, dtype=np.int64)))
+            info = write_fragment(root, new_id, pid, chunk,
+                                  row_group_rows=row_group_rows)
+            out.append({"id": info.id, "file": info.file, "rows": info.rows,
+                        "partition_id": info.partition_id,
+                        "stats": info.stats})
+        return out
+
+    jobs = []
+    for pid in man.partition_ids():
+        files = [f.file for f in man.fragments if f.partition_id == pid]
+        rows = sum(f.rows for f in man.fragments if f.partition_id == pid)
+        n_out = max(1, -(-rows // target_rows))
+        jobs.append(rewrite_sorted.remote(root, pid, files, next_id))
+        next_id += n_out
+    results = [FragmentInfo(**r) for batch in ray.get(jobs) for r in batch]
+    man.fragments = sorted(results, key=lambda f: f.id)
+    man.save()
+    if gc:
+        gc_orphans(root)
+    return man

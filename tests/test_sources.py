@@ -293,3 +293,79 @@ def test_schema_evolution_old_fragment_null_fills(ray_session, tmp_path):
     assert sorted(df.image_id) == ["a", "b", "c"]
     assert df[df.image_id == "c"].caption.isna().all()
     assert df[df.image_id != "c"].caption.notna().all()
+
+
+def test_cluster_fragments_tightens_zone_maps(ray_session, tmp_path):
+    """CLUSTER BY rewrites each partition as key-sorted fragment ranges:
+    logical content identical, partition membership preserved, zone maps
+    on the cluster key become disjoint so a point predicate opens one
+    fragment per partition (pre-cluster: interleaved keys kept ALL)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        TableManifest,
+        cluster_fragments,
+        write_fragment,
+    )
+
+    root = str(tmp_path / "cl")
+    os.makedirs(root)
+    man = TableManifest(root=root)
+    rng = np.random.Generator(np.random.PCG64(5))
+    # 2 partitions x 3 fragments, phash keys interleaved across fragments
+    fid = 0
+    for pid in range(2):
+        keys = rng.permutation(np.arange(60, dtype=np.int64) + pid * 1000)
+        for j in range(3):
+            v = keys[j * 20:(j + 1) * 20]
+            t = pa.table({
+                "image_id": pa.array([f"p{pid}i{x}" for x in v]),
+                "phash": pa.array(v),
+                "fragment_id": pa.array(np.full(20, fid, np.int64)),
+                "partition_id": pa.array(np.full(20, pid, np.int32)),
+            })
+            man.fragments.append(write_fragment(root, fid, pid, t))
+            fid += 1
+    man.partitions = {0: {}, 1: {}}
+    man.save()
+
+    # interleaved keys: an equality probe keeps every fragment of pid 0
+    pre = TableManifest.load(root)
+    probe = ("phash", "==", 30)
+    assert len([f for f in pre.select_fragments({0}, probe)]) == 3
+
+    def content(m):
+        import pandas as pd
+        parts = [pq.read_table(f"{root}/{f.file}").to_pandas()
+                 for f in m.fragments]
+        return (pd.concat(parts)[["image_id", "phash", "partition_id"]]
+                .sort_values("image_id").reset_index(drop=True))
+
+    before = content(pre)
+    man2 = cluster_fragments(root, by="phash", target_rows=20, gc=True)
+    # same rows, same partition membership
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, content(man2))
+    assert man2.num_rows == 120
+    assert sorted({f.partition_id for f in man2.fragments}) == [0, 1]
+    # per partition: 3 fragments with DISJOINT, sorted phash ranges
+    for pid in range(2):
+        frs = sorted((f for f in man2.fragments if f.partition_id == pid),
+                     key=lambda f: f.stats["phash"][0])
+        assert len(frs) == 3
+        for a, b in zip(frs, frs[1:]):
+            assert a.stats["phash"][1] < b.stats["phash"][0]
+        # fragment rows are actually sorted on disk
+        t = pq.read_table(f"{root}/{frs[0].file}")
+        ph = t["phash"].to_numpy()
+        assert (np.diff(ph) >= 0).all()
+        # fragment_id column rewritten to the new id
+        assert set(t["fragment_id"].to_pylist()) == {frs[0].id}
+    # the same probe now opens exactly one fragment of pid 0
+    assert len(man2.select_fragments({0}, probe)) == 1
+    # idempotent: re-clustering keeps content + layout shape
+    man3 = cluster_fragments(root, by="phash", target_rows=20, gc=True)
+    pd.testing.assert_frame_equal(before, content(man3))
+    assert len(man3.fragments) == len(man2.fragments)
