@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_parts": relq.fuzzy_match_parts,
         "entity_clusters_parts": relq.entity_clusters_parts,
         "pagerank_customers": relq.pagerank_customers,
+        "triangle_count_parts": relq.triangle_count_parts,
         "fd_check_orders": relq.fd_check_orders,
         "skew_profile_orders": relq.skew_profile_orders,
         "mutual_info_documents": relq.mutual_info_documents,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_match_parts": relq.FUZZY_SQL,
         "entity_clusters_parts": relq.ENTITY_CLUSTERS_SQL,
         "pagerank_customers": relq.PAGERANK_SQL,
+        "triangle_count_parts": relq.TRIANGLE_SQL,
         "fd_check_orders": relq.FD_CHECK_SQL,
         "skew_profile_orders": relq.SKEW_PROFILE_SQL,
         "mutual_info_documents": relq.MUTUAL_INFO_SQL,

@@ -5588,6 +5588,213 @@ SELECT p1, p2, n FROM c ORDER BY n DESC, p1, p2 LIMIT 20
 """
 
 
+TRIANGLE_BROADCAST_MAX_EDGES = 10_000_000  # 16 B/edge -> <=160 MB probe set
+
+
+def triangle_count_parts(sf_dir: str, min_support: int = 2):
+    """Global triangle count + transitivity over the SUPPORTED co-purchase
+    graph (part pairs sharing >= ``min_support`` orders — the standard
+    market-basket support threshold; the raw >=1 graph is a hairball whose
+    wedge volume is all noise) — the classic graph-health statistic
+    alongside PageRank and connected components. Exact, no caps (the
+    oracle pays the same wedge volume).
+
+    Shape: (1) distinct edges u<v via per-order pair expansion inside
+    hash(order) buckets + a pair-hash distinct shuffle; (2) wedge counting
+    inside hash(u) buckets — every edge of u lands in one bucket, so each
+    u's sorted neighbor run yields its C(k,2) wedges (v, w), v<w, batched
+    by same-sized runs into one matrix; (3) wedges probe the edge set for
+    closure: a broadcast sorted composite-key array below
+    TRIANGLE_BROADCAST_MAX_EDGES, a salted (v, w)-bucket union join above
+    it — either way only per-bucket COUNTS reach the driver. Degrees (for
+    the wedge denominator) ride the same edge pass as per-block partials.
+    Composite keys are exact (u * 2^31 + v, guarded), never hashes — a
+    hash collision would overcount closures."""
+    from ..functions.hashing import hash64
+    from .ann import _cc_bkt
+
+    B = _salt_buckets(sf_dir, "lineitem", rows_per_bucket=1_000_000, floor=16)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy().astype(np.int64)
+        return pa.table({"o": pa.array(ok),
+                         "p": batch["l_partkey"].cast(pa.int64()),
+                         "bkt": pa.array(hash64(ok) % B)})
+
+    def order_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket (pair, n_orders) partials: an order lives wholly in
+        # one hash(order) bucket, so summing partials over the ebkt
+        # shuffle gives each pair's exact global order-support
+        d = df[["o", "p"]].drop_duplicates()
+        m = d.merge(d, on="o")
+        m = m[m.p_x < m.p_y]
+        g = m.groupby(["p_x", "p_y"], sort=False).size().reset_index(name="c")
+        u = g.p_x.to_numpy().astype(np.int64)
+        v = g.p_y.to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "u": u, "v": v, "c": g.c.to_numpy().astype(np.int64),
+            "ebkt": hash64(u * np.int64(1_000_003) + v) % B})
+
+    def edge_support(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], sort=False).c.sum().reset_index()
+        return g.loc[g.c >= min_support, ["u", "v"]]
+
+    edges = (ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby("bkt").map_groups(order_pairs, batch_format="pandas")
+             .groupby("ebkt").map_groups(edge_support, batch_format="pandas")
+             .materialize())
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.Table.from_pylist([{
+            "n_edges": 0, "n_wedges": 0, "n_triangles": 0,
+            "transitivity": 0.0}])
+
+    def key_of(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if u.size and (int(u.max()) >= (1 << 31) or int(v.max()) >= (1 << 31)
+                       or int(min(u.min(), v.min())) < 0):
+            raise ValueError("triangle_count: node id outside [0, 2^31) — "
+                             "widen the composite probe key")
+        return u * np.int64(1 << 31) + v
+
+    # degree partials (for the wedge denominator): one tiny groupby
+    def deg_part(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
+        n, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(n.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    deg = (edges.map_batches(deg_part, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("c", alias_name="d")))
+
+    def wedge_part(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy().astype(np.float64)
+        return pa.table({"w": pa.array([float((d * (d - 1) / 2).sum())])})
+
+    n_wedges = float(deg.map_batches(wedge_part, batch_format="pyarrow"
+                                     ).sum("w") or 0.0)
+
+    def tag_u(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy().astype(np.int64)
+        return batch.append_column("ubkt", pa.array(hash64(u) % B))
+
+    broadcast = n_edges <= TRIANGLE_BROADCAST_MAX_EDGES
+    if broadcast:
+        import ray
+
+        ep = edges.to_pandas()
+        probe = np.sort(key_of(ep.u.to_numpy(np.int64),
+                               ep.v.to_numpy(np.int64)))
+        probe_wrapped = {"ref": ray.put(probe)}
+
+    def wedges_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Per u: sorted neighbor run -> all (v, w) v<w wedge pairs,
+        same-sized runs batched into one matrix (the edges_bucket shape)."""
+        u = df.u.to_numpy(np.int64)
+        v = df.v.to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, u.size])
+        va_all, vb_all = [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            gsel = np.flatnonzero(sizes == m)
+            mat = v[starts[gsel][:, None] + np.arange(int(m))[None, :]]
+            iu, ju = np.triu_indices(int(m), 1)
+            va_all.append(mat[:, iu].ravel())
+            vb_all.append(mat[:, ju].ravel())
+        if not va_all:
+            return pd.DataFrame({"closed": pd.array([0], dtype="int64")}) \
+                if broadcast else pd.DataFrame(
+                    {"k": pd.array([], dtype="int64")})
+        va = np.concatenate(va_all)
+        vb = np.concatenate(vb_all)
+        k = key_of(va, vb)
+        if broadcast:
+            import ray
+
+            pr = ray.get(probe_wrapped["ref"])
+            pos = np.searchsorted(pr, k)
+            pos[pos >= pr.size] = pr.size - 1
+            return pd.DataFrame({"closed": [int((pr[pos] == k).sum())]})
+        return pd.DataFrame({"k": k})
+
+    bucketed = edges.map_batches(tag_u, batch_format="pyarrow").groupby(
+        "ubkt").map_groups(wedges_bucket, batch_format="pandas")
+    if broadcast:
+        n_tri = int(bucketed.sum("closed") or 0)
+    else:
+        # distributed closure probe: wedge keys union edge keys, bucketed by
+        # the composite key so every wedge meets its (v, w) edge row locally
+        nb = max(64, n_edges // 1_000_000)
+
+        def tag_wedge(batch: pa.Table) -> pa.Table:
+            k = batch["k"].to_numpy().astype(np.int64)
+            return pa.table({"k": pa.array(k),
+                             "is_edge": pa.array(np.zeros(k.size, np.int8)),
+                             "jbkt": pa.array(_cc_bkt(k, nb))})
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            k = key_of(
+                batch["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                batch["v"].to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({"k": pa.array(k),
+                             "is_edge": pa.array(np.ones(k.size, np.int8)),
+                             "jbkt": pa.array(_cc_bkt(k, nb))})
+
+        def count_closed(df: pd.DataFrame) -> pd.DataFrame:
+            ek = np.sort(df.k.to_numpy(np.int64)[df.is_edge.to_numpy() == 1])
+            wk = df.k.to_numpy(np.int64)[df.is_edge.to_numpy() == 0]
+            if not ek.size or not wk.size:
+                return pd.DataFrame({"closed": pd.array([0], dtype="int64")})
+            pos = np.searchsorted(ek, wk)
+            pos[pos >= ek.size] = ek.size - 1
+            return pd.DataFrame({"closed": [int((ek[pos] == wk).sum())]})
+
+        joined = (bucketed.map_batches(tag_wedge, batch_format="pyarrow")
+                  .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+                  .groupby("jbkt").map_groups(count_closed,
+                                              batch_format="pandas"))
+        n_tri = int(joined.sum("closed") or 0)
+    # under the u<v orientation each triangle {a<b<c} closes exactly ONE
+    # wedge (apex a with pair (b, c)), so n_tri is the plain triangle count;
+    # transitivity multiplies by 3 because the denominator counts wedges at
+    # every apex of the UNDIRECTED graph (3 per triangle)
+    trans = 0.0 if n_wedges == 0 else 3.0 * n_tri / n_wedges
+    return pa.Table.from_pylist([{
+        "n_edges": int(n_edges), "n_wedges": int(n_wedges),
+        "n_triangles": int(n_tri),
+        "transitivity": float(np.floor(trans * 1e6 + 0.5) / 1e6),
+    }])
+
+
+TRIANGLE_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT node, COUNT(*)::DOUBLE AS dg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+w AS (SELECT SUM(dg * (dg - 1) / 2) AS wedges FROM deg),
+tri AS (SELECT COUNT(*)::BIGINT AS t
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+       CAST(w.wedges AS BIGINT) AS n_wedges,
+       tri.t AS n_triangles,
+       CASE WHEN w.wedges = 0 THEN 0.0
+            ELSE FLOOR(3.0 * tri.t / w.wedges * 1e6 + 0.5) / 1e6
+       END AS transitivity
+FROM w, tri
+"""
+
+
 def transition_counts_events(sf_dir: str):
     """First-order Markov transition counts over each user's event stream
     (the session-flow model fit). Users are salted into buckets (a user

@@ -1,6 +1,6 @@
 """Driver-surface queries vs DuckDB oracles at sf0.001 (fast subset).
 
-The full sweep (140 queries, 124 oracled) runs in the driver's correctness
+The full sweep (141 queries, 125 oracled) runs in the driver's correctness
 gate and in tools/compare_oracle.py at sf0.01; these pin a representative
 query per operator family plus the rows-only determinism, accuracy-bound,
 and MinHash ⊇ exact-Jaccard properties.
@@ -652,3 +652,16 @@ def test_quantile_bound_fit_sketch_path(ray_session, monkeypatch):
     # and the winsorize query still runs end to end on the sketch path
     out = _to_df(Q.winsorize_lineitem(SF))
     assert len(out) == 1 and out.n_clipped_lo.iloc[0] >= 0
+
+
+def test_triangle_count_distributed_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the salted (v,w)-bucket closure join (gate=0) must reproduce
+    the broadcast-probe path exactly — same edges, wedges, triangles."""
+    import serverless_covariate_drift_detection_ray.pipelines.queries as Q
+
+    base = _canon(_to_df(Q.triangle_count_parts(SF)))
+    monkeypatch.setattr(Q, "TRIANGLE_BROADCAST_MAX_EDGES", 0)
+    dist = _canon(_to_df(Q.triangle_count_parts(SF)))
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, dist)
+    assert int(base.n_triangles.iloc[0]) > 0  # non-degenerate fixture
