@@ -369,3 +369,54 @@ def test_cluster_fragments_tightens_zone_maps(ray_session, tmp_path):
     man3 = cluster_fragments(root, by="phash", target_rows=20, gc=True)
     pd.testing.assert_frame_equal(before, content(man3))
     assert len(man3.fragments) == len(man2.fragments)
+
+
+def test_cluster_fragments_respects_snapshots(ray_session, tmp_path):
+    """A pinned snapshot keeps the pre-cluster layout readable (time
+    travel) and GC-protected until dropped — clustering follows the same
+    new-files-first / atomic-manifest-flip / gc-later protocol as
+    compaction."""
+    import numpy as np
+    import pyarrow as pa
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        TableManifest,
+        cluster_fragments,
+        create_snapshot,
+        drop_snapshot,
+        gc_orphans,
+        write_fragment,
+    )
+
+    root = str(tmp_path / "snap")
+    os.makedirs(root)
+    man = TableManifest(root=root)
+    rng = np.random.Generator(np.random.PCG64(3))
+    keys = rng.permutation(np.arange(40, dtype=np.int64))
+    for fid in range(2):
+        v = keys[fid * 20:(fid + 1) * 20]
+        t = pa.table({
+            "image_id": pa.array([f"i{x}" for x in v]),
+            "phash": pa.array(v),
+            "fragment_id": pa.array(np.full(20, fid, np.int64)),
+            "partition_id": pa.array(np.zeros(20, np.int32)),
+        })
+        man.fragments.append(write_fragment(root, fid, 0, t))
+    man.partitions = {0: {}}
+    man.save()
+
+    ver = create_snapshot(root)
+    old_files = {f.file for f in TableManifest.load(root).fragments}
+    cluster_fragments(root, by="phash", target_rows=20, gc=True)
+    # snapshot pins the old fragments: gc (already run via gc=True) kept them
+    on_disk = {p for p in os.listdir(root) if p.endswith(".parquet")}
+    assert old_files <= on_disk
+    # time travel reads the exact pre-cluster table
+    pinned = TableManifest.load(root, version=ver)
+    assert {f.file for f in pinned.fragments} == old_files
+    assert pinned.num_rows == 40
+    # dropping the snapshot releases them to the next gc
+    drop_snapshot(root, ver)
+    removed = set(gc_orphans(root))
+    assert removed == old_files
+    assert TableManifest.load(root).num_rows == 40
