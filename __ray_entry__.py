@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_parts": relq.triangle_count_parts,
         "fd_check_orders": relq.fd_check_orders,
         "skew_profile_orders": relq.skew_profile_orders,
+        "benford_check_orders": relq.benford_check_orders,
+        "zipf_fit_documents": relq.zipf_fit_documents,
         "mutual_info_documents": relq.mutual_info_documents,
         "copurchase_parts": relq.copurchase_parts,
         "transition_counts_events": relq.transition_counts_events,
@@ -288,6 +290,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_parts": relq.TRIANGLE_SQL,
         "fd_check_orders": relq.FD_CHECK_SQL,
         "skew_profile_orders": relq.SKEW_PROFILE_SQL,
+        "benford_check_orders": relq.BENFORD_SQL,
+        "zipf_fit_documents": relq.ZIPF_SQL,
         "mutual_info_documents": relq.MUTUAL_INFO_SQL,
         "copurchase_parts": relq.COPURCHASE_SQL,
         "transition_counts_events": relq.TRANSITIONS_SQL,

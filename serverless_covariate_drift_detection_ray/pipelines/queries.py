@@ -4938,6 +4938,138 @@ FROM per_key
 """
 
 
+def benford_check_orders(sf_dir: str):
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated/corrupted-numeric-data screen. Digit extraction is
+    integer-exact on both engines (FLOOR(x*100+0.5) cents → decimal string
+    → first char), never via log10, whose 1-ulp disagreement at powers of
+    ten would flip a digit between numpy and the oracle. One per-block
+    9-bin bincount partial per block; the driver sees 9 counts. Emits the
+    per-digit observed/expected fractions and each digit's Pearson χ²
+    contribution (the statistic is their sum — left unreduced so the
+    output pins WHERE the deviation lives)."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["o_totalprice"].to_numpy()
+        cents = np.floor(x * 100 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        s = cents.astype("U1")  # first decimal digit of the integer
+        d = s.view(np.uint32)[::1].astype(np.int64) - ord("0")
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
+                         ).groupby("digit").aggregate(Sum("c", alias_name="n"))
+    df = agg.to_pandas().sort_values("digit")
+    n = df.n.to_numpy(np.float64)
+    tot = n.sum()
+    digits = df.digit.to_numpy(np.float64)
+    exp = np.log10(1.0 + 1.0 / digits)
+    obs = n / tot
+    contrib = (obs - exp) ** 2 / exp * tot
+    return pa.table({
+        "digit": pa.array(df.digit.to_numpy(np.int64)),
+        "n": pa.array(n.astype(np.int64)),
+        "obs_frac": pa.array(_round(obs, 6)),
+        "exp_frac": pa.array(_round(exp, 6)),
+        "chi2_contrib": pa.array(_round(contrib, 6)),
+    })
+
+
+BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE FLOOR(o_totalprice * 100 + 0.5) > 0),
+c AS (SELECT digit, COUNT(*)::DOUBLE AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+  FLOOR(c.n / t.tot * 1e6 + 0.5) / 1e6 AS obs_frac,
+  FLOOR(LOG10(1.0 + 1.0 / c.digit) * 1e6 + 0.5) / 1e6 AS exp_frac,
+  FLOOR(POWER(c.n / t.tot - LOG10(1.0 + 1.0 / c.digit), 2)
+        / LOG10(1.0 + 1.0 / c.digit) * t.tot * 1e6 + 0.5) / 1e6
+    AS chi2_contrib
+FROM c, t
+"""
+
+
+def zipf_fit_documents(sf_dir: str, top_k: int = 1000):
+    """Zipf-law fit over the corpus token distribution: least-squares slope
+    and intercept of ln(freq) on ln(rank) for the top_k most frequent
+    tokens — natural-language corpora sit near slope -1, so a collapsed
+    slope is a cheap corpus-health / generated-text signal.
+
+    Shape: per-block (token-hash, count) partials → salted-bucket exact
+    sums with per-bucket local top-k (a token lives wholly in one bucket,
+    so the global top-k is inside the union of local top-ks) → driver
+    merge of buckets × k rows. Rank ties are regression-invariant: within
+    a tie group y = ln(freq) is constant and the SET of ranks is fixed, so
+    every tie permutation yields identical regression sums — no tie-break
+    needs to match the oracle."""
+    from ..functions.hashing import hash64
+    from .textops import _tokens
+
+    nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000, floor=32)
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch["text"].to_pandas())
+        reps = toks.map(len).to_numpy()
+        if not reps.sum():
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        allw = np.concatenate([np.asarray(ws, dtype=object) for ws in toks])
+        h, c = np.unique(hash64(allw).astype(np.int64), return_counts=True)
+        return pa.table({"h": pa.array(h), "c": pa.array(c.astype(np.int64)),
+                         "bkt": pa.array((hash64(h) % np.uint64(nb)
+                                          ).astype(np.int64))})
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False).c.sum().reset_index()
+        return g.nlargest(top_k, "c")[["h", "c"]]
+
+    top = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bkt").map_groups(bucket_topk, batch_format="pandas")
+           .to_pandas())
+    top = top.nlargest(top_k, "c")
+    c = np.sort(top.c.to_numpy(np.float64))[::-1]
+    x = np.log(np.arange(1, c.size + 1, dtype=np.float64))
+    y = np.log(c)
+    # same moment-form arithmetic as the SQL twin
+    mx, my = x.mean(), y.mean()
+    mxy, mxx = (x * y).mean(), (x * x).mean()
+    slope = (mxy - mx * my) / (mxx - mx * mx)
+    intercept = my - slope * mx
+    return pa.Table.from_pylist([{
+        "n_terms": int(c.size),
+        "slope": float(_round(slope, 6)),
+        "intercept": float(_round(intercept, 6)),
+    }])
+
+
+ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT w, COUNT(*)::DOUBLE AS n FROM tok GROUP BY w
+      ORDER BY n DESC LIMIT 1000),
+r AS (SELECT LN(ROW_NUMBER() OVER (ORDER BY n DESC)) AS x, LN(n) AS y FROM c),
+m AS (SELECT AVG(x) AS mx, AVG(y) AS my, AVG(x * y) AS mxy,
+             AVG(x * x) AS mxx, COUNT(*)::BIGINT AS k FROM r)
+SELECT k AS n_terms,
+  FLOOR((mxy - mx * my) / (mxx - mx * mx) * 1e6 + 0.5) / 1e6 AS slope,
+  FLOOR((my - (mxy - mx * my) / (mxx - mx * mx) * mx) * 1e6 + 0.5) / 1e6
+    AS intercept
+FROM m
+"""
+
+
 def skew_profile_orders(sf_dir: str):
     """Shuffle-key skew diagnostics for o_custkey — the planning signal the
     engine's own salted shuffles exist to defeat. Per-key counts via
