@@ -744,21 +744,12 @@ FROM p
 """
 
 
-def cusum_changepoint_events(sf_dir: str, slack: float = 0.25,
-                             threshold: float = 4.0):
-    """Sequential change-point detection (two-sided standardized CUSUM,
-    Page 1954) on the hourly mean of ``value`` per event_type — the
-    accumulate-small-shifts complement to the per-window two-sample tests
-    (chi2/ks_by_window score each window independently; CUSUM flags a
-    persistent mean shift that no single window can).
-
-    Shape: per-block (hour, type) → (n, sum) partials → salted merge →
-    hours × types driver finish (metadata-sized by construction — the raw
-    values never leave their blocks). The recursion
-    ``s_k = max(0, s_{k-1} + z_k - slack)`` is evaluated in closed form as
-    ``cum_k - min(0, min_{j<=k} cum_j)`` over cumulative (z - slack),
-    which is exactly how the SQL twin expresses it with running-sum /
-    running-min windows — same op order, so the 1e-6 rounding matches."""
+def _hourly_mean_frame(sf_dir: str) -> pd.DataFrame:
+    """Shared scaffold of the sequential monitors (CUSUM / EWMA): per-block
+    (hour, type) → (n, sum) partials, salted single-key merge, and a
+    (event_type, hour)-sorted driver frame with the per-window mean — hours
+    × types rows, metadata-sized by construction; raw values never leave
+    their blocks."""
     from ..functions.hashing import hash64
 
     n_buckets = _salt_buckets(sf_dir, "events")
@@ -784,7 +775,25 @@ def cusum_changepoint_events(sf_dir: str, slack: float = 0.25,
                        ).groupby("b").map_groups(
         bucket_merge, batch_format="pandas").to_pandas()
     c = c.sort_values(["event_type", "hour"], kind="mergesort")
-    m = c.s.to_numpy(np.float64) / c.n.to_numpy(np.float64)
+    c["m"] = c.s.to_numpy(np.float64) / c.n.to_numpy(np.float64)
+    return c
+
+
+def cusum_changepoint_events(sf_dir: str, slack: float = 0.25,
+                             threshold: float = 4.0):
+    """Sequential change-point detection (two-sided standardized CUSUM,
+    Page 1954) on the hourly mean of ``value`` per event_type — the
+    accumulate-small-shifts complement to the per-window two-sample tests
+    (chi2/ks_by_window score each window independently; CUSUM flags a
+    persistent mean shift that no single window can).
+
+    Shape: ``_hourly_mean_frame`` + a driver finish. The recursion
+    ``s_k = max(0, s_{k-1} + z_k - slack)`` is evaluated in closed form as
+    ``cum_k - min(0, min_{j<=k} cum_j)`` over cumulative (z - slack),
+    which is exactly how the SQL twin expresses it with running-sum /
+    running-min windows — same op order, so the 1e-6 rounding matches."""
+    c = _hourly_mean_frame(sf_dir)
+    m = c.m.to_numpy(np.float64)
     types = c.event_type.to_numpy()
     s_pos = np.zeros(len(c))
     s_neg = np.zeros(len(c))
@@ -816,40 +825,16 @@ def ewma_control_events(sf_dir: str, lam: float = 0.2, big_l: float = 3.0):
     to small sustained shifts faster than a Shewhart rule and, unlike
     CUSUM, carries a closed-form time-varying control limit.
 
-    Same distributed shape as cusum_changepoint_events (per-block
-    (hour, type) → (n, sum) partials, salted merge, hours × types driver
-    finish). The recursion ``s_k = lam*x_k + (1-lam)*s_{k-1}`` (s_0 = the
+    Same distributed shape as cusum_changepoint_events
+    (``_hourly_mean_frame`` + a driver finish). The recursion
+    ``s_k = lam*x_k + (1-lam)*s_{k-1}`` (s_0 = the
     type's mean of hourly means) and the limit
     ``L*sd*sqrt(lam/(2-lam)*(1-(1-lam)^(2k)))`` are mirrored term-for-term
     in the SQL twin's recursive CTE so the 1e-6 rounding matches;
     out-of-control additionally requires sd > 0 (a constant series differs
     from its mean only by float round-off of the recursion itself)."""
-    from ..functions.hashing import hash64
-
-    n_buckets = _salt_buckets(sf_dir, "events")
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
-        g = pa.table({"hour": hour, "event_type": batch["event_type"],
-                      "value": batch["value"]}).group_by(
-            ["hour", "event_type"]).aggregate([([], "count_all"),
-                                               ("value", "sum")])
-        g = pa.table({"hour": g["hour"], "event_type": g["event_type"],
-                      "n": g["count_all"], "s": g["value_sum"]})
-        b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
-             ).astype(np.int64)
-        return g.append_column("b", pa.array(b))
-
-    def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["hour", "event_type"], sort=False).agg(
-            n=("n", "sum"), s=("s", "sum")).reset_index()
-
-    c = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
-                       ).groupby("b").map_groups(
-        bucket_merge, batch_format="pandas").to_pandas()
-    c = c.sort_values(["event_type", "hour"], kind="mergesort")
-    m = c.s.to_numpy(np.float64) / c.n.to_numpy(np.float64)
+    c = _hourly_mean_frame(sf_dir)
+    m = c.m.to_numpy(np.float64)
     types = c.event_type.to_numpy()
     ewma = np.zeros(len(c))
     limit = np.zeros(len(c))
@@ -4965,6 +4950,10 @@ def benford_check_orders(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
                          ).groupby("digit").aggregate(Sum("c", alias_name="n"))
     df = agg.to_pandas().sort_values("digit")
+    # drop never-observed digits: the oracle's GROUP BY has no row for them,
+    # and a phantom (n=0, chi2_contrib=exp*tot) row would both diverge from
+    # it and report a positive deviation with zero observations
+    df = df[df.n > 0]
     n = df.n.to_numpy(np.float64)
     tot = n.sum()
     digits = df.digit.to_numpy(np.float64)

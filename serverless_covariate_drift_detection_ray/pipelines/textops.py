@@ -671,6 +671,13 @@ def vocab_drift_documents(sf_dir: str):
                            zero_copy_batch=True).materialize()
     nr = float(parts.sum("cr") or 0)
     nc = float(parts.sum("cc") or 0)
+    if nr == 0 or nc == 0:
+        # a token-less split leaves OOV/JS undefined (the oracle's divisions
+        # go NULL the same way) — report the counts and zeros, don't divide
+        return pa.Table.from_pylist([{
+            "n_ref_tokens": int(nr), "n_cur_tokens": int(nc),
+            "oov_types": 0, "oov_rate": 0.0, "js_divergence": 0.0,
+        }])
 
     def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("h", sort=False).agg(cr=("cr", "sum"),

@@ -320,8 +320,11 @@ def compact_fragments(root: str, target_rows: int = 1_000_000,
     def rewrite(root: str, pid: int, files: list[str], new_id: int) -> dict:
         import numpy as np
 
+        # promote: fragments written across a schema change differ (the
+        # read path null-fills old fragments; the rewrite must match)
         t = pa.concat_tables(
-            [pq.read_table(os.path.join(root, f)) for f in files])
+            [pq.read_table(os.path.join(root, f)) for f in files],
+            promote_options="default")
         if "fragment_id" in t.column_names:
             idx = t.column_names.index("fragment_id")
             t = t.set_column(idx, "fragment_id", pa.array(
@@ -377,7 +380,8 @@ def cluster_fragments(root: str, by: str = "phash",
         import pyarrow.compute as pc
 
         t = pa.concat_tables(
-            [pq.read_table(os.path.join(root, f)) for f in files])
+            [pq.read_table(os.path.join(root, f)) for f in files],
+            promote_options="default")  # schema-evolved fragments null-fill
         t = t.take(pc.sort_indices(t, sort_keys=[(by, "ascending")]))
         if t.num_rows == 0:  # keep the (empty) partition present
             info = write_fragment(root, first_id, pid, t,

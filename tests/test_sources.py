@@ -420,3 +420,52 @@ def test_cluster_fragments_respects_snapshots(ray_session, tmp_path):
     removed = set(gc_orphans(root))
     assert removed == old_files
     assert TableManifest.load(root).num_rows == 40
+
+
+def test_cluster_and_compact_handle_schema_evolution(ray_session, tmp_path):
+    """Fragments written across a schema change (old one lacks a column)
+    must rewrite cleanly under both compaction and clustering — the concat
+    promotes and null-fills, matching the read path's semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        TableManifest,
+        cluster_fragments,
+        compact_fragments,
+        write_fragment,
+    )
+
+    for sub, fn in (("ev_cl", cluster_fragments), ("ev_co", compact_fragments)):
+        root = str(tmp_path / sub)
+        os.makedirs(root)
+        man = TableManifest(root=root)
+        old = pa.table({  # pre-caption era
+            "image_id": pa.array([f"o{i}" for i in range(10)]),
+            "phash": pa.array(np.arange(10, dtype=np.int64)),
+            "fragment_id": pa.array(np.zeros(10, np.int64)),
+            "partition_id": pa.array(np.zeros(10, np.int32)),
+        })
+        new = pa.table({
+            "image_id": pa.array([f"n{i}" for i in range(10)]),
+            "phash": pa.array(np.arange(10, 20, dtype=np.int64)),
+            "caption": pa.array([f"c{i}" for i in range(10)]),
+            "fragment_id": pa.array(np.ones(10, np.int64)),
+            "partition_id": pa.array(np.zeros(10, np.int32)),
+        })
+        man.fragments.append(write_fragment(root, 0, 0, old))
+        man.fragments.append(write_fragment(root, 1, 0, new))
+        man.partitions = {0: {}}
+        man.save()
+        out = (fn(root, by="phash", target_rows=100, gc=True)
+               if fn is cluster_fragments
+               else fn(root, target_rows=100, gc=True))
+        assert out.num_rows == 20
+        t = pq.read_table(f"{root}/{out.fragments[0].file}")
+        assert "caption" in t.column_names
+        # old rows null-filled, exactly like the manifest read path
+        cap = t.to_pandas().set_index("image_id")["caption"]
+        assert cap.loc[[f"o{i}" for i in range(10)]].isna().all()
+        assert (cap.loc[[f"n{i}" for i in range(10)]] ==
+                [f"c{i}" for i in range(10)]).all()
