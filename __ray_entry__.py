@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_by_window_events": relq.chi2_by_window_events,
         "cusum_changepoint_events": relq.cusum_changepoint_events,
         "ewma_control_events": relq.ewma_control_events,
+        "seasonality_profile_events": relq.seasonality_profile_events,
         "ks_by_window_events": relq.ks_by_window_events,
         "sessionize_events": relq.sessionize_events,
         "running_sum_events": relq.running_sum_events,
@@ -315,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_by_window_events": relq.CHI2_WINDOW_SQL,
         "cusum_changepoint_events": relq.CUSUM_SQL,
         "ewma_control_events": relq.EWMA_SQL,
+        "seasonality_profile_events": relq.SEASONALITY_SQL,
         "ks_by_window_events": relq.KS_WINDOW_SQL,
         "asof_join_purchase_click": relq.ASOF_SQL,
         "interval_join_purchase_clicks": relq.INTERVAL_JOIN_SQL,

@@ -895,6 +895,56 @@ FROM o JOIN st USING (event_type) JOIN r ON r.event_type = o.event_type
 """
 
 
+def seasonality_profile_events(sf_dir: str, z: float = 3.0):
+    """Hour-of-day seasonal profile per event_type with residual-anomaly
+    counts: the per-(type, hod) mean/sd of the HOURLY means, plus how many
+    individual hours in that cell deviate more than ``z`` profile-sds —
+    the seasonal-baseline companion to the sequential monitors (CUSUM/EWMA
+    catch sustained shifts; this catches hours that break their own
+    daily pattern). Reuses ``_hourly_mean_frame`` (hours × types rows,
+    metadata-sized); the profile grid is |types| × 24."""
+    c = _hourly_mean_frame(sf_dir)
+    hod = pd.to_datetime(c.hour).dt.hour.to_numpy().astype(np.int64)
+    mv = c.m.to_numpy(np.float64)
+    types = c.event_type.to_numpy()
+    rows = []
+    for t in np.unique(types):
+        sel = types == t
+        for h in np.unique(hod[sel]):
+            cell = mv[sel & (hod == h)]
+            pm = cell.mean()
+            ps = np.sqrt(((cell - pm) ** 2).mean())
+            anom = int(((ps > 0) & (np.abs(cell - pm) > z * ps)).sum())
+            rows.append({
+                "event_type": str(t), "hod": int(h),
+                "n_hours": int(cell.size),
+                "mean_value": float(np.floor(pm * 1e6 + 0.5) / 1e6),
+                "sd_value": float(np.floor(ps * 1e6 + 0.5) / 1e6),
+                "n_anomalous": anom,
+            })
+    return pa.Table.from_pylist(rows)
+
+
+SEASONALITY_SQL = """
+WITH m AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         SUM(value) / COUNT(*) AS mv
+  FROM events GROUP BY 1, 2),
+h AS (SELECT event_type, EXTRACT(hour FROM hour) AS hod, mv FROM m),
+p AS (SELECT event_type, hod, AVG(mv) AS pm, SQRT(VAR_POP(mv)) AS ps,
+             COUNT(*)::BIGINT AS nh
+      FROM h GROUP BY 1, 2)
+SELECT p.event_type, CAST(p.hod AS BIGINT) AS hod, p.nh AS n_hours,
+  FLOOR(p.pm * 1e6 + 0.5) / 1e6 AS mean_value,
+  FLOOR(p.ps * 1e6 + 0.5) / 1e6 AS sd_value,
+  (SELECT SUM(CASE WHEN p.ps > 0 AND ABS(h2.mv - p.pm) > 3.0 * p.ps
+              THEN 1 ELSE 0 END)::BIGINT
+   FROM h h2 WHERE h2.event_type = p.event_type AND h2.hod = p.hod)
+    AS n_anomalous
+FROM p
+"""
+
+
 # SQL twin of cusum_changepoint_events: the max(0, s+y) recursion as
 # running-sum minus clamped running-min per event_type, mirrored op-for-op.
 CUSUM_SQL = """
