@@ -105,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--explain-state", default=None,
                    help="reference state dir: adds bin-level drift "
                         "attributions for flagged (partition, column)s")
+    r.add_argument("--fdr", type=float, default=None, metavar="Q",
+                   help="add a Benjamini-Hochberg section: q-values over "
+                        "all drift-test p-values, flags surviving FDR Q")
 
     c = sub.add_parser("compact", help="coalesce small fragments (OPTIMIZE)")
     c.add_argument("--manifest", required=True, help="table dir (manifest.json)")
@@ -136,10 +139,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "report":
         from .pipelines.report import (build_report, explain_drift,
-                                       write_report)
+                                       fdr_adjust, write_report)
 
         extra = ({"drift_explanations": explain_drift(
             args.out, args.explain_state)} if args.explain_state else None)
+        if args.fdr is not None:
+            extra = dict(extra or {})
+            extra["fdr"] = fdr_adjust(args.out, q=args.fdr)
         if args.path:
             print(write_report(args.out, args.path, extra=extra))
         else:

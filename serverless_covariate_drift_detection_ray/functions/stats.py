@@ -236,3 +236,20 @@ def mmd_permutation_test(
     count = int((stats[1:] >= observed).sum())
     p = (1.0 + count) / (1.0 + num_permutations)
     return observed, float(p)
+
+
+def bh_qvalues(p: "np.ndarray") -> "np.ndarray":
+    """Benjamini-Hochberg step-up q-values: q_i = min over j with
+    p_(j) >= p_(i) of p_(j) * m / rank(j), clamped to 1. Rejecting q <= Q
+    controls the false-discovery rate at Q across the m simultaneous
+    tests. Vectorized (sort + reverse running min), stable under ties."""
+    p = np.asarray(p, dtype=np.float64)
+    m = p.size
+    if m == 0:
+        return p.copy()
+    order = np.argsort(p, kind="mergesort")
+    scaled = p[order] * m / np.arange(1, m + 1, dtype=np.float64)
+    qs = np.minimum.accumulate(scaled[::-1])[::-1]
+    out = np.empty(m, dtype=np.float64)
+    out[order] = np.minimum(qs, 1.0)
+    return out

@@ -146,6 +146,46 @@ def explain_drift(out_dir: str, ref_state_dir: str,
     return out
 
 
+def fdr_adjust(out_dir: str, q: float = 0.05) -> dict[str, Any]:
+    """Benjamini-Hochberg FDR correction across the run's drift-test
+    p-values. The reference applies its alpha per COMPARISON
+    (detector_api/app/detector.py:47) — correct for one serving request,
+    but a partitioned run issues |partitions| × |drift checks| tests at
+    once, so the expected false-flag count grows linearly with the
+    partition count at any fixed per-test alpha. This post-processes the
+    committed verdict table (tiny) into q-values and the set of flags
+    that survive FDR control at ``q`` — the operationally honest flag
+    list for a many-partition run."""
+    import numpy as np
+
+    from ..functions.stats import bh_qvalues
+
+    verdicts = CheckpointStore(out_dir).read_all("verdicts")
+    out: dict[str, Any] = {"q": q, "m_tests": 0, "n_raw_flags": 0,
+                           "n_fdr_flags": 0, "fdr_flagged": []}
+    if verdicts is None or not verdicts.num_rows:
+        return out
+    v = verdicts.to_pandas()
+    d = v[v.p_value.notna() & np.isfinite(v.p_value.to_numpy(np.float64))]
+    if not len(d):
+        return out
+    qv = bh_qvalues(d.p_value.to_numpy(np.float64))
+    rej = qv <= q
+    out["m_tests"] = int(len(d))
+    out["n_raw_flags"] = int((~d.passed).sum())
+    out["n_fdr_flags"] = int(rej.sum())
+    flagged = d.loc[rej, ["partition_id", "check", "column", "p_value"]].copy()
+    flagged["q_value"] = qv[rej]
+    flagged = flagged.sort_values(["q_value", "partition_id", "check"],
+                                  kind="mergesort")
+    out["fdr_flagged"] = [
+        {"partition_id": int(r.partition_id), "check": str(r.check),
+         "column": str(r.column), "p_value": round(float(r.p_value), 6),
+         "q_value": round(float(r.q_value), 6)}
+        for r in flagged.itertuples()]
+    return out
+
+
 def write_report(out_dir: str, path: str | None = None,
                  extra: dict[str, Any] | None = None) -> str:
     """Assemble and atomically write ``report.json`` into the run dir.

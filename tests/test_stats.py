@@ -108,3 +108,37 @@ class TestMMD:
             y = RNG.normal(shift, 1, size=(256, 8))
             dists.append(mmd2_biased(x, y, sigma))
         assert all(b > a for a, b in zip(dists, dists[1:]))
+
+
+def test_bh_qvalues_matches_definition():
+    """BH q-values vs the direct step-up definition on random vectors
+    (with ties) and a hand example."""
+    import numpy as np
+
+    from serverless_covariate_drift_detection_ray.functions.stats import bh_qvalues
+
+    def slow_bh(p):
+        p = np.asarray(p, float)
+        m = p.size
+        q = np.empty(m)
+        for i in range(m):
+            # q_i = min over all j with p_j >= p_i of p_j * m / rank_j
+            cand = []
+            order = np.argsort(p, kind="mergesort")
+            for r, j in enumerate(order, start=1):
+                if p[j] >= p[i]:
+                    cand.append(p[j] * m / r)
+            q[i] = min(1.0, min(cand))
+        return q
+
+    # hand example (classic): p = [.01, .04, .03, .005], m=4
+    p = np.array([0.01, 0.04, 0.03, 0.005])
+    got = bh_qvalues(p)
+    # sorted: .005(r1)->.02, .01(r2)->.02, .03(r3)->.04, .04(r4)->.04
+    assert np.allclose(got, [0.02, 0.04, 0.04, 0.02])
+    rng = np.random.Generator(np.random.PCG64(17))
+    for _ in range(5):
+        p = np.round(rng.uniform(0, 1, 40), 2)  # ties likely
+        assert np.allclose(bh_qvalues(p), slow_bh(p))
+    # monotone in p after sorting; empty is fine
+    assert bh_qvalues(np.array([])).size == 0

@@ -235,6 +235,32 @@ class TestReportSink:
         assert drift_kinds <= set(rep["verdicts"]["drift_flagged_partitions"])
         assert rep["columns"]["w"]["rows"] > 0
 
+    def test_fdr_section(self, run):
+        """BH section over the committed verdicts: q-values match the pure
+        kernel applied to the same p-values, and every reported flag is a
+        real verdict row with q <= the requested level."""
+        import numpy as np
+
+        from serverless_covariate_drift_detection_ray.functions.stats import (
+            bh_qvalues,
+        )
+        from serverless_covariate_drift_detection_ray.pipelines.report import (
+            fdr_adjust,
+        )
+
+        sec = fdr_adjust(run["out_dir"], q=0.05)
+        v = run["verdicts"]
+        d = v[v.p_value.notna() & np.isfinite(v.p_value.to_numpy(float))]
+        assert sec["m_tests"] == len(d)
+        qv = bh_qvalues(d.p_value.to_numpy(float))
+        assert sec["n_fdr_flags"] == int((qv <= 0.05).sum())
+        keys = {(int(r.partition_id), str(r.check), str(r.column))
+                for r in d.itertuples()}
+        for f in sec["fdr_flagged"]:
+            assert f["q_value"] <= 0.05
+            assert (f["partition_id"], f["check"], f["column"]) in keys
+
+
 
 class TestNeardupDistributedParity:
     def test_distributed_path_matches_driver_path(self, ray_session):
