@@ -418,15 +418,42 @@ def validate(
     t1 = time.time()
     if partials_tbl is not None:
         if partials_tbl.num_rows <= DRIVER_MERGE_MAX_PARTIALS:
-            # serial on purpose: the sketch merge is GIL-bound Python (measured
-            # 1.5s serial vs 3.1s under an 8-thread pool on the bench fixture)
-            part_tables = []
+            # the sketch merge is GIL-bound Python (driver threads measured
+            # 1.5s serial vs 3.1s under an 8-thread pool), so parallelism
+            # must be PROCESS-level: stripe the partitions over a handful of
+            # remote tasks (inputs are KB-scale partial blobs, outputs one
+            # row per partition). Stripes, not per-partition tasks — the
+            # per-task submit/result overhead would eat the win at 1 task
+            # per partition.
+            import ray as _ray
+
             pids_present = np.unique(partials_tbl["partition_id"].to_numpy())
-            for pid in pids_present:
-                sub = partials_tbl.filter(pc.equal(partials_tbl["partition_id"], int(pid)))
-                part_tables.append(merge_group(sub))
+            n_stripes = max(1, min(8, pids_present.size))
+
+            @_ray.remote
+            def merge_stripe(tbl: pa.Table, pids: list, cfg_) -> list:
+                out = []
+                for pid in pids:
+                    sub = tbl.filter(pc.equal(tbl["partition_id"], int(pid)))
+                    merged = merge_partials_table(sub, cfg_)
+                    out.append({"partition_id": int(pid),
+                                "state": merged.to_bytes(),
+                                "n_rows": merged.n_rows})
+                return out
+
+            tbl_ref = _ray.put(partials_tbl)
+            stripes = [pids_present[i::n_stripes].tolist()
+                       for i in range(n_stripes)]
+            rows = [r for chunk in _ray.get(
+                [merge_stripe.remote(tbl_ref, s, cfg) for s in stripes])
+                for r in chunk]
+            rows.sort(key=lambda r: r["partition_id"])
             # one single-row block per partition so the drift stage fans out
-            per_part = ray.data.from_arrow(part_tables)
+            per_part = ray.data.from_arrow([pa.table({
+                "partition_id": pa.array([r["partition_id"]], pa.int32()),
+                "state": pa.array([r["state"]], pa.binary()),
+                "n_rows": pa.array([r["n_rows"]], pa.int64()),
+            }) for r in rows])
         else:
             per_part = ray.data.from_arrow(partials_tbl).groupby("partition_id").map_groups(
                 merge_group, batch_format="pyarrow"
