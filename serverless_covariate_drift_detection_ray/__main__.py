@@ -108,6 +108,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--fdr", type=float, default=None, metavar="Q",
                    help="add a Benjamini-Hochberg section: q-values over "
                         "all drift-test p-values, flags surviving FDR Q")
+    r.add_argument("--plots", action="store_true",
+                   help="render SVG figures (per-column marginal "
+                        "histograms, drift p-value heatmap) into "
+                        "<out>/plots/ from the committed artifacts")
 
     c = sub.add_parser("compact", help="coalesce small fragments (OPTIMIZE)")
     c.add_argument("--manifest", required=True, help="table dir (manifest.json)")
@@ -146,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.fdr is not None:
             extra = dict(extra or {})
             extra["fdr"] = fdr_adjust(args.out, q=args.fdr)
+        if args.plots:
+            from .pipelines.plots import write_plots
+
+            extra = dict(extra or {})
+            extra["plots"] = write_plots(args.out)
         if args.path:
             print(write_report(args.out, args.path, extra=extra))
         else:

@@ -260,6 +260,34 @@ class TestReportSink:
             assert f["q_value"] <= 0.05
             assert (f["partition_id"], f["check"], f["column"]) in keys
 
+    def test_svg_plot_sink(self, run):
+        """SVG figures render from committed artifacts: well-formed XML,
+        one histogram per drift marginal, heatmap cells == (partitions x
+        check keys with p-values), x-glyphs == failed verdicts."""
+        import xml.etree.ElementTree as ET
+
+        from serverless_covariate_drift_detection_ray.pipelines.plots import (
+            write_plots,
+        )
+
+        paths = write_plots(run["out_dir"])
+        assert any(p.endswith("drift_heatmap.svg") for p in paths)
+        hists = [p for p in paths if "/hist_" in p]
+        assert hists  # at least one marginal histogram
+        for p in paths:
+            root = ET.parse(p).getroot()
+            assert root.tag.endswith("svg")
+        hm = next(p for p in paths if p.endswith("drift_heatmap.svg"))
+        svg = open(hm).read()
+        v = run["verdicts"]
+        d = v[v.p_value.notna()]
+        n_failed = int((~d.passed).sum())
+        assert svg.count(">x</text>") == n_failed
+        # every (partition, check:column) pair with a p-value has a cell
+        n_cells = svg.count('rx="2" fill="#')  # data cells use the ramp
+        assert n_cells >= len(d)
+
+
 
 
 class TestNeardupDistributedParity:
