@@ -143,3 +143,29 @@ def test_vocab_drift_identical_splits_zero(ray_session, tmp_path):
     row = vocab_drift_documents(sf).to_pylist()[0]
     assert row["oov_rate"] == 0.0 and row["oov_types"] == 0
     assert row["js_divergence"] == 0.0
+
+
+def test_cusum_closed_form_equals_recursion():
+    """The closed form the engine and oracle share — cum_k - min(0,
+    min_{j<=k} cum_j) — must equal the textbook recursion s_k =
+    max(0, s_{k-1} + y_k) exactly (same float ops modulo association,
+    so compare with tight tolerance) on arbitrary series."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(min_value=-50, max_value=50,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=64))
+    def check(ys):
+        y = np.asarray(ys, dtype=np.float64)
+        cum = np.cumsum(y)
+        closed = cum - np.minimum(np.minimum.accumulate(cum), 0.0)
+        s, direct = 0.0, []
+        for v in y:
+            s = max(0.0, s + v)
+            direct.append(s)
+        assert np.allclose(closed, np.asarray(direct), rtol=1e-9, atol=1e-9)
+
+    check()
