@@ -35,6 +35,8 @@ _SERIES = "#2a78d6"
 # single-hue sequential ramp (light -> dark blue), monotone lightness
 _RAMP = ["#eff3fb", "#c4d6f2", "#8fb4e6", "#5590da", "#2a78d6", "#1c5eb0"]
 
+HEATMAP_MAX_PARTITIONS = 64  # figure row cap: huge runs keep the most-drifted
+
 
 def _ramp_color(x: float) -> str:
     """x in [0, 1] -> nearest ramp step (binned, not interpolated — a small
@@ -218,6 +220,17 @@ def write_plots(out_dir: str, plots_dir: str | None = None) -> list[str]:
         if len(v):
             v["key"] = v.check.astype(str) + ":" + v["column"].astype(str)
             pids = sorted(int(p) for p in v.partition_id.unique())
+            title = "drift p-values"
+            if len(pids) > HEATMAP_MAX_PARTITIONS:
+                # a 10^5-partition run must not become a 10^5-row SVG:
+                # keep the most-drifted rows (smallest min-p per partition)
+                n_all = len(pids)
+                minp = v.groupby("partition_id").p_value.min()
+                pids = sorted(int(p) for p in
+                              minp.nsmallest(HEATMAP_MAX_PARTITIONS).index)
+                v = v[v.partition_id.isin(set(pids))]
+                title = (f"drift p-values — most-drifted "
+                         f"{HEATMAP_MAX_PARTITIONS} of {n_all} partitions")
             keys = sorted(v.key.unique())
             pmat = np.full((len(pids), len(keys)), np.nan)
             pas = np.ones((len(pids), len(keys)), dtype=bool)
@@ -226,7 +239,7 @@ def write_plots(out_dir: str, plots_dir: str | None = None) -> list[str]:
             for r in v.itertuples():
                 pmat[pi[int(r.partition_id)], ki[r.key]] = float(r.p_value)
                 pas[pi[int(r.partition_id)], ki[r.key]] = bool(r.passed)
-            svg = render_drift_heatmap_svg(pids, keys, pmat, pas)
+            svg = render_drift_heatmap_svg(pids, keys, pmat, pas, title=title)
             path = os.path.join(plots_dir, "drift_heatmap.svg")
             with open(path, "w") as fh:
                 fh.write(svg)
