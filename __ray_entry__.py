@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort / top-k / distinct / split / sample (SURVEY §2.6)
         "topk_orders": relq.topk_orders,
         "split_proportions_orders": relq.split_proportions_orders,
+        "grouped_split_events": relq.grouped_split_events,
         "sample_random_orders": relq.sample_random_orders,
         "stratified_sample_orders": relq.stratified_sample_orders,
         "shuffle_orders": relq.shuffle_orders,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "join_large_priority_revenue": relq.JOIN_LARGE_SQL,
         "topk_orders": relq.TOPK_SQL,
         "split_proportions_orders": relq.SPLIT_SQL,
+        "grouped_split_events": relq.GROUPED_SPLIT_SQL,
         "sample_random_orders": relq.SAMPLE_SQL,
         "stratified_sample_orders": relq.STRATIFIED_SAMPLE_SQL,
         "shuffle_orders": relq.SHUFFLE_SQL,

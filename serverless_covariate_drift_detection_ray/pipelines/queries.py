@@ -1452,6 +1452,107 @@ def _knuth_bucket(keys: np.ndarray) -> np.ndarray:
     return (r * 100) // 4294967296
 
 
+def grouped_split_events(sf_dir: str):
+    """GROUP-integrity train/val/test split of events: the split key is the
+    USER, not the row, so no user's events straddle splits — the leakage
+    hygiene a per-row split violates (a user in both train and test leaks
+    their behavior into evaluation). 80/10/10 by the Knuth bucket of
+    user_id (same deterministic hash the row-split ops use, so the oracle
+    mirrors it in SQL). Output per split: row count, EXACT distinct user
+    count, plus the measured (not assumed) cross-split user leak count —
+    structurally zero, verified by the same pass.
+
+    Shape: per-block (split, n_rows) partials + per-block distinct
+    (user, split) pairs → user-hash bucket shuffle where each bucket
+    counts its distinct users per split and any user seen under > 1 split
+    — exact because a user's rows all hash to one bucket."""
+    from ..functions.hashing import hash64
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    nb = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000, floor=16)
+
+    def assign(u: np.ndarray) -> np.ndarray:
+        b = _knuth_bucket(u)
+        s = np.empty(u.size, dtype=object)
+        s[b < 80] = "train"
+        s[(b >= 80) & (b < 90)] = "val"
+        s[b >= 90] = "test"
+        return s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(np.int64)
+        s = assign(u)
+        uu = np.unique(u)
+        out = pd.DataFrame({"user_id": uu, "split": assign(uu)})
+        out["n"] = 0
+        cnt = pd.DataFrame({"split": s}).groupby("split", sort=False
+                                                 ).size().to_dict()
+        rows = [{"user_id": -1, "split": k, "n": int(v), "bkt": -1}
+                for k, v in cnt.items()]
+        out["bkt"] = (hash64(uu) % np.uint64(nb)).astype(np.int64)
+        return pa.Table.from_pandas(
+            pd.concat([out, pd.DataFrame(rows)], ignore_index=True),
+            preserve_index=False)
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[df.user_id < 0]
+        users = df[df.user_id >= 0]
+        out = rows.groupby("split", sort=False).n.sum().reset_index()
+        out["n_users"] = 0
+        out["leaked"] = 0
+        if len(users):
+            g = users.groupby("user_id", sort=False).split
+            per_user = g.nunique()
+            first = g.first()
+            uc = first[per_user == 1].value_counts()
+            u_out = pd.DataFrame({"split": uc.index, "n": 0,
+                                  "n_users": uc.to_numpy().astype(np.int64),
+                                  "leaked": 0})
+            leak = int((per_user > 1).sum())
+            if leak:
+                u_out = pd.concat([u_out, pd.DataFrame(
+                    [{"split": "train", "n": 0, "n_users": 0,
+                      "leaked": leak}])], ignore_index=True)
+            out = pd.concat([out, u_out], ignore_index=True)
+        return out
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bkt").map_groups(bucket_fold, batch_format="pandas")
+           .groupby("split").aggregate(Sum("n", alias_name="n_rows"),
+                                       Sum("n_users", alias_name="n_users"),
+                                       Sum("leaked", alias_name="lk")))
+    df = agg.to_pandas()
+    leaked_total = int(df.lk.sum())
+    return pa.table({
+        "split": pa.array(df.split.to_numpy(dtype=object), pa.string()),
+        "n_rows": pa.array(df.n_rows.to_numpy(np.int64)),
+        "n_users": pa.array(df.n_users.to_numpy(np.int64)),
+        "leaked_users": pa.array(
+            np.full(len(df), leaked_total, dtype=np.int64)),
+    })
+
+
+_UHASH_SQL = "(((user_id % 4096) * 2654435761) % 4294967296 * 100) // 4294967296"
+
+GROUPED_SPLIT_SQL = f"""
+WITH a AS (
+  SELECT user_id,
+         CASE WHEN {_UHASH_SQL} < 80 THEN 'train'
+              WHEN {_UHASH_SQL} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events)
+SELECT split, COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       (SELECT COUNT(*) FROM (
+          SELECT user_id FROM a GROUP BY user_id
+          HAVING COUNT(DISTINCT split) > 1))::BIGINT AS leaked_users
+FROM a GROUP BY split
+"""
+
+
 def split_proportions_orders(sf_dir: str):
     """5-way proportional split of orders; per-split row count + revenue
     checksum proves identical assignment vs the oracle."""
