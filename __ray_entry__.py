@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bin_prices_quartile": relq.bin_prices_quartile,
         "winsorize_lineitem": relq.winsorize_lineitem,
         "outlier_counts_lineitem": relq.outlier_counts_lineitem,
+        "mad_outliers_events": relq.mad_outliers_events,
         "histogram_extendedprice": relq.histogram_extendedprice,
         # sketch-default variants (the at-scale paths; exact ones stay as
         # oracle anchors)
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_view_click_purchase": relq.FUNNEL_SQL,
         "grouped_quantiles_flag": relq.GROUPED_QUANTILES_SQL,
         "outlier_counts_lineitem": relq.OUTLIER_SQL,
+        "mad_outliers_events": relq.MAD_OUTLIERS_SQL,
         "histogram_extendedprice": relq.HISTOGRAM_SQL,
         "topn_orders_per_priority": relq.TOPN_PER_KEY_SQL,
         "column_stats_lineitem": relq.COLUMN_STATS_SQL,

@@ -6282,7 +6282,8 @@ QREFINE_MAX_ROUNDS = 8
 
 
 def _refined_quantiles(sf_dir: str, table: str, col: str,
-                       gcol: str | None, qs: tuple):
+                       gcol: str | None, qs: tuple,
+                       values_fn=None, bounds: tuple | None = None):
     """Shared exact-quantile engine: iterative 256-bin range refinement
     with one (group, q) target per requested quantile (group = "" when
     ``gcol`` is None). Round 1 histograms the FULL value range PER GROUP,
@@ -6292,24 +6293,33 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
     collects (distinct value, count) partials inside the padded ranges and
     recomputes the below-rank offset exactly with the same comparison the
     mask uses, so float bin-boundary placement can never silently pick the
-    wrong element (loud guard otherwise). Returns [(group, q, value)]."""
+    wrong element (loud guard otherwise). Returns [(group, q, value)].
+
+    ``values_fn(batch) -> np.ndarray`` swaps in a DERIVED value column
+    (e.g. |value - per-group-median| for MAD) — it must be row-aligned
+    with the batch; ``bounds`` then supplies the value range the footer
+    stats can't know."""
     import pyarrow.parquet as pq_
 
     cols = [col] if gcol is None else [gcol, col]
     ds = _read(sf_dir, table, cols)
     B = QREFINE_BINS
-    pf = pq_.ParquetFile(f"{sf_dir}/{table}.parquet")
-    ci = pf.schema_arrow.get_field_index(col)
-    stats = [pf.metadata.row_group(g).column(ci).statistics
-             for g in range(pf.metadata.num_row_groups)]
-    vmin = min(float(st.min) for st in stats)
-    vmax = max(float(st.max) for st in stats)
+    vals_of = values_fn or (lambda b: b[col].to_numpy())
+    if bounds is not None:
+        vmin, vmax = float(bounds[0]), float(bounds[1])
+    else:
+        pf = pq_.ParquetFile(f"{sf_dir}/{table}.parquet")
+        ci = pf.schema_arrow.get_field_index(col)
+        stats = [pf.metadata.row_group(g).column(ci).statistics
+                 for g in range(pf.metadata.num_row_groups)]
+        vmin = min(float(st.min) for st in stats)
+        vmax = max(float(st.max) for st in stats)
 
     # ---- round 1: full-range histogram per group == discovery + counts ----
     w0 = (vmax - vmin) / B
 
     def first_partial(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy()
+        v = vals_of(batch)
         if not v.size:  # zero-row block: mirror hist_partial's empty guard
             return pa.table({"g": pa.array([], pa.string()),
                              "b": pa.array([], pa.int64()),
@@ -6380,7 +6390,7 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
 
         def hist_partial(batch: pa.Table, lo_=lo_l, hi_=hi_l, w_=width,
                          gl=grp_l) -> pa.Table:
-            v = batch[col].to_numpy()
+            v = vals_of(batch)
             gv = (batch[gcol].to_numpy(zero_copy_only=False) if gcol
                   else np.full(v.size, "", dtype=object))
             ts, bins, cnts = [], [], []
@@ -6428,7 +6438,7 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
     lo_f, hi_f = lo - pad, hi + pad
 
     def collect_partial(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy()
+        v = vals_of(batch)
         gv = (batch[gcol].to_numpy(zero_copy_only=False) if gcol
               else np.full(v.size, "", dtype=object))
         ts, vals, cnts, blw = [], [], [], []
@@ -6473,6 +6483,92 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
         out.append((g, q, float(agg.index.to_numpy()[
             int(np.searchsorted(cumv, need))])))
     return out
+
+
+def mad_outliers_events(sf_dir: str, k: float = 3.0):
+    """Robust per-type outlier audit: EXACT median and MAD (median absolute
+    deviation, the robust scale immune to the outliers it hunts — Tukey
+    fences and z-scores both move with the contamination) and the count of
+    rows with |value - median| > k * 1.4826 * MAD (1.4826 = the normal
+    consistency constant).
+
+    Three bounded passes, all through the shared refinement engine so the
+    medians are exact data elements at ANY scale (bit-identical to the
+    oracle's quantile_disc — no float-computation drift in the thresholds):
+    (1) per-type median of value; (2) per-type median of the DERIVED
+    |value - median| column (values_fn + computed bounds — footer stats
+    can't know the deviation range); (3) one scan of per-block outlier
+    count partials against the broadcast thresholds."""
+    med_rows = _refined_quantiles(sf_dir, "events", "value", "event_type",
+                                  (0.5,))
+    med = {g: v for g, _, v in med_rows}
+
+    import pyarrow.parquet as pq_
+
+    pf = pq_.ParquetFile(f"{sf_dir}/events.parquet")
+    ci = pf.schema_arrow.get_field_index("value")
+    stats = [pf.metadata.row_group(g).column(ci).statistics
+             for g in range(pf.metadata.num_row_groups)]
+    vmin = min(float(st.min) for st in stats)
+    vmax = max(float(st.max) for st in stats)
+    dmax = max(max(vmax - m, m - vmin) for m in med.values())
+
+    def absdev(batch: pa.Table) -> np.ndarray:
+        v = batch["value"].to_numpy()
+        g = pd.Series(batch["event_type"].to_numpy(zero_copy_only=False))
+        return np.abs(v - g.map(med).to_numpy(np.float64))
+
+    mad_rows = _refined_quantiles(sf_dir, "events", "value", "event_type",
+                                  (0.5,), values_fn=absdev,
+                                  bounds=(0.0, dmax))
+    mad = {g: v for g, _, v in mad_rows}
+    thr = {g: k * 1.4826 * mad[g] for g in mad}
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy()
+        g = pd.Series(batch["event_type"].to_numpy(zero_copy_only=False))
+        d = np.abs(v - g.map(med).to_numpy(np.float64))
+        out = (pd.DataFrame({"event_type": g,
+                             "o": d > g.map(thr).to_numpy(np.float64)})
+               .groupby("event_type", sort=False)
+               .agg(n=("o", "size"), n_out=("o", "sum")).reset_index())
+        out["n_out"] = out.n_out.astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("event_type").aggregate(
+        Sum("n", alias_name="n"), Sum("n_out", alias_name="n_outliers"))
+    df = agg.to_pandas()
+    types = df.event_type.to_numpy(dtype=object)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(df.n.to_numpy(np.int64)),
+        "median": pa.array(_round(np.array([med[t] for t in types]), 4)),
+        "mad": pa.array(_round(np.array([mad[t] for t in types]), 4)),
+        "n_outliers": pa.array(df.n_outliers.to_numpy(np.int64)),
+    })
+
+
+MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT dev.event_type, COUNT(*)::BIGINT AS n,
+  FLOOR(ANY_VALUE(dev.med) * 10000 + 0.5) / 10000 AS median,
+  FLOOR(ANY_VALUE(mad.mad) * 10000 + 0.5) / 10000 AS mad,
+  SUM(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+    AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
 
 
 def quantiles_exact_refine(sf_dir: str, table: str = "lineitem",
