@@ -200,3 +200,27 @@ def test_preprocess_images_stage(ray_session):
     bad = out[out.image_id == "bad"]
     assert not bad.decode_ok.iloc[0]
     assert np.allclose(np.stack(bad.tensor.to_numpy()), 0.0)
+
+
+def test_gallery_over_dump(ray_session, tmp_path):
+    """write_gallery composes a dump_images dir into one self-contained
+    HTML page: every dumped image embeds as a data URI under its
+    partition heading."""
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.functions.codec import encode_image
+    from serverless_covariate_drift_detection_ray.pipelines.plots import write_gallery
+    from serverless_covariate_drift_detection_ray.stages.multimodal import dump_images
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    rows = [{"image_id": f"im{i}", "partition_id": i % 2, "fmt": "png",
+             "bytes": encode_image(
+                 rng.integers(0, 255, (8, 8, 3), dtype=np.uint8), "png")}
+            for i in range(6)]
+    out = str(tmp_path / "dump")
+    n = dump_images(ray.data.from_items(rows), out, limit_per_partition=4)
+    path = write_gallery(out)
+    html = open(path).read()
+    assert html.count("data:image/png;base64,") == n
+    assert "partition_id=0" in html and "partition_id=1" in html
+    assert "im0" in html
