@@ -21,10 +21,15 @@ between fills, selective direct labels (max bar only).
 from __future__ import annotations
 
 import os
-from typing import Any
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape as _esc_text
 
 import numpy as np
+
+
+def escape(s) -> str:
+    """Attribute-safe XML escape: saxutils.escape leaves double quotes
+    alone, which breaks aria-label/alt attributes for names with '"'."""
+    return _esc_text(str(s), {'"': "&quot;"})
 
 # light-surface tokens + slot-1 blue from the validated default palette
 _SURFACE = "#fcfcfb"
@@ -180,7 +185,8 @@ def render_drift_heatmap_svg(partitions: list[int], checks: list[str],
     return "\n".join(parts)
 
 
-_MIME = {"png": "image/png", "bmp": "image/bmp"}
+_MIME = {"png": "image/png", "bmp": "image/bmp",
+         "jpeg": "image/jpeg", "jpg": "image/jpeg"}
 
 
 def write_gallery(dump_dir: str, path: str | None = None,
@@ -243,26 +249,36 @@ def write_plots(out_dir: str, plots_dir: str | None = None) -> list[str]:
     os.makedirs(plots_dir, exist_ok=True)
     written: list[str] = []
 
+    # stream the blobs one at a time (explain_drift's pattern): a 10^5-
+    # partition run must not hold 10^5 full PartialStates (HLL/CMS/digest
+    # payloads) on the driver when only histogram count sums are needed
     blob_dir = os.path.join(out_dir, "stats_blobs")
-    states = []
+    sums: dict[str, np.ndarray] = {}
+    ranges: dict[str, tuple[float, float]] = {}
     if os.path.isdir(blob_dir):
         for name in sorted(os.listdir(blob_dir)):
-            if name.endswith(".bin"):
-                with open(os.path.join(blob_dir, name), "rb") as fh:
-                    states.append(PartialState.from_bytes(fh.read()))
-    if states:
-        for col in sorted(states[0].hists):
-            h0 = states[0].hists[col]
-            counts = np.sum([s.hists[col].counts for s in states], axis=0)
-            svg = render_histogram_svg(
-                counts[1:-1], h0.lo, h0.hi, f"{col} — run-wide marginal",
-                subtitle=(f"{int(counts.sum()):,} rows; "
-                          f"{int(counts[0]):,} under / "
-                          f"{int(counts[-1]):,} over range"))
-            path = os.path.join(plots_dir, f"hist_{col}.svg")
-            with open(path, "w") as fh:
-                fh.write(svg)
-            written.append(path)
+            if not name.endswith(".bin"):
+                continue
+            with open(os.path.join(blob_dir, name), "rb") as fh:
+                st = PartialState.from_bytes(fh.read())
+            for col, h in st.hists.items():
+                if col in sums:
+                    sums[col] += h.counts
+                else:
+                    sums[col] = h.counts.copy()
+                    ranges[col] = (h.lo, h.hi)
+    for col in sorted(sums):
+        counts = sums[col]
+        lo, hi = ranges[col]
+        svg = render_histogram_svg(
+            counts[1:-1], lo, hi, f"{col} — run-wide marginal",
+            subtitle=(f"{int(counts.sum()):,} rows; "
+                      f"{int(counts[0]):,} under / "
+                      f"{int(counts[-1]):,} over range"))
+        path = os.path.join(plots_dir, f"hist_{col}.svg")
+        with open(path, "w") as fh:
+            fh.write(svg)
+        written.append(path)
 
     verdicts = CheckpointStore(out_dir).read_all("verdicts")
     if verdicts is not None and verdicts.num_rows:

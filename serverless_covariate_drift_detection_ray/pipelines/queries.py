@@ -6281,6 +6281,20 @@ QREFINE_COLLECT_CAP = 65536  # per-target DISTINCT-value budget for the final pa
 QREFINE_MAX_ROUNDS = 8
 
 
+def _footer_minmax(sf_dir: str, table: str, col: str) -> tuple[float, float]:
+    """Column [min, max] from parquet row-group footer statistics — no data
+    read. One definition (shared by the quantile engine and MAD) so a
+    future missing-statistics guard lands everywhere at once."""
+    import pyarrow.parquet as pq_
+
+    pf = pq_.ParquetFile(f"{sf_dir}/{table}.parquet")
+    ci = pf.schema_arrow.get_field_index(col)
+    stats = [pf.metadata.row_group(g).column(ci).statistics
+             for g in range(pf.metadata.num_row_groups)]
+    return (min(float(st.min) for st in stats),
+            max(float(st.max) for st in stats))
+
+
 def _refined_quantiles(sf_dir: str, table: str, col: str,
                        gcol: str | None, qs: tuple,
                        values_fn=None, bounds: tuple | None = None):
@@ -6299,8 +6313,6 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
     (e.g. |value - per-group-median| for MAD) — it must be row-aligned
     with the batch; ``bounds`` then supplies the value range the footer
     stats can't know."""
-    import pyarrow.parquet as pq_
-
     cols = [col] if gcol is None else [gcol, col]
     ds = _read(sf_dir, table, cols)
     B = QREFINE_BINS
@@ -6308,12 +6320,7 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
     if bounds is not None:
         vmin, vmax = float(bounds[0]), float(bounds[1])
     else:
-        pf = pq_.ParquetFile(f"{sf_dir}/{table}.parquet")
-        ci = pf.schema_arrow.get_field_index(col)
-        stats = [pf.metadata.row_group(g).column(ci).statistics
-                 for g in range(pf.metadata.num_row_groups)]
-        vmin = min(float(st.min) for st in stats)
-        vmax = max(float(st.max) for st in stats)
+        vmin, vmax = _footer_minmax(sf_dir, table, col)
 
     # ---- round 1: full-range histogram per group == discovery + counts ----
     w0 = (vmax - vmin) / B
@@ -6502,15 +6509,7 @@ def mad_outliers_events(sf_dir: str, k: float = 3.0):
     med_rows = _refined_quantiles(sf_dir, "events", "value", "event_type",
                                   (0.5,))
     med = {g: v for g, _, v in med_rows}
-
-    import pyarrow.parquet as pq_
-
-    pf = pq_.ParquetFile(f"{sf_dir}/events.parquet")
-    ci = pf.schema_arrow.get_field_index("value")
-    stats = [pf.metadata.row_group(g).column(ci).statistics
-             for g in range(pf.metadata.num_row_groups)]
-    vmin = min(float(st.min) for st in stats)
-    vmax = max(float(st.max) for st in stats)
+    vmin, vmax = _footer_minmax(sf_dir, "events", "value")
     dmax = max(max(vmax - m, m - vmin) for m in med.values())
 
     def absdev(batch: pa.Table) -> np.ndarray:

@@ -66,6 +66,17 @@ def _warm_fsspec_http() -> None:
 # groupby instead of on the driver (~100 KB per partial row)
 DRIVER_MERGE_MAX_PARTIALS = 20_000
 
+
+def _merged_state_row(pid: int, merged) -> "pa.Table":
+    """THE (partition_id, state, n_rows) single-row schema the drift stage
+    consumes — one definition shared by the driver-stripe, distributed-
+    groupby, and streamed merge branches so the shape can't silently fork."""
+    return pa.table({
+        "partition_id": pa.array([int(pid)], pa.int32()),
+        "state": pa.array([merged.to_bytes()], pa.binary()),
+        "n_rows": pa.array([merged.n_rows], pa.int64()),
+    })
+
 # reduced-stream rows (partials + domain violations) the driver will collect;
 # beyond this the split/merge runs distributed (a pathological partition where
 # every row violates must not ride through the driver)
@@ -352,11 +363,7 @@ def validate(
     def merge_group(batch: pa.Table) -> pa.Table:
         pid = int(batch["partition_id"][0].as_py())
         merged = merge_partials_table(batch, cfg)
-        return pa.table({
-            "partition_id": pa.array([pid], pa.int32()),
-            "state": pa.array([merged.to_bytes()], pa.binary()),
-            "n_rows": pa.array([merged.n_rows], pa.int64()),
-        })
+        return _merged_state_row(pid, merged)
 
     VIOL_COLS = ["partition_id", "image_id", "check", "column", "observed", "expected"]
     n_reduced = reduced.count()
@@ -432,28 +439,24 @@ def validate(
 
             @_ray.remote
             def merge_stripe(tbl: pa.Table, pids: list, cfg_) -> list:
+                # same single-row tables merge_group builds — one schema
+                # definition (_merged_state_row) serves all three branches
                 out = []
                 for pid in pids:
                     sub = tbl.filter(pc.equal(tbl["partition_id"], int(pid)))
-                    merged = merge_partials_table(sub, cfg_)
-                    out.append({"partition_id": int(pid),
-                                "state": merged.to_bytes(),
-                                "n_rows": merged.n_rows})
+                    out.append(_merged_state_row(
+                        int(pid), merge_partials_table(sub, cfg_)))
                 return out
 
             tbl_ref = _ray.put(partials_tbl)
             stripes = [pids_present[i::n_stripes].tolist()
                        for i in range(n_stripes)]
-            rows = [r for chunk in _ray.get(
+            tables = [t for chunk in _ray.get(
                 [merge_stripe.remote(tbl_ref, s, cfg) for s in stripes])
-                for r in chunk]
-            rows.sort(key=lambda r: r["partition_id"])
+                for t in chunk]
+            tables.sort(key=lambda t: int(t["partition_id"][0].as_py()))
             # one single-row block per partition so the drift stage fans out
-            per_part = ray.data.from_arrow([pa.table({
-                "partition_id": pa.array([r["partition_id"]], pa.int32()),
-                "state": pa.array([r["state"]], pa.binary()),
-                "n_rows": pa.array([r["n_rows"]], pa.int64()),
-            }) for r in rows])
+            per_part = ray.data.from_arrow(tables)
         else:
             per_part = ray.data.from_arrow(partials_tbl).groupby("partition_id").map_groups(
                 merge_group, batch_format="pyarrow"
