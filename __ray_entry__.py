@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_categories_orders": relq.encode_categories_orders,
         "jsonl_roundtrip_events": relq.jsonl_roundtrip_events,
         "csv_roundtrip_orders": relq.csv_roundtrip_orders,
+        "orc_roundtrip_lineitem": relq.orc_roundtrip_lineitem,
         "fk_cardinality_customers": relq.fk_cardinality_customers,
         "freshness_events": relq.freshness_events,
         "gap_hours_events": relq.gap_hours_events,
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "encode_categories_orders": relq.ENCODE_CATEGORIES_SQL,
         "jsonl_roundtrip_events": relq.JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip_orders": relq.CSV_ROUNDTRIP_SQL,
+        "orc_roundtrip_lineitem": relq.ORC_ROUNDTRIP_SQL,
         "fk_cardinality_customers": relq.FK_CARDINALITY_SQL,
         "freshness_events": relq.FRESHNESS_SQL,
         "gap_hours_events": relq.GAP_HOURS_SQL,

@@ -5790,6 +5790,93 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def orc_roundtrip_lineitem(sf_dir: str):
+    """ORC sink + source roundtrip — the fourth IO format, and the recipe
+    for any format Ray Data lacks a native reader for (ray 2.49 has no
+    ``read_orc``): the SINK writes one ORC file per block as a
+    ``map_batches`` side effect (pyarrow.orc, per-task unique names, the
+    staged-rename cache publishing atomically); the SOURCE is
+    ``read_binary_files`` over the file list with a per-file pyarrow.orc
+    decode inside the task — both ends distributed, nothing driver-side
+    but the final per-flag aggregate rows."""
+    import os
+    import uuid
+
+    import ray.data
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_quantity"])
+    M = np.int64(4294967296)
+
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/scdd_orc/{tag}/lineitem_{st.st_size}_{st.st_mtime_ns}"
+
+    def write_blocks(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)  # write_csv mkdirs itself; orc won't
+        from pyarrow import orc as _orc
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            t = pa.table({
+                "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pa.array(np.floor(
+                    batch["l_quantity"].to_numpy() * 100 + 0.5
+                ).astype(np.int64)),
+            })
+            _orc.write_table(t, os.path.join(tmp, f"part-{uuid.uuid4().hex}.orc"))
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        total = ds.map_batches(write_block, batch_format="pyarrow",
+                               zero_copy_batch=True).sum("n")
+        assert total  # force execution; zero rows would be a broken fixture
+
+    _ensure_staged_cache(out_dir, write_blocks)
+
+    paths = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".orc")]
+
+    def decode_orc(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc as _orc
+
+        tables = [_orc.read_table(pa.BufferReader(b))
+                  for b in batch["bytes"].to_pylist()]
+        t = pa.concat_tables(tables)
+        ids = t["l_orderkey"].to_numpy().astype(np.int64)
+        h = ((ids % 2147483648) * 2654435761) % M
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "h": h, "q": t["qty"].to_numpy().astype(np.int64)})
+        g = df.groupby("l_returnflag", sort=False)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "l_returnflag": list(g.groups),
+            "n": g.size().to_numpy().astype(np.int64),
+            "sum_qty_cents": g.q.sum().to_numpy().astype(np.int64),
+            "sum_hash": g.h.sum().to_numpy().astype(np.int64),
+        }), preserve_index=False)
+
+    back = ray.data.read_binary_files(paths)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [df.l_returnflag.iloc[0]],
+            "n": [np.int64(df.n.sum())],
+            "sum_qty_cents": [np.int64(df.sum_qty_cents.sum())],
+            "sum_hash": [np.int64(df.sum_hash.sum())]})
+
+    return back.map_batches(decode_orc, batch_format="pyarrow").repartition(
+        4).groupby("l_returnflag").map_groups(final, batch_format="pandas")
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+       SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_qty_cents,
+       SUM(((l_orderkey % 2147483648) * 2654435761) % 4294967296)::BIGINT
+         AS sum_hash
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product-analytics shapes: co-occurrence pair mining, Markov transitions,
 # retention cohorts. Each is a salted-bucket co-location (the key never
