@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
                          "quarantine output to an already-validated run)")
     pl.add_argument("--explain", action="store_true",
                     help="add bin-level drift attributions to report.json")
+    pl.add_argument("--fdr", type=float, default=None, metavar="Q",
+                    help="add the Benjamini-Hochberg section to report.json")
+    pl.add_argument("--plots", action="store_true",
+                    help="render the SVG figures into run/plots/")
 
     e = sub.add_parser("extend-reference",
                        help="merge new partitions into frozen reference state")
@@ -216,7 +220,8 @@ def main(argv: list[str] | None = None) -> int:
             import os
 
             from .pipelines.fit import fit
-            from .pipelines.report import explain_drift, write_report
+            from .pipelines.report import (explain_drift, fdr_adjust,
+                                           write_report)
             from .pipelines.validate import validate
 
             state_dir = os.path.join(args.workdir, "reference_state")
@@ -229,6 +234,14 @@ def main(argv: list[str] | None = None) -> int:
                                resume=not args.no_resume)
             extra = ({"drift_explanations": explain_drift(out_dir, state_dir)}
                      if args.explain else None)
+            if args.fdr is not None:
+                extra = dict(extra or {})
+                extra["fdr"] = fdr_adjust(out_dir, q=args.fdr)
+            if args.plots:
+                from .pipelines.plots import write_plots
+
+                extra = dict(extra or {})
+                extra["plots"] = write_plots(out_dir)
             report_path = write_report(out_dir, extra=extra)
             print(json.dumps({"summary": summary, "report": report_path},
                              default=str))

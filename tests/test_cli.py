@@ -51,12 +51,15 @@ def test_pipeline_command_end_to_end(tmp_path, capsys, monkeypatch, ray_session)
     monkeypatch.setattr(cli, "_ray_session", lambda n: _NoShutdown)
     wd = str(tmp_path / "wd")
     assert cli.main(["pipeline", "--manifest", fix, "--workdir", wd,
-                     "--quarantine", "--explain"]) == 0
+                     "--quarantine", "--explain", "--fdr", "0.05",
+                     "--plots"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["summary"]["verdicts"] > 0
     assert out["summary"]["quarantined"] > 0
     rep = json.load(open(out["report"]))
     assert rep["drift_explanations"]
+    assert rep["fdr"]["m_tests"] > 0
+    assert any(p.endswith("drift_heatmap.svg") for p in rep["plots"])
     # second submission resumes: nothing reprocessed
     assert cli.main(["pipeline", "--manifest", fix, "--workdir", wd]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
