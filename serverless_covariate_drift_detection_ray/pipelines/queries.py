@@ -5794,13 +5794,15 @@ def orc_roundtrip_lineitem(sf_dir: str):
     """ORC sink + source roundtrip — the fourth IO format, and the recipe
     for any format Ray Data lacks a native reader for (ray 2.49 has no
     ``read_orc``): the SINK writes one ORC file per block as a
-    ``map_batches`` side effect (pyarrow.orc, per-task unique names, the
-    staged-rename cache publishing atomically); the SOURCE is
-    ``read_binary_files`` over the file list with a per-file pyarrow.orc
-    decode inside the task — both ends distributed, nothing driver-side
-    but the final per-flag aggregate rows."""
+    ``map_batches`` side effect (pyarrow.orc; CONTENT-keyed file names so
+    a Ray task retry overwrites its own output instead of duplicating it,
+    per-file tmp+rename so a mid-write crash never publishes a truncated
+    file; the staged-rename cache publishes the directory atomically); the
+    SOURCE is ``read_binary_files`` over the file list with a per-file
+    pyarrow.orc decode inside the task. Scratch lives on node-local /tmp —
+    the same single-node assumption the jsonl/csv roundtrips share; a
+    multi-node run points the cache at shared storage."""
     import os
-    import uuid
 
     import ray.data
 
@@ -5814,9 +5816,17 @@ def orc_roundtrip_lineitem(sf_dir: str):
 
     def write_blocks(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)  # write_csv mkdirs itself; orc won't
-        from pyarrow import orc as _orc
 
         def write_block(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                # never manufacture 0-row files: an empty decode block
+                # would infer a null-typed string column downstream
+                return pa.table({"n": pa.array([0], pa.int64())})
+            from pyarrow import orc as _orc
+
+            from ..functions.hashing import hash64
+
+            ids = batch["l_orderkey"].to_numpy().astype(np.int64)
             t = pa.table({
                 "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
                 "l_returnflag": batch["l_returnflag"],
@@ -5824,7 +5834,14 @@ def orc_roundtrip_lineitem(sf_dir: str):
                     batch["l_quantity"].to_numpy() * 100 + 0.5
                 ).astype(np.int64)),
             })
-            _orc.write_table(t, os.path.join(tmp, f"part-{uuid.uuid4().hex}.orc"))
+            # content-keyed name: a retried task rewrites the SAME file
+            key = int(hash64(np.array(
+                [ids.min(), ids.max(), ids.sum() & 0x7FFFFFFFFFFFFFFF,
+                 ids.size], dtype=np.int64)).sum() & 0xFFFFFFFFFFFFFFFF)
+            path = os.path.join(tmp, f"part-{key:016x}.orc")
+            os.makedirs(tmp, exist_ok=True)  # task may land on another node
+            _orc.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
             return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
         total = ds.map_batches(write_block, batch_format="pyarrow",
@@ -5839,8 +5856,11 @@ def orc_roundtrip_lineitem(sf_dir: str):
     def decode_orc(batch: pa.Table) -> pa.Table:
         from pyarrow import orc as _orc
 
-        tables = [_orc.read_table(pa.BufferReader(b))
-                  for b in batch["bytes"].to_pylist()]
+        col = batch["bytes"].combine_chunks() if isinstance(
+            batch["bytes"], pa.ChunkedArray) else batch["bytes"]
+        # zero-copy: each scalar's buffer feeds the reader directly
+        tables = [_orc.read_table(pa.BufferReader(col[i].as_buffer()))
+                  for i in range(len(col))]
         t = pa.concat_tables(tables)
         ids = t["l_orderkey"].to_numpy().astype(np.int64)
         h = ((ids % 2147483648) * 2654435761) % M
