@@ -17,7 +17,6 @@ ingest edge. Timestamps in CSV/JSONL are ISO-8601 strings and are cast to
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def _normalize(target: pa.Schema):

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-import numpy as np
 import pyarrow as pa
 
 from ..pipelines.config import EngineConfig
