@@ -469,3 +469,49 @@ def test_cluster_and_compact_handle_schema_evolution(ray_session, tmp_path):
         assert cap.loc[[f"o{i}" for i in range(10)]].isna().all()
         assert (cap.loc[[f"n{i}" for i in range(10)]] ==
                 [f"c{i}" for i in range(10)]).all()
+
+
+def test_cluster_fragments_edge_shapes(ray_session, tmp_path):
+    """Degenerate layouts: a single-row partition, target_rows=1 (one
+    fragment per row), and a partition smaller than target — content and
+    id allocation stay exact, fragments never collide across partitions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.sources.fragmented import (
+        TableManifest,
+        cluster_fragments,
+        write_fragment,
+    )
+
+    root = str(tmp_path / "edge")
+    os.makedirs(root)
+    man = TableManifest(root=root)
+    # partition 0: one row; partition 1: 5 rows shuffled
+    t0 = pa.table({"image_id": ["solo"], "phash": pa.array([7], pa.int64()),
+                   "fragment_id": pa.array([0], pa.int64()),
+                   "partition_id": pa.array([0], pa.int32())})
+    man.fragments.append(write_fragment(root, 0, 0, t0))
+    v = np.array([5, 3, 9, 1, 4], dtype=np.int64)
+    t1 = pa.table({"image_id": [f"r{x}" for x in v], "phash": pa.array(v),
+                   "fragment_id": pa.array(np.ones(5, np.int64)),
+                   "partition_id": pa.array(np.ones(5, np.int32))})
+    man.fragments.append(write_fragment(root, 1, 1, t1))
+    man.partitions = {0: {}, 1: {}}
+    man.save()
+
+    man2 = cluster_fragments(root, by="phash", target_rows=1, gc=True)
+    # one fragment per row, per partition
+    assert sorted(f.rows for f in man2.fragments) == [1, 1, 1, 1, 1, 1]
+    assert len({f.id for f in man2.fragments}) == 6  # no id collisions
+    # partition 1's fragments are sorted, disjoint singletons
+    p1 = sorted((f for f in man2.fragments if f.partition_id == 1),
+                key=lambda f: f.stats["phash"][0])
+    assert [f.stats["phash"][0] for f in p1] == [1, 3, 4, 5, 9]
+    # a second pass with a large target coalesces back to 1 per partition
+    man3 = cluster_fragments(root, by="phash", target_rows=100, gc=True)
+    assert len(man3.fragments) == 2
+    got = sorted(pq.read_table(f"{root}/{f.file}")["image_id"].to_pylist()
+                 for f in man3.fragments)
+    assert got == [["r1", "r3", "r4", "r5", "r9"], ["solo"]]
