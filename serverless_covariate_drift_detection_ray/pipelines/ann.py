@@ -1112,9 +1112,15 @@ def _ivf_query(index_dir: str, sf_dir: str, nprobe: int = IVF_NPROBE):
         meta = json.load(fh)
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
 
-    # queries: a bounded id-pruned read (N_QUERIES rows)
-    qt = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
-        lambda r: r["vec_id"] < N_QUERIES).to_pandas()
+    # queries: a bounded id-pruned read (N_QUERIES rows). The predicate is
+    # a pyarrow dataset expression pushed into the parquet scan — row groups
+    # whose vec_id stats exclude the range never leave storage (no per-row
+    # Python filter over the corpus).
+    import pyarrow.dataset as pads
+
+    qt = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") < N_QUERIES)).to_pandas()
     q = np.stack(qt.embedding.to_numpy()).astype(np.float64)
     q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     qids = qt.vec_id.to_numpy().astype(np.int64)

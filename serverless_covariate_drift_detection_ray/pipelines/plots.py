@@ -263,6 +263,15 @@ def write_plots(out_dir: str, plots_dir: str | None = None) -> list[str]:
                 st = PartialState.from_bytes(fh.read())
             for col, h in st.hists.items():
                 if col in sums:
+                    if (h.lo, h.hi, len(h.counts)) != (
+                            ranges[col][0], ranges[col][1], len(sums[col])):
+                        # a stale or mixed-config blob directory would
+                        # otherwise silently render a wrong marginal
+                        raise ValueError(
+                            f"incompatible histogram config for {col!r} in "
+                            f"{name}: ({h.lo}, {h.hi}, {len(h.counts)}) vs "
+                            f"({ranges[col][0]}, {ranges[col][1]}, "
+                            f"{len(sums[col])}) — mixed-run blob dir?")
                     sums[col] += h.counts
                 else:
                     sums[col] = h.counts.copy()

@@ -1480,6 +1480,14 @@ def grouped_split_events(sf_dir: str):
         return s
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # Explicitly typed empty block: a pandas-built empty frame would
+            # carry a null-typed 'split' column and break Ray's block schema
+            # unification at the groupby shuffle.
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "split": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
         u = batch["user_id"].to_numpy().astype(np.int64)
         s = assign(u)
         uu = np.unique(u)
@@ -5834,10 +5842,13 @@ def orc_roundtrip_lineitem(sf_dir: str):
                     batch["l_quantity"].to_numpy() * 100 + 0.5
                 ).astype(np.int64)),
             })
-            # content-keyed name: a retried task rewrites the SAME file
-            key = int(hash64(np.array(
-                [ids.min(), ids.max(), ids.sum() & 0x7FFFFFFFFFFFFFFF,
-                 ids.size], dtype=np.int64)).sum() & 0xFFFFFFFFFFFFFFFF)
+            # content-keyed name: a retried task rewrites the SAME file.
+            # The key folds a 64-bit hash of EVERY id (not just min/max/sum
+            # summaries) so two distinct blocks can only collide on a full
+            # 64-bit content-hash collision.
+            key = int((int(hash64(ids).sum()) ^
+                       int(hash64(np.array([ids.size], dtype=np.int64))[0]))
+                      & 0xFFFFFFFFFFFFFFFF)
             path = os.path.join(tmp, f"part-{key:016x}.orc")
             os.makedirs(tmp, exist_ok=True)  # task may land on another node
             _orc.write_table(t, path + ".tmp")
@@ -5852,6 +5863,19 @@ def orc_roundtrip_lineitem(sf_dir: str):
 
     paths = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
              if f.endswith(".orc")]
+    # Cross-check ROWS ON DISK (ORC stripe footers, no data read) against the
+    # source row count: a content-key collision that overwrote a block would
+    # surface here instead of silently diverging from the oracle.
+    import pyarrow.parquet as pq_chk
+    from pyarrow import orc as _orc_chk
+
+    disk_rows = sum(_orc_chk.ORCFile(p).nrows for p in paths)
+    src_rows = pq_chk.ParquetFile(
+        f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    if disk_rows != src_rows:
+        raise RuntimeError(
+            f"orc_roundtrip: {disk_rows} rows on disk != {src_rows} source "
+            f"rows in {out_dir} — stale or collided staging; delete the dir")
 
     def decode_orc(batch: pa.Table) -> pa.Table:
         from pyarrow import orc as _orc
@@ -6398,6 +6422,12 @@ def _footer_minmax(sf_dir: str, table: str, col: str) -> tuple[float, float]:
     ci = pf.schema_arrow.get_field_index(col)
     stats = [pf.metadata.row_group(g).column(ci).statistics
              for g in range(pf.metadata.num_row_groups)]
+    if any(st is None or st.min is None or st.max is None for st in stats):
+        raise ValueError(
+            f"{table}.parquet: column {col!r} lacks min/max statistics in at "
+            "least one row group; the footer-pruned quantile engine needs "
+            "them — rewrite the file with statistics enabled or use the "
+            "t-digest path")
     return (min(float(st.min) for st in stats),
             max(float(st.max) for st in stats))
 
