@@ -323,6 +323,9 @@ def oracle_sql() -> dict[str, str]:
         "ewma_control_events": relq.EWMA_SQL,
         "seasonality_profile_events": relq.SEASONALITY_SQL,
         "ks_by_window_events": relq.KS_WINDOW_SQL,
+        # the streaming monitor's contract IS bit-equality with the batch
+        # window-KS (tests/test_queries.py pins it), so it shares the SQL twin
+        "streaming_drift_monitor": relq.KS_WINDOW_SQL,
         "asof_join_purchase_click": relq.ASOF_SQL,
         "interval_join_purchase_clicks": relq.INTERVAL_JOIN_SQL,
         "sessionize_events": relq.SESSIONIZE_SQL,

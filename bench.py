@@ -40,7 +40,12 @@ def _init_ray():
     return ray
 
 
-def run_headline(rounds: int | None = None) -> dict:
+# repo quiet-window criterion (BASELINE.md): numbers are only trusted when
+# 1-min load average is below this at measurement start
+QUIET_LOAD = float(os.environ.get("GRAFT_QUIET_LOAD", "1.0"))
+
+
+def run_headline(rounds: int | None = None, scale: str | None = None) -> dict:
     """Time the validation pass (not fixture gen / fit) over the bench fixture."""
     from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
     from serverless_covariate_drift_detection_ray.pipelines.config import EngineConfig
@@ -50,9 +55,10 @@ def run_headline(rounds: int | None = None) -> dict:
 
     # full-fidelity pass: decode EVERY row and verify phash against pixels —
     # the "validated images/sec" metric counts complete per-row validation
+    scale = scale or BENCH_SCALE
     cfg = EngineConfig(freeze_time="01/01/2026 00:00:00.000000",
                        decode_fraction=1.0, phash_verify=True)
-    fix = ensure_fixture(BENCH_SCALE, parallel=True)
+    fix = ensure_fixture(scale, parallel=True)
     # ref state keyed by (fixture version, config fingerprint): a stale
     # refstate fit under an older fmt-category domain or generator version
     # must never be compared against freshly-generated partials
@@ -60,7 +66,7 @@ def run_headline(rounds: int | None = None) -> dict:
         config_fingerprint,
     )
 
-    ref_dir = (f"/tmp/scdd_bench/{BENCH_SCALE}/refstate-"
+    ref_dir = (f"/tmp/scdd_bench/{scale}/refstate-"
                f"{os.path.basename(fix)}-{config_fingerprint(cfg)[:12]}")
     if not os.path.exists(os.path.join(ref_dir, "reference_meta.json")):
         fit(fix, ref_dir, cfg)
@@ -77,9 +83,10 @@ def run_headline(rounds: int | None = None) -> dict:
     # monotone decrease in a quiet window); round 3 is the honest warm floor
     if rounds is None:
         rounds = int(os.environ.get("GRAFT_HEADLINE_ROUNDS", "3"))
+    load0 = round(os.getloadavg()[0], 2)
     best, walls = None, []
     for _ in range(max(1, rounds)):
-        out_dir = f"/tmp/scdd_bench/{BENCH_SCALE}/out-{NUM_CPUS}"
+        out_dir = f"/tmp/scdd_bench/{scale}/out-{NUM_CPUS}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         summary = validate(fix, ref_dir, out_dir, cfg, resume=False)
@@ -96,10 +103,12 @@ def run_headline(rounds: int | None = None) -> dict:
         "verdicts": summary["verdicts"],
         "violations": summary["violations"],
         "stages": summary.get("stages", {}),
+        "load_at_start": load0,
+        "quiet": load0 < QUIET_LOAD,
     }
 
 
-def run_queries() -> dict[str, float]:
+def _sweep_once() -> dict[str, float]:
     import __ray_entry__ as e
 
     out = {}
@@ -113,6 +122,29 @@ def run_queries() -> dict[str, float]:
             res = res.to_pandas()
         out[name] = round(time.time() - t0, 2)
     return out
+
+
+def run_queries() -> tuple[dict[str, float], dict]:
+    """Query sweep with load context. Round 3's sweep ran under ambient
+    noisy-neighbor load and read as a uniform ~20% regression until manually
+    diffed against the quiet-window record — so the sweep now records the
+    1-min load average at start/end and, if the start was not quiet, retries
+    ONCE and keeps the faster total (both loads are reported either way)."""
+    load0 = round(os.getloadavg()[0], 2)
+    out = _sweep_once()
+    ctx = {"load_sweep_start": load0,
+           "load_sweep_end": round(os.getloadavg()[0], 2),
+           "quiet": load0 < QUIET_LOAD, "retried": False}
+    if load0 >= QUIET_LOAD and os.environ.get("GRAFT_SWEEP_RETRY", "1") == "1":
+        load1 = round(os.getloadavg()[0], 2)
+        out2 = _sweep_once()
+        ctx.update(retried=True, load_retry_start=load1,
+                   load_retry_end=round(os.getloadavg()[0], 2))
+        if sum(out2.values()) < sum(out.values()):
+            out, ctx["kept"] = out2, "retry"
+        else:
+            ctx["kept"] = "first"
+    return out, ctx
 
 
 def main() -> None:
@@ -159,6 +191,8 @@ def main() -> None:
             f"sec_{lo}": results[lo]["value"],
             f"sec_{hi}": results[hi]["value"],
             "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+            f"load_{lo}": results[lo].get("load_at_start"),
+            f"load_{hi}": results[hi].get("load_at_start"),
             "rounds_best_of": rounds,
             "rows": results[hi].get("rows"),
             "stages_lo": results[lo].get("stages", {}),
@@ -168,14 +202,23 @@ def main() -> None:
 
     _init_ray()
     headline = run_headline()
-    queries = {} if HEADLINE_ONLY else run_queries()
+    queries, sweep_ctx = ({}, {}) if HEADLINE_ONLY else run_queries()
+    # 1M-row / ~19 GB single pass: re-proves in every round's artifact that
+    # per-image throughput stays flat at 2.5x the bench rows (streaming, no
+    # full materialization). Opt out with GRAFT_BENCH_LARGE=0.
+    large = {}
+    if not HEADLINE_ONLY and os.environ.get("GRAFT_BENCH_LARGE", "1") == "1":
+        lg = run_headline(rounds=1, scale="large")
+        large = {"rows": lg["rows"], "sec": lg["sec"],
+                 "images_per_sec": lg["images_per_sec"],
+                 "load_at_start": lg["load_at_start"], "quiet": lg["quiet"]}
     # The per-query map (133+ entries) goes on its OWN preceding line plus a
     # sidecar file: round 2's driver tail-capture truncated the single giant
     # line and recorded "parsed": null. The FINAL stdout line is the compact
     # headline JSON the driver parses — keep it short and last.
     if queries:
         qline = {"metric": "query_sweep_sec", "queries": queries,
-                 "sf": SF_DIR, "num_cpus": NUM_CPUS}
+                 "sweep_load": sweep_ctx, "sf": SF_DIR, "num_cpus": NUM_CPUS}
         print(json.dumps(qline))
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_queries.json")
@@ -191,9 +234,13 @@ def main() -> None:
         "verdicts": headline["verdicts"],
         "violations": headline["violations"],
         "stages": headline["stages"],
+        "load_at_start": headline["load_at_start"],
+        "quiet": headline["quiet"],
         "queries_n": len(queries),
         "queries_sec_total": round(sum(queries.values()), 2),
+        "queries_load": sweep_ctx,
         "queries_file": "BENCH_queries.json" if queries else None,
+        "large": large or None,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }))

@@ -423,6 +423,7 @@ def validate(
     # ---- merge sketch partials per partition (driver when tiny, else a
     # distributed groupby — same commutative merge) ----
     t1 = time.time()
+    fused_verdicts: "pa.Table | None" = None  # set by the fused stripe path
     if partials_tbl is not None:
         if partials_tbl.num_rows <= DRIVER_MERGE_MAX_PARTIALS:
             # the sketch merge is GIL-bound Python (driver threads measured
@@ -431,14 +432,19 @@ def validate(
             # remote tasks (inputs are KB-scale partial blobs, outputs one
             # row per partition). Stripes, not per-partition tasks — the
             # per-task submit/result overhead would eat the win at 1 task
-            # per partition.
+            # per partition. The DRIFT pass is fused into each stripe: the
+            # stripe's merged rows feed the same stateless
+            # drift_verdicts_batch kernel (warm-worker module cache) the
+            # dataset path uses, as soon as THIS stripe's merge finishes —
+            # no all-stripe barrier before drift starts.
             import ray as _ray
 
             pids_present = np.unique(partials_tbl["partition_id"].to_numpy())
             n_stripes = max(1, min(8, pids_present.size))
 
             @_ray.remote
-            def merge_stripe(tbl: pa.Table, pids: list, cfg_) -> list:
+            def merge_stripe(tbl: pa.Table, pids: list, cfg_,
+                             ref_dir_: str) -> tuple:
                 # same single-row tables merge_group builds — one schema
                 # definition (_merged_state_row) serves all three branches
                 out = []
@@ -446,16 +452,22 @@ def validate(
                     sub = tbl.filter(pc.equal(tbl["partition_id"], int(pid)))
                     out.append(_merged_state_row(
                         int(pid), merge_partials_table(sub, cfg_)))
-                return out
+                vt = drift_verdicts_batch(
+                    pa.concat_tables(out), cfg=cfg_, ref_state_dir=ref_dir_)
+                return out, vt
 
             tbl_ref = _ray.put(partials_tbl)
             stripes = [pids_present[i::n_stripes].tolist()
                        for i in range(n_stripes)]
-            tables = [t for chunk in _ray.get(
-                [merge_stripe.remote(tbl_ref, s, cfg) for s in stripes])
-                for t in chunk]
+            chunks = _ray.get([merge_stripe.remote(tbl_ref, s, cfg,
+                                                   ref_state_dir)
+                               for s in stripes])
+            tables = [t for chunk, _ in chunks for t in chunk]
             tables.sort(key=lambda t: int(t["partition_id"][0].as_py()))
-            # one single-row block per partition so the drift stage fans out
+            vts = [vt for _, vt in chunks if vt.num_rows]
+            fused_verdicts = (pa.concat_tables(vts) if vts
+                              else VERDICT_SCHEMA.empty_table())
+            # one single-row block per partition for downstream consumers
             per_part = ray.data.from_arrow(tables)
         else:
             per_part = ray.data.from_arrow(partials_tbl).groupby("partition_id").map_groups(
@@ -476,13 +488,19 @@ def validate(
     # thread, so drift and the constraint shuffles run CONCURRENTLY ----
     from functools import partial as _partial
 
-    verdicts_ds = per_part.map_batches(
-        _partial(drift_verdicts_batch, cfg=cfg, ref_state_dir=ref_state_dir),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
     t1 = time.time()
-    verdicts = pa.Table.from_pylist(verdicts_ds.take_all(), schema=VERDICT_SCHEMA)
+    if fused_verdicts is not None:
+        # driver-stripe path already computed drift inside the merge tasks
+        # (per-stripe, pipelined); only schema conformance remains here
+        verdicts = fused_verdicts.cast(VERDICT_SCHEMA)
+    else:
+        verdicts_ds = per_part.map_batches(
+            _partial(drift_verdicts_batch, cfg=cfg, ref_state_dir=ref_state_dir),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        verdicts = pa.Table.from_pylist(verdicts_ds.take_all(),
+                                        schema=VERDICT_SCHEMA)
     stage_t["drift"] = time.time() - t1
 
     t1 = time.time()
