@@ -28,6 +28,23 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_blocked(sf_dir: str, table: str, columns: list[str] | None = None,
+                  rows_per_block: int = 262_144, floor: int = 4):
+    """Read with a row-count-scaled block count (parquet metadata, no data
+    read). Ray's default split (~2 blocks/CPU) hands a shuffle 64+ blocks
+    per side even for a 15k-row table, and the sort exchange charges per
+    (block x partition) — measured ~2 s of pure fixed cost on a 165k-row
+    anti-join. Blocks must track DATA, not CPUs, on the shuffle feed side."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns,
+        override_num_blocks=max(floor, n // rows_per_block))
+
+
 def _salt_buckets(sf_dir: str, table: str, rows_per_bucket: int = 2_000_000,
                   floor: int = 8) -> int:
     """Row-count-scaled salt-bucket count for high-cardinality-key shuffles.
@@ -3026,8 +3043,8 @@ def antijoin_customers_no_orders(sf_dir: str):
     from ..functions.hashing import hash64
 
     nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _read_blocked(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read_blocked(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
     def tag_cust(batch: pa.Table) -> pa.Table:
         k = batch["c_custkey"].to_numpy()
@@ -3447,9 +3464,9 @@ def upsert_orders_scd(sf_dir: str):
     10; delta: keys divisible by 3, price bumped) so the op is self-
     contained and oracle-exact.
 
-    Ray shape: both sides tagged with a priority column inside their read
-    map_batches, unioned, salt-bucketed on the key (never one Ray group per
-    key), and each bucket resolves winners with one vectorized
+    Ray shape: ONE scan emits both sides tagged with a priority column
+    (base + delta per block), salt-bucketed on the key (never one Ray group
+    per key), and each bucket resolves winners with one vectorized
     sort + drop_duplicates — at most one survivor row per key leaves the
     bucket, already pre-aggregated per status."""
     from ..functions.hashing import hash64
@@ -3457,25 +3474,27 @@ def upsert_orders_scd(sf_dir: str):
     nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=500_000, floor=16)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
 
-    def make_tagger(mod: int, want: bool, bump: float, pri: int):
-        def tagger(batch: pa.Table) -> pa.Table:
-            m = batch["o_orderkey"].to_numpy() % mod == 0
-            t = batch.filter(pa.array(m == want))
-            return pa.table({
-                "key": t["o_orderkey"], "status": t["o_orderstatus"],
-                "price": pc.add(t["o_totalprice"], pa.scalar(bump)),
-                "pri": pa.array(np.full(len(t), pri, np.int8)),
-                "bkt": pa.array((hash64(t["o_orderkey"].to_numpy()) % nb
-                                 ).astype(np.int64)),
-            })
-        return tagger
+    def tag_side(t: pa.Table, bump: float, pri: int) -> pa.Table:
+        return pa.table({
+            "key": t["o_orderkey"], "status": t["o_orderstatus"],
+            "price": pc.add(t["o_totalprice"], pa.scalar(bump)),
+            "pri": pa.array(np.full(len(t), pri, np.int8)),
+            "bkt": pa.array((hash64(t["o_orderkey"].to_numpy()) % nb
+                             ).astype(np.int64)),
+        })
 
-    base = _read(sf_dir, "orders", cols).map_batches(
-        make_tagger(10, False, 0.0, 0), batch_format="pyarrow",
-        zero_copy_batch=True)
-    delta = _read(sf_dir, "orders", cols).map_batches(
-        make_tagger(3, True, 1.0, 1), batch_format="pyarrow",
-        zero_copy_batch=True)
+    def tag_both(batch: pa.Table) -> pa.Table:
+        # base and delta derive from the SAME scan: one read + one tagged
+        # block per input block instead of two full reads unioned (the
+        # union doubled the sort exchange's block count for no information)
+        k = batch["o_orderkey"].to_numpy()
+        return pa.concat_tables([
+            tag_side(batch.filter(pa.array(k % 10 != 0)), 0.0, 0),
+            tag_side(batch.filter(pa.array(k % 3 == 0)), 1.0, 1),
+        ])
+
+    both = _read_blocked(sf_dir, "orders", cols).map_batches(
+        tag_both, batch_format="pyarrow", zero_copy_batch=True)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["key", "pri"], kind="mergesort"
@@ -3484,7 +3503,7 @@ def upsert_orders_scd(sf_dir: str):
             n=("key", "size"), sum_price=("price", "sum")).reset_index()
         return g
 
-    part = base.union(delta).groupby("bkt").map_groups(
+    part = both.groupby("bkt").map_groups(
         resolve, batch_format="pandas").to_pandas()
     out = part.groupby("status", as_index=False).agg(
         n=("n", "sum"), sum_price=("sum_price", "sum"))
@@ -6003,21 +6022,22 @@ def triangle_count_parts(sf_dir: str, min_support: int = 2):
     oracle pays the same wedge volume).
 
     Shape: (1) distinct edges u<v via per-order pair expansion inside
-    hash(order) buckets + a pair-hash distinct shuffle; (2) wedge counting
-    inside hash(u) buckets — every edge of u lands in one bucket, so each
-    u's sorted neighbor run yields its C(k,2) wedges (v, w), v<w, batched
-    by same-sized runs into one matrix; (3) wedges probe the edge set for
-    closure: a broadcast sorted composite-key array below
-    TRIANGLE_BROADCAST_MAX_EDGES, a salted (v, w)-bucket union join above
-    it — either way only per-bucket COUNTS reach the driver. Degrees (for
-    the wedge denominator) ride the same edge pass as per-block partials.
-    Composite keys are exact (u * 2^31 + v, guarded), never hashes — a
-    hash collision would overcount closures."""
+    hash(order) buckets + a pair-hash distinct shuffle; (2) wedges AND
+    degrees in ONE hash(center) bucket pass over symmetric edge copies —
+    each center's run gives the full-degree C(d,2) wedge denominator and
+    its oriented (neighbors > center) closure pairs, so no separate
+    groupby("node") degree exchange exists; (3) closure probe: below
+    TRIANGLE_BROADCAST_MAX_EDGES the edge list is driver-resident, so the
+    symmetric rows are pre-bucketed on the driver (no shuffle) and probed
+    against a ray.put sorted composite-key array by stateless tasks; above
+    it a salted composite-key union join — either way only per-bucket
+    COUNTS reach the driver. Composite keys are exact (u * 2^31 + v,
+    guarded), never hashes — a hash collision would overcount closures."""
     from ..functions.hashing import hash64
     from .ann import _cc_bkt
 
     B = _salt_buckets(sf_dir, "lineitem", rows_per_bucket=1_000_000, floor=16)
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def tag(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy().astype(np.int64)
@@ -6060,84 +6080,107 @@ def triangle_count_parts(sf_dir: str, min_support: int = 2):
                              "widen the composite probe key")
         return u * np.int64(1 << 31) + v
 
-    # degree partials (for the wedge denominator): one tiny groupby
-    def deg_part(batch: pa.Table) -> pa.Table:
-        nodes = np.concatenate([batch["u"].to_numpy(), batch["v"].to_numpy()])
-        n, c = np.unique(nodes, return_counts=True)
-        return pa.table({"node": pa.array(n.astype(np.int64)),
-                         "c": pa.array(c.astype(np.int64))})
-
-    from ray.data.aggregate import Sum
-
-    deg = (edges.map_batches(deg_part, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("c", alias_name="d")))
-
-    def wedge_part(batch: pa.Table) -> pa.Table:
-        d = batch["d"].to_numpy().astype(np.float64)
-        return pa.table({"w": pa.array([float((d * (d - 1) / 2).sum())])})
-
-    n_wedges = float(deg.map_batches(wedge_part, batch_format="pyarrow"
-                                     ).sum("w") or 0.0)
-
-    def tag_u(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy().astype(np.int64)
-        return batch.append_column("ubkt", pa.array(hash64(u) % B))
+    # Wedge + degree pass, one exchange: edges are emitted SYMMETRICALLY
+    # (both endpoints as "center"), bucketed by hash(center) — a center's
+    # full adjacency lands in one bucket, so the bucket kernel gets BOTH
+    # the wedge denominator (full degree d -> C(d,2); replaces the old
+    # groupby("node") aggregate + extra wedge-sum plan) and the oriented
+    # closure pairs (neighbors > center only, so each triangle {a<b<c}
+    # probes exactly once, at apex a) in a single run scan.
+    def wedge_rows(c: np.ndarray, o: np.ndarray):
+        """Shared bucket kernel core: (wedge denominator, probe pairs).
+        Same-sized neighbor runs are batched into one matrix (the
+        edges_bucket shape)."""
+        order = np.lexsort((o, c))
+        c, o = c[order], o[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.r_[starts, c.size]).astype(np.float64)
+        denom = float((sizes * (sizes - 1) / 2).sum())
+        m = o > c  # oriented adjacency; run order and o-sortedness survive
+        c2, o2 = c[m], o[m]
+        va_all, vb_all = [], []
+        if c2.size:
+            st2 = np.flatnonzero(np.r_[True, c2[1:] != c2[:-1]])
+            sz2 = np.diff(np.r_[st2, c2.size])
+            for mm in np.unique(sz2):
+                if mm < 2:
+                    continue
+                gsel = np.flatnonzero(sz2 == mm)
+                mat = o2[st2[gsel][:, None] + np.arange(int(mm))[None, :]]
+                iu, ju = np.triu_indices(int(mm), 1)
+                va_all.append(mat[:, iu].ravel())
+                vb_all.append(mat[:, ju].ravel())
+        va = (np.concatenate(va_all) if va_all else np.empty(0, np.int64))
+        vb = (np.concatenate(vb_all) if vb_all else np.empty(0, np.int64))
+        return denom, va, vb
 
     broadcast = n_edges <= TRIANGLE_BROADCAST_MAX_EDGES
     if broadcast:
         import ray
 
+        # edge list fits the driver: pre-bucket the symmetric rows HERE and
+        # hand one block per bucket to stateless tasks — the ubkt groupby
+        # shuffle disappears; the kernel and probe stay distributed
         ep = edges.to_pandas()
-        probe = np.sort(key_of(ep.u.to_numpy(np.int64),
-                               ep.v.to_numpy(np.int64)))
-        probe_wrapped = {"ref": ray.put(probe)}
+        u = ep.u.to_numpy(np.int64)
+        v = ep.v.to_numpy(np.int64)
+        probe_ref = ray.put(np.sort(key_of(u, v)))
+        c = np.concatenate([u, v])
+        o = np.concatenate([v, u])
+        bkt = (hash64(c) % B).astype(np.int64)
+        order = np.argsort(bkt, kind="stable")
+        c, o, bkt = c[order], o[order], bkt[order]
+        cuts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1], True])
+        blocks = [pa.table({"c": pa.array(c[a:b]), "o": pa.array(o[a:b])})
+                  for a, b in zip(cuts[:-1], cuts[1:])]
 
-    def wedges_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Per u: sorted neighbor run -> all (v, w) v<w wedge pairs,
-        same-sized runs batched into one matrix (the edges_bucket shape)."""
-        u = df.u.to_numpy(np.int64)
-        v = df.v.to_numpy(np.int64)
-        order = np.lexsort((v, u))
-        u, v = u[order], v[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        sizes = np.diff(np.r_[starts, u.size])
-        va_all, vb_all = [], []
-        for m in np.unique(sizes):
-            if m < 2:
-                continue
-            gsel = np.flatnonzero(sizes == m)
-            mat = v[starts[gsel][:, None] + np.arange(int(m))[None, :]]
-            iu, ju = np.triu_indices(int(m), 1)
-            va_all.append(mat[:, iu].ravel())
-            vb_all.append(mat[:, ju].ravel())
-        if not va_all:
-            return pd.DataFrame({"closed": pd.array([0], dtype="int64")}) \
-                if broadcast else pd.DataFrame(
-                    {"k": pd.array([], dtype="int64")})
-        va = np.concatenate(va_all)
-        vb = np.concatenate(vb_all)
-        k = key_of(va, vb)
-        if broadcast:
-            import ray
+        def probe_bucket(batch: pa.Table) -> pa.Table:
+            denom, va, vb = wedge_rows(batch["c"].to_numpy().astype(np.int64),
+                                       batch["o"].to_numpy().astype(np.int64))
+            k = key_of(va, vb)
+            pr = ray.get(probe_ref)
+            closed = 0
+            if k.size and pr.size:
+                pos = np.searchsorted(pr, k)
+                pos[pos >= pr.size] = pr.size - 1
+                closed = int((pr[pos] == k).sum())
+            return pa.table({"closed": pa.array([closed], pa.int64()),
+                             "wed": pa.array([denom], pa.float64())})
 
-            pr = ray.get(probe_wrapped["ref"])
-            pos = np.searchsorted(pr, k)
-            pos[pos >= pr.size] = pr.size - 1
-            return pd.DataFrame({"closed": [int((pr[pos] == k).sum())]})
-        return pd.DataFrame({"k": k})
-
-    bucketed = edges.map_batches(tag_u, batch_format="pyarrow").groupby(
-        "ubkt").map_groups(wedges_bucket, batch_format="pandas")
-    if broadcast:
-        n_tri = int(bucketed.sum("closed") or 0)
+        counts = ray.data.from_arrow(blocks).map_batches(
+            probe_bucket, batch_format="pyarrow", batch_size=None).to_pandas()
+        n_tri = int(counts.closed.sum())
+        n_wedges = float(counts.wed.sum())
     else:
-        # distributed closure probe: wedge keys union edge keys, bucketed by
-        # the composite key so every wedge meets its (v, w) edge row locally
+        # at-scale path: symmetric emission via map_batches, one
+        # hash(center)-bucket exchange for wedges+degrees, then the salted
+        # composite-key union join probes closure — only per-bucket COUNTS
+        # (plus the marker denominator rows) reach the driver
+        def tag_sym(batch: pa.Table) -> pa.Table:
+            bu = batch["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bv = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cc = np.concatenate([bu, bv])
+            oo = np.concatenate([bv, bu])
+            return pa.table({"c": pa.array(cc), "o": pa.array(oo),
+                             "ubkt": pa.array(hash64(cc) % B)})
+
+        def wedges_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            denom, va, vb = wedge_rows(df.c.to_numpy(np.int64),
+                                       df.o.to_numpy(np.int64))
+            k = key_of(va, vb)
+            # marker row k=-1 carries the bucket's wedge denominator
+            # (composite keys are always >= 0, so -1 cannot collide)
+            return pd.DataFrame({
+                "k": np.r_[k, np.int64(-1)],
+                "wed": np.r_[np.zeros(k.size), denom]})
+
+        bucketed = edges.map_batches(tag_sym, batch_format="pyarrow").groupby(
+            "ubkt").map_groups(wedges_bucket, batch_format="pandas")
         nb = max(64, n_edges // 1_000_000)
 
         def tag_wedge(batch: pa.Table) -> pa.Table:
             k = batch["k"].to_numpy().astype(np.int64)
-            return pa.table({"k": pa.array(k),
+            return pa.table({"k": pa.array(k), "wed": batch["wed"],
                              "is_edge": pa.array(np.zeros(k.size, np.int8)),
                              "jbkt": pa.array(_cc_bkt(k, nb))})
 
@@ -6146,23 +6189,32 @@ def triangle_count_parts(sf_dir: str, min_support: int = 2):
                 batch["u"].to_numpy(zero_copy_only=False).astype(np.int64),
                 batch["v"].to_numpy(zero_copy_only=False).astype(np.int64))
             return pa.table({"k": pa.array(k),
+                             "wed": pa.array(np.zeros(k.size, np.float64)),
                              "is_edge": pa.array(np.ones(k.size, np.int8)),
                              "jbkt": pa.array(_cc_bkt(k, nb))})
 
         def count_closed(df: pd.DataFrame) -> pd.DataFrame:
-            ek = np.sort(df.k.to_numpy(np.int64)[df.is_edge.to_numpy() == 1])
-            wk = df.k.to_numpy(np.int64)[df.is_edge.to_numpy() == 0]
-            if not ek.size or not wk.size:
-                return pd.DataFrame({"closed": pd.array([0], dtype="int64")})
-            pos = np.searchsorted(ek, wk)
-            pos[pos >= ek.size] = ek.size - 1
-            return pd.DataFrame({"closed": [int((ek[pos] == wk).sum())]})
+            wed = float(df.wed.sum())
+            kk = df.k.to_numpy(np.int64)
+            isedge = df.is_edge.to_numpy()
+            real = kk >= 0
+            ek = np.sort(kk[real & (isedge == 1)])
+            wk = kk[real & (isedge == 0)]
+            closed = 0
+            if ek.size and wk.size:
+                pos = np.searchsorted(ek, wk)
+                pos[pos >= ek.size] = ek.size - 1
+                closed = int((ek[pos] == wk).sum())
+            return pd.DataFrame({"closed": pd.array([closed], dtype="int64"),
+                                 "wed": [wed]})
 
         joined = (bucketed.map_batches(tag_wedge, batch_format="pyarrow")
                   .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
                   .groupby("jbkt").map_groups(count_closed,
-                                              batch_format="pandas"))
+                                              batch_format="pandas")
+                  .materialize())
         n_tri = int(joined.sum("closed") or 0)
+        n_wedges = float(joined.sum("wed") or 0.0)
     # under the u<v orientation each triangle {a<b<c} closes exactly ONE
     # wedge (apex a with pair (b, c)), so n_tri is the plain triangle count;
     # transitivity multiplies by 3 because the denominator counts wedges at
