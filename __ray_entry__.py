@@ -30,16 +30,13 @@ from serverless_covariate_drift_detection_ray.pipelines import (
 from serverless_covariate_drift_detection_ray.pipelines import queries as relq
 
 
-def _flagship(sf_dir: str = "/root/testdata/sf0.001"):
-    """fit → validate over the tiny synthetic images fixture; returns verdicts.
+def _flagship_run(sf_dir: str = "/root/testdata/sf0.001") -> tuple:
+    """fit → validate over the tiny synthetic images fixture; returns
+    (fixture_dir, out_dir) with the run committed (resume-cached).
 
     The testdata dir seeds nothing (the fixture is self-synthesized per
     FIXTURES.md) but is read to anchor the run to the driver-provided scale.
     """
-    import glob
-
-    import pandas as pd
-    import pyarrow.parquet as pq
     import ray.data
 
     # touch the driver-provided tables (sanity: they exist and are readable)
@@ -66,11 +63,61 @@ def _flagship(sf_dir: str = "/root/testdata/sf0.001"):
     if not os.path.exists(os.path.join(ref_dir, "reference_meta.json")):
         fit(fix, ref_dir, cfg)
     validate(fix, ref_dir, out_dir, cfg, resume=True)
+    return fix, out_dir
+
+
+def _flagship(sf_dir: str = "/root/testdata/sf0.001"):
+    """Flagship query entry: the committed verdict table of the run."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    _, out_dir = _flagship_run(sf_dir)
     verdicts = pd.concat([
         pq.read_table(f).to_pandas()
         for f in sorted(glob.glob(os.path.join(out_dir, "verdicts", "*", "*.parquet")))
     ]).reset_index(drop=True)
     return verdicts
+
+
+def _violations_digest(sf_dir: str = "/root/testdata/sf0.001"):
+    """Oracled flagship evidence (driver hard signal for validate_images):
+    per-check digest — row count, distinct ids, and the exact sum of each
+    image_id's embedded digits — of the run's COMMITTED violation rows.
+    The oracle SQL computes the same digest over the fixture generator's
+    seeded-truth sidecar (truth/violations.parquet), so the row goes red if
+    the engine misses a seeded defect, reports a spurious one, or a check's
+    verdict flips. Driver-side pandas is fine here: violations are already
+    per-partition committed files and the digest is evidence, not a scale
+    operator (the engine-side path is the distributed validate run itself).
+    """
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _, out_dir = _flagship_run(sf_dir)
+    files = sorted(glob.glob(os.path.join(out_dir, "violations", "*", "*.parquet")))
+    viol = pd.concat([pq.read_table(f, columns=["image_id", "check"]).to_pandas()
+                      for f in files]).reset_index(drop=True)
+
+    def id_num(s) -> int:
+        if s is None or (isinstance(s, float) and np.isnan(s)):
+            return 0
+        return int("".join(ch for ch in str(s) if ch.isdigit()) or 0)
+
+    viol["idnum"] = viol.image_id.map(id_num).astype(np.int64)
+    g = viol.groupby("check", sort=True)
+    out = pd.DataFrame({
+        "check": list(g.groups),
+        "n": g.size().to_numpy().astype(np.int64),
+        "n_ids": g.image_id.nunique().to_numpy().astype(np.int64),
+        "id_sum": g.idnum.sum().to_numpy().astype(np.int64),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def entry() -> Any:
@@ -240,12 +287,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_mmd_drift": dimred.pca_mmd_drift,
         # flagship image validation (rows-only: non-SQL-expressible)
         "validate_images": _flagship,
+        # flagship evidence with a hard oracle: engine-found violations
+        # digested per check vs the generator's seeded-truth sidecar
+        "validate_violations_digest": _violations_digest,
     }
 
 
 
 def oracle_sql() -> dict[str, str]:
+    # The flagship digest's oracle reads the fixture generator's seeded-truth
+    # sidecar (a parquet path DuckDB reads directly — ensure_fixture is
+    # idempotent and /tmp-cached, pure-driver generation, no Ray needed).
+    from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
+
+    truth_path = os.path.join(ensure_fixture("tiny"), "truth",
+                              "violations.parquet")
+    digest_sql = f"""
+SELECT "check", COUNT(*)::BIGINT AS n,
+       COUNT(DISTINCT image_id)::BIGINT AS n_ids,
+       SUM(CAST(regexp_replace(image_id, '[^0-9]', '', 'g') AS BIGINT)
+           )::BIGINT AS id_sum
+FROM '{truth_path}' GROUP BY "check"
+"""
     return {
+        "validate_violations_digest": digest_sql,
         "q1_pricing_summary": relq.Q1_SQL,
         "rollup_pricing_summary": relq.ROLLUP_SQL,
         "cube_pricing_summary": relq.CUBE_SQL,

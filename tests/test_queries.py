@@ -665,3 +665,17 @@ def test_triangle_count_distributed_matches_broadcast(ray_session, monkeypatch):
     import pandas as pd
     pd.testing.assert_frame_equal(base, dist)
     assert int(base.n_triangles.iloc[0]) > 0  # non-degenerate fixture
+
+
+def test_validate_violations_digest_matches_seeded_truth(ray_session):
+    """Flagship hard signal: the per-check digest of the validate run's
+    committed violations must equal the same digest computed over the
+    fixture generator's seeded-truth sidecar (the oracle_sql the driver
+    runs) — a missed defect, spurious violation, or flipped verdict breaks
+    the match."""
+    import __ray_entry__ as e
+
+    got = _canon(_to_df(e.queries()["validate_violations_digest"](SF)))
+    exp = _canon(duckdb.sql(e.oracle_sql()["validate_violations_digest"]).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert int(got.n.sum()) > 0  # non-degenerate seeded fixture
