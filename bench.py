@@ -43,6 +43,13 @@ def _init_ray():
 # repo quiet-window criterion (BASELINE.md): numbers are only trusted when
 # 1-min load average is below this at measurement start
 QUIET_LOAD = float(os.environ.get("GRAFT_QUIET_LOAD", "1.0"))
+# Ambient load is sampled ONCE at process start: the 1-min average read at a
+# later phase's start is inflated by bench's OWN preceding phase (a 32-CPU
+# headline pushes it past 4 for a minute), which is lag, not contention —
+# the CPUs are free again the moment the phase ends. Quiet flags therefore
+# key off this value; per-phase loads are still recorded as self-inclusive
+# context.
+AMBIENT_LOAD = round(os.getloadavg()[0], 2)
 
 
 def run_headline(rounds: int | None = None, scale: str | None = None) -> dict:
@@ -104,7 +111,8 @@ def run_headline(rounds: int | None = None, scale: str | None = None) -> dict:
         "violations": summary["violations"],
         "stages": summary.get("stages", {}),
         "load_at_start": load0,
-        "quiet": load0 < QUIET_LOAD,
+        "ambient_load": AMBIENT_LOAD,
+        "quiet": AMBIENT_LOAD < QUIET_LOAD,
     }
 
 
@@ -132,10 +140,14 @@ def run_queries() -> tuple[dict[str, float], dict]:
     ONCE and keeps the faster total (both loads are reported either way)."""
     load0 = round(os.getloadavg()[0], 2)
     out = _sweep_once()
+    # quiet/retry key off AMBIENT_LOAD (process start): the phase-start 1-min
+    # average is inflated by bench's own just-finished 32-CPU headline
     ctx = {"load_sweep_start": load0,
            "load_sweep_end": round(os.getloadavg()[0], 2),
-           "quiet": load0 < QUIET_LOAD, "retried": False}
-    if load0 >= QUIET_LOAD and os.environ.get("GRAFT_SWEEP_RETRY", "1") == "1":
+           "ambient_load": AMBIENT_LOAD,
+           "quiet": AMBIENT_LOAD < QUIET_LOAD, "retried": False}
+    if AMBIENT_LOAD >= QUIET_LOAD and os.environ.get(
+            "GRAFT_SWEEP_RETRY", "1") == "1":
         load1 = round(os.getloadavg()[0], 2)
         out2 = _sweep_once()
         ctx.update(retried=True, load_retry_start=load1,

@@ -50,11 +50,45 @@ def _lev_block(a: np.ndarray, b: np.ndarray, m: int, n: int) -> np.ndarray:
     return prev[:, n].copy()
 
 
-def levenshtein_pairs(left: np.ndarray, right: np.ndarray) -> np.ndarray:
-    """Exact Levenshtein distance per (left[i], right[i]) pair, vectorized.
+def _lev_block_bounded(a: np.ndarray, b: np.ndarray, m: int, n: int,
+                       k: int) -> np.ndarray:
+    """min(levenshtein, k+1) for P shared-shape pairs — Ukkonen band.
+
+    Only the |i-j| <= k diagonal band is computed (2k+1 cells per row vs
+    n), with every cell saturated at k+1: any path through an out-of-band
+    cell costs > k, so the cap IS the out-of-band value and the DP stays
+    exact for all distances <= k. For the fuzzy join's k=2 over ~20-char
+    names this is ~5 numpy ops per row instead of ~20.
+    """
+    cap = np.int64(k + 1)
+    P = a.shape[0]
+    prev = np.minimum(np.arange(n + 1, dtype=np.int64), cap)
+    prev = np.broadcast_to(prev, (P, n + 1)).copy()
+    curr = np.empty_like(prev)
+    for i in range(1, m + 1):
+        curr[:] = cap
+        if i <= k:
+            curr[:, 0] = i
+        jlo, jhi = max(1, i - k), min(n, i + k)
+        for j in range(jlo, jhi + 1):
+            cost = (a[:, i - 1] != b[:, j - 1]).astype(np.int64)
+            v = np.minimum(
+                np.minimum(prev[:, j] + 1, curr[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+            curr[:, j] = np.minimum(v, cap)
+        prev, curr = curr, prev
+    return prev[:, n].copy()
+
+
+def levenshtein_pairs(left: np.ndarray, right: np.ndarray,
+                      max_dist: int | None = None) -> np.ndarray:
+    """Levenshtein distance per (left[i], right[i]) pair, vectorized.
 
     Pairs are bucketed by (len(left), len(right)); each bucket runs one
-    shared-shape DP across all its pairs.
+    shared-shape DP across all its pairs. With ``max_dist=k`` the banded
+    kernel returns min(d, k+1) — exact for every d <= k, saturated above
+    (the fuzzy-join contract: callers keep only d <= k).
     """
     left = np.asarray(left, dtype=object)
     right = np.asarray(right, dtype=object)
@@ -68,9 +102,16 @@ def levenshtein_pairs(left: np.ndarray, right: np.ndarray) -> np.ndarray:
         sel = np.nonzero(combo == c)[0]
         m, n = int(c >> 32), int(c & 0xFFFFFFFF)
         if m == 0 or n == 0:
-            out[sel] = max(m, n)
+            d = max(m, n)
+            out[sel] = d if max_dist is None else min(d, max_dist + 1)
+            continue
+        if max_dist is not None and abs(m - n) > max_dist:
+            out[sel] = max_dist + 1  # length gap alone exceeds the bound
             continue
         a = _encode(left[sel], m)
         b = _encode(right[sel], n)
-        out[sel] = _lev_block(a, b, m, n)
+        if max_dist is None:
+            out[sel] = _lev_block(a, b, m, n)
+        else:
+            out[sel] = _lev_block_bounded(a, b, m, n, max_dist)
     return out

@@ -336,7 +336,8 @@ GROUP BY n_name
 def join_large_priority_revenue(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = _read_blocked(sf_dir, "lineitem",
+                       ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(batch: pa.Table) -> pa.Table:
         # per-block combiner: lineitem is clustered by orderkey, so summing
@@ -349,12 +350,15 @@ def join_large_priority_revenue(sf_dir: str):
         return pa.table({"l_orderkey": pa.array(uk), "revenue": pa.array(partial)})
 
     li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     import ray
 
     # partition count scales with the cluster instead of a fixed 8; CPU/2
     # because each join partition also spawns an aggregator actor whose
-    # startup dominates below ~1M rows/partition
+    # startup dominates below ~1M rows/partition. The INPUT block counts
+    # track data (_read_blocked): feeding the hash exchange 64 CPU-scaled
+    # blocks per side for a 600k-row table measured 2x slower than 4
+    # data-scaled blocks at every num_partitions level.
     nparts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     joined = li.join(orders, join_type="inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
@@ -3558,7 +3562,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
     nb = _salt_buckets(sf_dir, "lineitem", rows_per_bucket=1_000_000, floor=16)
     cut = np.datetime64(cutoff, "us")
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = _read_blocked(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def ckeys(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["c_mktsegment"], pa.scalar(segment)))
@@ -3571,8 +3575,9 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
     ck = np.sort(np.concatenate(blocks)) if blocks else np.empty(0, np.int64)
     ck_ref = {"ref": ray.put(ck)}
 
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders = _read_blocked(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"])
 
     def otag(batch: pa.Table) -> pa.Table:
         keys = ray.get(ck_ref["ref"])
@@ -3597,8 +3602,9 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
             "bkt": pa.array((hash64(ok) % nb).astype(np.int64)),
         })
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    li = _read_blocked(sf_dir, "lineitem",
+                       ["l_orderkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
 
     def ltag(batch: pa.Table) -> pa.Table:
         sd = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
@@ -3722,7 +3728,7 @@ def bloom_semijoin_lineitem(sf_dir: str, priority: str = "1-URGENT"):
 
     _LN2SQ = float(np.log(2.0)) ** 2
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def keys_only(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["o_orderpriority"],
@@ -3766,8 +3772,9 @@ def bloom_semijoin_lineitem(sf_dir: str, priority: str = "1-URGENT"):
         g["bkt"] = (hash64(g.key.to_numpy()) % nb).astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    li = _read_blocked(sf_dir, "lineitem",
+                       ["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
     survivors = li.map_batches(probe, batch_format="pyarrow",
                                zero_copy_batch=True)
 
@@ -4190,9 +4197,17 @@ def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
     block size — at corpus scale the blocking key must keep groups under a
     few thousand rows (add a secondary key — first token, length band — or
     salt + cross-bucket band pass, as the phash near-dup stage does)."""
+    import ray
+
     from ..functions.editdist import levenshtein_pairs
 
-    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    # COMPUTE-bound group kernel (quadratic DP per brand): unlike the cheap
+    # per-row shuffles, the sort exchange's output parallelism (= input block
+    # count) must track CPUs, not just rows — floor at the cluster width
+    # (measured: 4 blocks → 13 s, 32 blocks → 3 s on the same input)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = _read_blocked(sf_dir, "part", ["p_partkey", "p_name", "p_brand"],
+                       floor=max(4, ncpu))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         keys = df.p_partkey.to_numpy()
@@ -4204,7 +4219,7 @@ def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
         # contract: key_a < key_b
         swap = keys[i] > keys[j]
         i, j = np.where(swap, j, i), np.where(swap, i, j)
-        d = levenshtein_pairs(names[i], names[j])
+        d = levenshtein_pairs(names[i], names[j], max_dist=max_dist)
         hit = d <= max_dist
         return pd.DataFrame({
             "key_a": keys[i][hit].astype(np.int64),
@@ -4247,8 +4262,8 @@ def fk_cardinality_customers(sf_dir: str):
 
     n_buckets = max(_salt_buckets(sf_dir, "customer", rows_per_bucket=250_000),
                     _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000))
-    cust = _read(sf_dir, "customer", ["c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read_blocked(sf_dir, "customer", ["c_custkey"])
+    orders = _read_blocked(sf_dir, "orders", ["o_custkey"])
 
     def cust_tag(batch: pa.Table) -> pa.Table:
         k = batch["c_custkey"].to_numpy().astype(np.int64)

@@ -38,6 +38,25 @@ def test_levenshtein_known_values():
     np.testing.assert_array_equal(got, [3, 2, 0, 0])
 
 
+def test_levenshtein_bounded_saturates_at_k_plus_one():
+    """Banded kernel contract: exact for d <= k, exactly k+1 above (any k),
+    including the |len diff| > k shortcut rows."""
+    rng = np.random.default_rng(13)
+    alphabet = list("abcd")
+    lefts, rights = [], []
+    for _ in range(400):
+        la, lb = rng.integers(0, 14, 2)
+        lefts.append("".join(rng.choice(alphabet, la)))
+        rights.append("".join(rng.choice(alphabet, lb)))
+    la = np.array(lefts, object)
+    rb = np.array(rights, object)
+    full = levenshtein_pairs(la, rb)
+    for k in (0, 1, 2, 3):
+        got = levenshtein_pairs(la, rb, max_dist=k)
+        np.testing.assert_array_equal(got, np.minimum(full, k + 1),
+                                      err_msg=f"k={k}")
+
+
 def test_skyline_mask_matches_bruteforce():
     rng = np.random.default_rng(11)
     for trial in range(20):
