@@ -305,7 +305,8 @@ def join_broadcast_nation_revenue(sf_dir: str):
     ].set_index("c_custkey")
     wrapped = {"ref": ray.put(dim)}
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_totalprice"])
     partials = ds.map_batches(
         _NationRevenue, fn_constructor_args=(wrapped,), batch_format="pyarrow",
         zero_copy_batch=True, concurrency=2,
@@ -2098,7 +2099,8 @@ def setops_customer_orders(sf_dir: str):
     materialization — the at-scale shape for DISTINCT-based set ops."""
     from ..functions.hashing import hash64
 
-    n_buckets = 64
+    n_buckets = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000,
+                              floor=8)
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -2110,9 +2112,9 @@ def setops_customer_orders(sf_dir: str):
                              "bkt": pa.array(b)})
         return fn
 
-    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+    cust = _read_blocked(sf_dir, "customer", ["c_custkey"]).map_batches(
         tag(0), batch_format="pyarrow", zero_copy_batch=True)
-    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+    orders = _read_blocked(sf_dir, "orders", ["o_custkey"]).map_batches(
         tag(1), batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_setops(df: pd.DataFrame) -> pd.DataFrame:
@@ -2654,31 +2656,34 @@ def outlier_counts_lineitem(sf_dir: str):
     variant; the t-digest sketch is the at-scale path), pass 2 streams a
     per-block fence count. Nothing but two scalars per column crosses
     stages."""
-    from ray.data.aggregate import Sum
-
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    rows = []
+    # ONE quantile pass for all three columns and ONE fence pass (was 2
+    # executions per column — the per-execution fixed cost dominated)
+    df = _read_blocked(sf_dir, "lineitem", cols).to_pandas()
+    fences = {}
     for col in cols:
-        ds = _read(sf_dir, "lineitem", [col])
-        v = ds.to_pandas()[col].to_numpy()
-        v = np.sort(v)
+        v = np.sort(df[col].to_numpy())
         # PERCENTILE_DISC semantics to match QUANTILE_DISC in the oracle
         q1 = v[max(int(np.ceil(0.25 * v.size)) - 1, 0)]
         q3 = v[max(int(np.ceil(0.75 * v.size)) - 1, 0)]
-        lo = q1 - 1.5 * (q3 - q1)
-        hi = q3 + 1.5 * (q3 - q1)
+        fences[col] = (float(q1), float(q3),
+                       q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
 
-        def fence(batch: pa.Table, col=col, lo=lo, hi=hi) -> pa.Table:
+    def fence(batch: pa.Table) -> pa.Table:
+        outs = []
+        for col in cols:
             x = batch[col].to_numpy()
-            return pa.table({"n_out": pa.array(
-                [int(((x < lo) | (x > hi)).sum())], pa.int64())})
+            _, _, lo, hi = fences[col]
+            outs.append(int(((x < lo) | (x > hi)).sum()))
+        return pa.table({"column_name": pa.array(cols, pa.string()),
+                         "n_out": pa.array(outs, pa.int64())})
 
-        n_out = int(_read(sf_dir, "lineitem", [col]).map_batches(
-            fence, batch_format="pyarrow", zero_copy_batch=True
-        ).aggregate(Sum("n_out", alias_name="n"))["n"])
-        rows.append({"column_name": col, "q1": float(q1), "q3": float(q3),
-                     "n_outliers": n_out})
-    return pa.Table.from_pylist(rows)
+    part = _read_blocked(sf_dir, "lineitem", cols).map_batches(
+        fence, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n_out = part.groupby("column_name").n_out.sum()
+    return pa.Table.from_pylist([
+        {"column_name": col, "q1": fences[col][0], "q3": fences[col][1],
+         "n_outliers": int(n_out[col])} for col in cols])
 
 
 OUTLIER_SQL = """
@@ -4590,7 +4595,8 @@ def envelope_anomalies_events(sf_dir: str, window: int = 100):
     min/max."""
     import ray
 
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    ds = _read_blocked(sf_dir, "events",
+                       ["event_id", "event_type", "ts", "value"])
     n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000,
                               floor=32)
     from ray.data.aggregate import Max, Min
@@ -5971,7 +5977,7 @@ def copurchase_parts(sf_dir: str, k: int = 20):
     local top-k, so the driver merges buckets x k rows."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     B = _salt_buckets(sf_dir, "lineitem", rows_per_bucket=1_000_000, floor=16)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -6273,7 +6279,8 @@ def transition_counts_events(sf_dir: str):
     final exchange is tiny."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    ds = _read_blocked(sf_dir, "events",
+                       ["event_id", "user_id", "event_type", "ts"])
     B = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000, floor=32)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -6297,19 +6304,16 @@ def transition_counts_events(sf_dir: str):
         out["n"] = out.n.astype(np.int64)
         return out
 
-    from ray.data.aggregate import Sum
-
-    out = ds.map_batches(tag, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("bkt").map_groups(
-        transitions, batch_format="pandas").groupby(
-        ["from_type", "to_type"]).aggregate(Sum("n", alias_name="n"))
-
-    def cast(batch: pa.Table) -> pa.Table:
-        return pa.table({"from_type": batch["from_type"],
-                         "to_type": batch["to_type"],
-                         "n": batch["n"].cast(pa.int64())})
-
-    return out.map_batches(cast, batch_format="pyarrow")
+    # per-bucket partials are CATEGORY-bounded (<= |types|^2 rows each), so
+    # the final merge is a driver pandas groupby — a second Ray exchange
+    # here charged a full sort shuffle to sum a few hundred rows
+    part = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("bkt").map_groups(
+        transitions, batch_format="pandas").to_pandas()
+    out = part.groupby(["from_type", "to_type"], as_index=False).n.sum()
+    return pa.table({"from_type": pa.array(out.from_type, pa.string()),
+                     "to_type": pa.array(out.to_type, pa.string()),
+                     "n": pa.array(out.n.to_numpy(np.int64))})
 
 
 TRANSITIONS_SQL = """
@@ -6339,7 +6343,7 @@ def retention_cohorts_events(sf_dir: str):
     table."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = _read_blocked(sf_dir, "events", ["user_id", "ts"])
     B = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000, floor=32)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -6360,19 +6364,15 @@ def retention_cohorts_events(sf_dir: str):
         g["n"] = g.n.astype(np.int64)
         return g
 
-    from ray.data.aggregate import Sum
-
-    out = ds.map_batches(tag, batch_format="pyarrow",
-                         zero_copy_batch=True).groupby("bkt").map_groups(
-        cohortize, batch_format="pandas").groupby(
-        ["cw", "aw"]).aggregate(Sum("n", alias_name="n"))
-
-    def cast(batch: pa.Table) -> pa.Table:
-        return pa.table({"cohort_week": batch["cw"],
-                         "activity_week": batch["aw"],
-                         "n": batch["n"].cast(pa.int64())})
-
-    return out.map_batches(cast, batch_format="pyarrow")
+    # per-bucket partials are bounded by weeks x weeks (calendar-bounded,
+    # not row-bounded): merge on the driver instead of a second exchange
+    part = ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("bkt").map_groups(
+        cohortize, batch_format="pandas").to_pandas()
+    out = part.groupby(["cw", "aw"], as_index=False).n.sum()
+    return pa.table({"cohort_week": pa.array(out.cw, pa.string()),
+                     "activity_week": pa.array(out.aw, pa.string()),
+                     "n": pa.array(out.n.to_numpy(np.int64))})
 
 
 RETENTION_SQL = """
@@ -6518,7 +6518,9 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
     with the batch; ``bounds`` then supplies the value range the footer
     stats can't know."""
     cols = [col] if gcol is None else [gcol, col]
-    ds = _read(sf_dir, table, cols)
+    # blocked read: every refinement round re-executes this dataset, so the
+    # per-block fixed cost is paid rounds+2 times — track data, not CPUs
+    ds = _read_blocked(sf_dir, table, cols)
     B = QREFINE_BINS
     vals_of = values_fn or (lambda b: b[col].to_numpy())
     if bounds is not None:

@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash64
-from .queries import _read, _round
+from .queries import _read_blocked, _round
 
 N_STREAM_BUCKETS = 8
 STREAM_BATCH_ROWS = 4096
@@ -176,7 +176,7 @@ def streaming_running_totals_partitioned(sf_dir: str, n_feeders: int = 2):
                    % n_feeders) == fid
             return batch.filter(pa.array(sel))
 
-        return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+        return (_read_blocked(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
                 .map_batches(part_filter, batch_format="pyarrow",
                              zero_copy_batch=True)
                 .sort(["ts", "event_id"]))
@@ -206,7 +206,7 @@ def streaming_running_totals(sf_dir: str):
     import ray
     from ray.data import DataContext
 
-    ds = (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    ds = (_read_blocked(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
           .sort(["ts", "event_id"]))
 
     actor_cls = ray.remote(_RunningTotals)
@@ -292,7 +292,7 @@ def streaming_drift_monitor(sf_dir: str, bins: int = 256, lo: float = 0.0,
     from .queries import ks_windows_finish
 
     width = (hi - lo) / bins
-    ds = (_read(sf_dir, "events", ["ts", "value"]).sort("ts"))
+    ds = (_read_blocked(sf_dir, "events", ["ts", "value"]).sort("ts"))
 
     actor_cls = ray.remote(_WindowHists)
     actors = [actor_cls.remote(bins) for _ in range(N_STREAM_BUCKETS)]

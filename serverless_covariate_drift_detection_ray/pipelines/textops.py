@@ -1250,9 +1250,11 @@ def pack_sequences_documents(sf_dir: str, budget: int = 512):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # max over the id-only projection: never decode the text column for it
     max_id = _read(sf_dir, "documents", ["doc_id"]).max("doc_id")
-    # bucket count scales with rows so one bucket never outgrows a worker
+    # bucket count scales with rows so one bucket never outgrows a worker;
+    # floor 16 (not 64): the repartition + two groupbys all charge per
+    # bucket, and 16 already saturates the scan stage at this fan-in
     n_buckets = _salt_buckets(sf_dir, "documents", rows_per_bucket=2_000_000,
-                              floor=64)
+                              floor=16)
     rng = max(1, (int(max_id) + n_buckets) // n_buckets)
 
     def count(batch: pa.Table) -> pa.Table:
