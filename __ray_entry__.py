@@ -101,8 +101,15 @@ def _violations_digest(sf_dir: str = "/root/testdata/sf0.001"):
 
     _, out_dir = _flagship_run(sf_dir)
     files = sorted(glob.glob(os.path.join(out_dir, "violations", "*", "*.parquet")))
-    viol = pd.concat([pq.read_table(f, columns=["image_id", "check"]).to_pandas()
-                      for f in files]).reset_index(drop=True)
+    if not files:
+        # an engine that misses every seeded defect must surface as a RED
+        # digest-vs-truth row, not an opaque pd.concat([]) crash
+        viol = pd.DataFrame({"image_id": pd.Series([], dtype=object),
+                             "check": pd.Series([], dtype=object)})
+    else:
+        viol = pd.concat(
+            [pq.read_table(f, columns=["image_id", "check"]).to_pandas()
+             for f in files]).reset_index(drop=True)
 
     def id_num(s) -> int:
         if s is None or (isinstance(s, float) and np.isnan(s)):
@@ -111,13 +118,14 @@ def _violations_digest(sf_dir: str = "/root/testdata/sf0.001"):
 
     viol["idnum"] = viol.image_id.map(id_num).astype(np.int64)
     g = viol.groupby("check", sort=True)
-    out = pd.DataFrame({
-        "check": list(g.groups),
-        "n": g.size().to_numpy().astype(np.int64),
-        "n_ids": g.image_id.nunique().to_numpy().astype(np.int64),
-        "id_sum": g.idnum.sum().to_numpy().astype(np.int64),
+    # explicit types: an empty digest must still carry (string, int64 x3)
+    # so the driver sees a typed zero-row table vs the truth, not nulls
+    return pa.table({
+        "check": pa.array(list(g.groups), pa.string()),
+        "n": pa.array(g.size().to_numpy().astype(np.int64)),
+        "n_ids": pa.array(g.image_id.nunique().to_numpy().astype(np.int64)),
+        "id_sum": pa.array(g.idnum.sum().to_numpy().astype(np.int64)),
     })
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def entry() -> Any:
@@ -298,19 +306,28 @@ def oracle_sql() -> dict[str, str]:
     # The flagship digest's oracle reads the fixture generator's seeded-truth
     # sidecar (a parquet path DuckDB reads directly — ensure_fixture is
     # idempotent and /tmp-cached, pure-driver generation, no Ray needed).
-    from serverless_covariate_drift_detection_ray.fixtures.gen import ensure_fixture
+    # Guarded: a fixture-generation failure must degrade ONLY the digest
+    # entry (rows-only fallback), never make oracle_sql() itself raise for
+    # callers fetching unrelated SQL strings.
+    extra: dict[str, str] = {}
+    try:
+        from serverless_covariate_drift_detection_ray.fixtures.gen import (
+            ensure_fixture,
+        )
 
-    truth_path = os.path.join(ensure_fixture("tiny"), "truth",
-                              "violations.parquet")
-    digest_sql = f"""
+        truth_path = os.path.join(ensure_fixture("tiny"), "truth",
+                                  "violations.parquet")
+        extra["validate_violations_digest"] = f"""
 SELECT "check", COUNT(*)::BIGINT AS n,
        COUNT(DISTINCT image_id)::BIGINT AS n_ids,
        SUM(CAST(regexp_replace(image_id, '[^0-9]', '', 'g') AS BIGINT)
            )::BIGINT AS id_sum
 FROM '{truth_path}' GROUP BY "check"
 """
+    except Exception:  # pragma: no cover - disk-full/permission paths
+        pass
     return {
-        "validate_violations_digest": digest_sql,
+        **extra,
         "q1_pricing_summary": relq.Q1_SQL,
         "rollup_pricing_summary": relq.ROLLUP_SQL,
         "cube_pricing_summary": relq.CUBE_SQL,

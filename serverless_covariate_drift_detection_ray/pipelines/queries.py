@@ -2657,33 +2657,22 @@ def outlier_counts_lineitem(sf_dir: str):
     per-block fence count. Nothing but two scalars per column crosses
     stages."""
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    # ONE quantile pass for all three columns and ONE fence pass (was 2
-    # executions per column — the per-execution fixed cost dominated)
+    # ONE read for everything (was 2 executions per column — the
+    # per-execution fixed cost dominated): the exact-quantile variant
+    # already materializes the pruned columns driver-side, so the fence
+    # counts come from the same frame; the t-digest sketch path is the
+    # at-scale variant of this audit.
     df = _read_blocked(sf_dir, "lineitem", cols).to_pandas()
-    fences = {}
+    rows = []
     for col in cols:
         v = np.sort(df[col].to_numpy())
         # PERCENTILE_DISC semantics to match QUANTILE_DISC in the oracle
         q1 = v[max(int(np.ceil(0.25 * v.size)) - 1, 0)]
         q3 = v[max(int(np.ceil(0.75 * v.size)) - 1, 0)]
-        fences[col] = (float(q1), float(q3),
-                       q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
-
-    def fence(batch: pa.Table) -> pa.Table:
-        outs = []
-        for col in cols:
-            x = batch[col].to_numpy()
-            _, _, lo, hi = fences[col]
-            outs.append(int(((x < lo) | (x > hi)).sum()))
-        return pa.table({"column_name": pa.array(cols, pa.string()),
-                         "n_out": pa.array(outs, pa.int64())})
-
-    part = _read_blocked(sf_dir, "lineitem", cols).map_batches(
-        fence, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    n_out = part.groupby("column_name").n_out.sum()
-    return pa.Table.from_pylist([
-        {"column_name": col, "q1": fences[col][0], "q3": fences[col][1],
-         "n_outliers": int(n_out[col])} for col in cols])
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        rows.append({"column_name": col, "q1": float(q1), "q3": float(q3),
+                     "n_outliers": int(((v < lo) | (v > hi)).sum())})
+    return pa.Table.from_pylist(rows)
 
 
 OUTLIER_SQL = """
@@ -5872,7 +5861,7 @@ def orc_roundtrip_lineitem(sf_dir: str):
                 return pa.table({"n": pa.array([0], pa.int64())})
             from pyarrow import orc as _orc
 
-            from ..functions.hashing import hash64
+            from ..functions.hashing import hash64, splitmix64
 
             ids = batch["l_orderkey"].to_numpy().astype(np.int64)
             t = pa.table({
@@ -5883,12 +5872,15 @@ def orc_roundtrip_lineitem(sf_dir: str):
                 ).astype(np.int64)),
             })
             # content-keyed name: a retried task rewrites the SAME file.
-            # The key folds a 64-bit hash of EVERY id (not just min/max/sum
-            # summaries) so two distinct blocks can only collide on a full
-            # 64-bit content-hash collision.
-            key = int((int(hash64(ids).sum()) ^
-                       int(hash64(np.array([ids.size], dtype=np.int64))[0]))
-                      & 0xFFFFFFFFFFFFFFFF)
+            # Each id's hash is remixed with its POSITION before the xor
+            # fold — an order/position-invariant sum can cancel across
+            # structured key sets, a position-mixed fold only collides on
+            # a genuine 64-bit hash collision.
+            mixed = splitmix64(hash64(ids).astype(np.uint64)
+                               + splitmix64(np.arange(ids.size,
+                                                      dtype=np.uint64)))
+            key = int(np.bitwise_xor.reduce(mixed)
+                      ^ np.uint64(ids.size)) & 0xFFFFFFFFFFFFFFFF
             path = os.path.join(tmp, f"part-{key:016x}.orc")
             os.makedirs(tmp, exist_ok=True)  # task may land on another node
             _orc.write_table(t, path + ".tmp")
