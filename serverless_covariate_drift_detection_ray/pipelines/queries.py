@@ -1490,7 +1490,7 @@ def grouped_split_events(sf_dir: str):
     — exact because a user's rows all hash to one bucket."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "events", ["user_id"])
+    ds = _read_blocked(sf_dir, "events", ["user_id"])
     nb = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000, floor=16)
 
     def assign(u: np.ndarray) -> np.ndarray:
@@ -1546,15 +1546,15 @@ def grouped_split_events(sf_dir: str):
             out = pd.concat([out, u_out], ignore_index=True)
         return out
 
-    from ray.data.aggregate import Sum
-
-    agg = (ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby("bkt").map_groups(bucket_fold, batch_format="pandas")
-           .groupby("split").aggregate(Sum("n", alias_name="n_rows"),
-                                       Sum("n_users", alias_name="n_users"),
-                                       Sum("leaked", alias_name="lk")))
-    df = agg.to_pandas()
+    # per-bucket partials are split-bounded (<= 3-4 rows each): merge on
+    # the driver — a second Ray exchange charged a full sort shuffle to
+    # sum tens of rows
+    part = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bkt").map_groups(bucket_fold, batch_format="pandas")
+            .to_pandas())
+    df = part.groupby("split", as_index=False).agg(
+        n_rows=("n", "sum"), n_users=("n_users", "sum"), lk=("leaked", "sum"))
     leaked_total = int(df.lk.sum())
     return pa.table({
         "split": pa.array(df.split.to_numpy(dtype=object), pa.string()),
@@ -5650,13 +5650,15 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
             "side": pa.array(np.ones(k2.size, np.int8)),
             "bkt": pa.array(hash64(k2) % nb)})
 
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        otag, batch_format="pyarrow", zero_copy_batch=True)
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-               ).map_batches(ltag, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    orders = _read_blocked(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate"]
+                           ).map_batches(otag, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    li = _read_blocked(sf_dir, "lineitem",
+                       ["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]
+                       ).map_batches(ltag, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
     def bucket_join(df: pd.DataFrame) -> pd.DataFrame:
         o = df[df.side == 0][["key", "nat"]]
