@@ -215,16 +215,15 @@ def main() -> None:
     _init_ray()
     headline = run_headline()
     queries, sweep_ctx = ({}, {}) if HEADLINE_ONLY else run_queries()
-    # The per-query map (133+ entries) goes on its OWN preceding line plus a
-    # sidecar file: round 2's driver tail-capture truncated the single giant
-    # line and recorded "parsed": null. The FINAL stdout line is the compact
-    # headline JSON the driver parses — keep it short and last. Printed and
-    # persisted BEFORE the large pass: a failure generating/validating the
-    # ~19 GB large fixture must not discard the completed ~150 s sweep.
+    # The sweep SIDECAR persists before the large pass (a failure
+    # generating/validating the ~19 GB large fixture must not discard the
+    # completed ~150 s sweep) but the stdout print happens AFTER it: the
+    # driver tail-parses the LAST stdout JSON line as the headline metric,
+    # so a large-pass crash must not leave the sweep map as the final line.
+    qline = None
     if queries:
         qline = {"metric": "query_sweep_sec", "queries": queries,
                  "sweep_load": sweep_ctx, "sf": SF_DIR, "num_cpus": NUM_CPUS}
-        print(json.dumps(qline))
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_queries.json")
         with open(sidecar, "w") as fh:
@@ -238,6 +237,10 @@ def main() -> None:
         large = {"rows": lg["rows"], "sec": lg["sec"],
                  "images_per_sec": lg["images_per_sec"],
                  "load_at_start": lg["load_at_start"], "quiet": lg["quiet"]}
+    # per-query map on its OWN line before the final headline line: round
+    # 2's driver tail-capture truncated a single giant line ("parsed": null)
+    if qline:
+        print(json.dumps(qline))
     print(json.dumps({
         "metric": "validated_images_per_sec_full_pass",
         "value": headline["sec"],

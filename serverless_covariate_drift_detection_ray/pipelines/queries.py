@@ -2645,17 +2645,18 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
-# IQR outlier counts — SURVEY.md §2.7.5 (two-pass validation check: exact
-# quartiles, then a streamed fence count)
+# IQR outlier counts — SURVEY.md §2.7.5 (exact quartiles + fence counts on
+# one driver-resident pruned read; the t-digest sketch is the at-scale twin)
 # ---------------------------------------------------------------------------
 
 
 def outlier_counts_lineitem(sf_dir: str):
-    """Tukey-fence outlier counts per numeric column: pass 1 computes exact
-    Q1/Q3 (driver-side partition of one pruned column — the oracle-exact
-    variant; the t-digest sketch is the at-scale path), pass 2 streams a
-    per-block fence count. Nothing but two scalars per column crosses
-    stages."""
+    """Tukey-fence outlier counts per numeric column, oracle-exact variant:
+    ONE pruned read materializes the three numeric columns driver-side and
+    both the exact Q1/Q3 and the fence counts come from that frame. This is
+    deliberately the driver-resident exact twin — the t-digest sketch path
+    (quantiles_extendedprice_tdigest / column_stats) is the at-scale
+    variant of this audit."""
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     # ONE read for everything (was 2 executions per column — the
     # per-execution fixed cost dominated): the exact-quantile variant
