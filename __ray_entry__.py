@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_events": relq.jsonl_roundtrip_events,
         "csv_roundtrip_orders": relq.csv_roundtrip_orders,
         "orc_roundtrip_lineitem": relq.orc_roundtrip_lineitem,
+        "ipc_roundtrip_orders": relq.ipc_roundtrip_orders,
         "fk_cardinality_customers": relq.fk_cardinality_customers,
         "freshness_events": relq.freshness_events,
         "gap_hours_events": relq.gap_hours_events,
@@ -396,6 +397,7 @@ FROM '{truth_path}' GROUP BY "check"
         "jsonl_roundtrip_events": relq.JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip_orders": relq.CSV_ROUNDTRIP_SQL,
         "orc_roundtrip_lineitem": relq.ORC_ROUNDTRIP_SQL,
+        "ipc_roundtrip_orders": relq.IPC_ROUNDTRIP_SQL,
         "fk_cardinality_customers": relq.FK_CARDINALITY_SQL,
         "freshness_events": relq.FRESHNESS_SQL,
         "gap_hours_events": relq.GAP_HOURS_SQL,

@@ -5956,6 +5956,128 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def ipc_roundtrip_orders(sf_dir: str):
+    """Arrow IPC (Feather v2) sink + source roundtrip — the zero-copy
+    interchange format a Ray-native pipeline hands to other Arrow
+    consumers (DuckDB, polars, another Ray job) without a decode step.
+    Same retry-idempotent recipe as the ORC roundtrip: the SINK writes one
+    ``.arrow`` file per block as a ``map_batches`` side effect
+    (position-mixed content-keyed names so a task retry rewrites its own
+    file; per-file tmp+rename; staged-rename atomic directory publish),
+    the SOURCE is ``read_binary_files`` + ``pa.ipc.open_file`` over each
+    blob's buffer (zero-copy — IPC record batches alias the incoming
+    buffer). A stripe-footer row-count cross-check against the parquet
+    metadata makes a collision or stale staging loud. Engine-new: the
+    reference has no columnar-interchange IO (its services exchange JSON,
+    e.g. detector_api/app/schemas/detector.py)."""
+    import os
+
+    import ray.data
+
+    ds = _read_blocked(sf_dir, "orders",
+                       ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    M = np.int64(4294967296)
+
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/scdd_ipc/{tag}/orders_{st.st_size}_{st.st_mtime_ns}"
+
+    def write_blocks(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            from ..functions.hashing import hash64, splitmix64
+
+            ids = batch["o_orderkey"].to_numpy().astype(np.int64)
+            t = pa.table({
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": pa.array(np.floor(
+                    batch["o_totalprice"].to_numpy() * 100 + 0.5
+                ).astype(np.int64)),
+            })
+            mixed = splitmix64(hash64(ids).astype(np.uint64)
+                               + splitmix64(np.arange(ids.size,
+                                                      dtype=np.uint64)))
+            key = int(np.bitwise_xor.reduce(mixed)
+                      ^ np.uint64(ids.size)) & 0xFFFFFFFFFFFFFFFF
+            path = os.path.join(tmp, f"part-{key:016x}.arrow")
+            os.makedirs(tmp, exist_ok=True)  # task may land on another node
+            with pa.OSFile(path + ".tmp", "wb") as sink:
+                with pa.ipc.new_file(sink, t.schema) as writer:
+                    writer.write_table(t)
+            os.replace(path + ".tmp", path)
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        total = ds.map_batches(write_block, batch_format="pyarrow",
+                               zero_copy_batch=True).sum("n")
+        assert total  # force execution; zero rows would be a broken fixture
+
+    _ensure_staged_cache(out_dir, write_blocks)
+
+    paths = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".arrow")]
+    # rows-on-disk cross-check from IPC footers (memory-mapped metadata,
+    # no data read) vs the parquet source count — collisions surface loudly
+    disk_rows = 0
+    for p in paths:
+        with pa.memory_map(p, "r") as mm:
+            r = pa.ipc.open_file(mm)
+            disk_rows += sum(r.get_batch(i).num_rows
+                             for i in range(r.num_record_batches))
+    import pyarrow.parquet as pq_chk
+
+    src_rows = pq_chk.ParquetFile(
+        f"{sf_dir}/orders.parquet").metadata.num_rows
+    if disk_rows != src_rows:
+        raise RuntimeError(
+            f"ipc_roundtrip: {disk_rows} rows on disk != {src_rows} source "
+            f"rows in {out_dir} — stale or collided staging; delete the dir")
+
+    def decode_ipc(batch: pa.Table) -> pa.Table:
+        col = batch["bytes"].combine_chunks() if isinstance(
+            batch["bytes"], pa.ChunkedArray) else batch["bytes"]
+        tables = [pa.ipc.open_file(pa.BufferReader(col[i].as_buffer())
+                                   ).read_all() for i in range(len(col))]
+        t = pa.concat_tables(tables)
+        ids = t["o_orderkey"].to_numpy().astype(np.int64)
+        h = ((ids % 2147483648) * 2654435761) % M
+        df = pd.DataFrame({"o_orderstatus": t["o_orderstatus"].to_pandas(),
+                           "h": h,
+                           "c": t["cents"].to_numpy().astype(np.int64)})
+        g = df.groupby("o_orderstatus", sort=False)
+        return pa.Table.from_pandas(pd.DataFrame({
+            "o_orderstatus": list(g.groups),
+            "n": g.size().to_numpy().astype(np.int64),
+            "sum_price_cents": g.c.sum().to_numpy().astype(np.int64),
+            "sum_hash": g.h.sum().to_numpy().astype(np.int64),
+        }), preserve_index=False)
+
+    back = ray.data.read_binary_files(paths)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": [df.o_orderstatus.iloc[0]],
+            "n": [np.int64(df.n.sum())],
+            "sum_price_cents": [np.int64(df.sum_price_cents.sum())],
+            "sum_hash": [np.int64(df.sum_hash.sum())]})
+
+    return back.map_batches(decode_ipc, batch_format="pyarrow").repartition(
+        4).groupby("o_orderstatus").map_groups(final, batch_format="pandas")
+
+
+IPC_ROUNDTRIP_SQL = """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_price_cents,
+       SUM(((o_orderkey % 2147483648) * 2654435761) % 4294967296)::BIGINT
+         AS sum_hash
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product-analytics shapes: co-occurrence pair mining, Markov transitions,
 # retention cohorts. Each is a salted-bucket co-location (the key never
