@@ -679,3 +679,28 @@ def test_validate_violations_digest_matches_seeded_truth(ray_session):
     exp = _canon(duckdb.sql(e.oracle_sql()["validate_violations_digest"]).df())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert int(got.n.sum()) > 0  # non-degenerate seeded fixture
+
+
+def test_read_blocked_scales_blocks_with_rows(ray_session):
+    """_read_blocked's contract: block count tracks DATA (parquet metadata
+    row count / rows_per_block, floored), never Ray's CPU-scaled default —
+    and the read is lossless. The floor is the lever compute-bound group
+    kernels (fuzzy join) raise to cluster width."""
+    import pyarrow.parquet as pq
+
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        _read_blocked,
+    )
+
+    n = pq.ParquetFile(f"{SF}/orders.parquet").metadata.num_rows
+    ds = _read_blocked(SF, "orders", ["o_orderkey"]).materialize()
+    # tiny table -> exactly the floor (4); rows survive intact
+    assert ds.num_blocks() == 4
+    assert ds.count() == n
+    # raised floor is honored
+    ds16 = _read_blocked(SF, "orders", ["o_orderkey"], floor=16).materialize()
+    assert ds16.num_blocks() == 16
+    # data term takes over once rows exceed floor * rows_per_block
+    ds_data = _read_blocked(SF, "orders", ["o_orderkey"],
+                            rows_per_block=max(1, n // 10)).materialize()
+    assert ds_data.num_blocks() == 10
