@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_purchase_click_hist": relq.ks_purchase_click_hist,
         "quantiles_extendedprice_tdigest": relq.quantiles_extendedprice_tdigest,
         "quantiles_exact_refine": relq.quantiles_exact_refine,
+        "quantiles_cont_lineitem": relq.quantiles_cont_lineitem,
         "grouped_quantiles_exact": relq.grouped_quantiles_exact,
         "divergence_purchase_click": relq.divergence_purchase_click,
         "approx_distinct_users_by_type": relq.approx_distinct_users_by_type,
@@ -441,6 +442,7 @@ FROM '{truth_path}' GROUP BY "check"
         "ks_purchase_click": relq.KS_SQL,
         "quantiles_extendedprice": relq.QUANTILES_SQL,
         "quantiles_exact_refine": relq.QREFINE_SQL,
+        "quantiles_cont_lineitem": relq.QCONT_SQL,
         "grouped_quantiles_exact": relq.GROUPED_QEXACT_SQL,
         "bin_prices_quartile": relq.BIN_QUARTILE_SQL,
         "winsorize_lineitem": relq.WINSORIZE_SQL,

@@ -6618,7 +6618,8 @@ def _footer_minmax(sf_dir: str, table: str, col: str) -> tuple[float, float]:
 
 def _refined_quantiles(sf_dir: str, table: str, col: str,
                        gcol: str | None, qs: tuple,
-                       values_fn=None, bounds: tuple | None = None):
+                       values_fn=None, bounds: tuple | None = None,
+                       rank_fn=None):
     """Shared exact-quantile engine: iterative 256-bin range refinement
     with one (group, q) target per requested quantile (group = "" when
     ``gcol`` is None). Round 1 histograms the FULL value range PER GROUP,
@@ -6682,7 +6683,13 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
 
     targets = [(g, q) for g in groups for q in qs]
     T = len(targets)
-    ranks = np.array([max(int(np.ceil(q * counts[g])), 1)
+    # rank_fn(q, n) -> 1-based target rank; default is QUANTILE_DISC
+    # semantics (ceil(q*n)). quantiles_cont passes floor/ceil((n-1)*q)+1
+    # to fetch the two elements its linear interpolation needs.
+    if rank_fn is None:
+        def rank_fn(q, n):
+            return max(int(np.ceil(q * n)), 1)
+    ranks = np.array([min(max(int(rank_fn(q, counts[g])), 1), counts[g])
                       for g, q in targets], np.int64)
     tgt_group = np.array([g for g, _ in targets], dtype=object)
     lo = np.full(T, vmin)
@@ -6911,6 +6918,51 @@ UNION ALL
 SELECT 0.75, FLOOR(quantile_disc(l_extendedprice, 0.75)*10000+0.5)/10000 FROM lineitem
 UNION ALL
 SELECT 0.95, FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000 FROM lineitem
+"""
+
+
+def quantiles_cont_lineitem(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.95)):
+    """PERCENTILE_CONT (linearly interpolated) quantiles without a driver
+    sort at any scale: the refinement engine fetches the two EXACT data
+    elements at ranks floor((n-1)*q)+1 and ceil((n-1)*q)+1, and the
+    interpolation x_lo + frac*(x_hi - x_lo) runs with the IDENTICAL float
+    expression the oracle SQL spells out (frac = (n-1)*q - floor — exact
+    binary for these q), so the doubles are bit-identical cross-engine."""
+    import pyarrow.parquet as pq_
+
+    n = pq_.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    lo_rows = _refined_quantiles(
+        sf_dir, "lineitem", "l_extendedprice", None, qs,
+        rank_fn=lambda q, cnt: int(np.floor((cnt - 1) * q)) + 1)
+    hi_rows = _refined_quantiles(
+        sf_dir, "lineitem", "l_extendedprice", None, qs,
+        rank_fn=lambda q, cnt: int(np.ceil((cnt - 1) * q)) + 1)
+    out_q, out_v = [], []
+    for (_, q, xlo), (_, _, xhi) in zip(lo_rows, hi_rows):
+        h = (n - 1) * q
+        frac = h - np.floor(h)
+        out_q.append(q)
+        out_v.append(xlo + frac * (xhi - xlo))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(_round(np.asarray(out_v), 4))})
+
+
+QCONT_SQL = """
+WITH n AS (SELECT COUNT(*)::DOUBLE AS c FROM lineitem),
+r AS (SELECT l_extendedprice AS x,
+             ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem),
+qq(q) AS (VALUES (0.25), (0.5), (0.75), (0.95)),
+h AS (SELECT q, (c-1)*q AS h,
+             FLOOR((c-1)*q)+1 AS lo_rn, CEIL((c-1)*q)+1 AS hi_rn
+      FROM qq, n),
+v AS (SELECT h.q,
+             MAX(CASE WHEN r.rn = h.lo_rn THEN r.x END) AS xlo,
+             MAX(CASE WHEN r.rn = h.hi_rn THEN r.x END) AS xhi,
+             ANY_VALUE(h.h - FLOOR(h.h)) AS frac
+      FROM h JOIN r ON r.rn = h.lo_rn OR r.rn = h.hi_rn
+      GROUP BY h.q)
+SELECT q, FLOOR((xlo + frac*(xhi - xlo))*10000+0.5)/10000 AS value FROM v
 """
 
 
