@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.stats import median_heuristic_sigma, mmd_permutation_test
-from .queries import _read, _round
+from .queries import _pa_from_pandas, _read, _round
 
 TOP_K = 10
 N_QUERIES = 10
@@ -886,7 +886,7 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     equivalent). Determinism, monotone inertia, and parity with a pure-numpy
     Lloyd run are pinned in tests."""
     _, final = _kmeans_rounds(sf_dir, k, iters)
-    return pa.Table.from_pandas(final, preserve_index=False)
+    return _pa_from_pandas(final, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

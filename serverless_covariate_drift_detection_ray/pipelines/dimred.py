@@ -33,7 +33,7 @@ import pyarrow as pa
 
 from ..functions.pca import pca_partials, pca_solve
 from ..functions.stats import median_heuristic_sigma, mmd_permutation_test
-from .queries import _read, _round
+from .queries import _pa_from_pandas, _read, _round
 
 __all__ = ["pca_partials", "pca_solve", "pca_fit",
            "pca_project_embeddings", "pca_mmd_drift"]
@@ -186,7 +186,7 @@ def label_centroids_embeddings(sf_dir: str):
     m = parts.groupby(["label", "dim"], as_index=False)[["s", "n"]].sum()
     out = pd.DataFrame({"label": m.label.to_numpy(), "dim": m.dim.to_numpy(),
                         "mean": _round(m.s.to_numpy() / m.n.to_numpy(), 6)})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 CENTROIDS_SQL = """

@@ -40,9 +40,25 @@ def _read_blocked(sf_dir: str, table: str, columns: list[str] | None = None,
     import ray.data
 
     n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+    # strip the b'pandas' schema metadata the testdata files carry: such
+    # schemas are unhashable in pyarrow 16, which defeats Ray's schema-dedup
+    # early exit at every exchange these blocks feed. The map fuses into the
+    # read task (no extra stage); _read keeps the bare read because its
+    # callers rely on metadata-only .count().
     return ray.data.read_parquet(
         f"{sf_dir}/{table}.parquet", columns=columns,
-        override_num_blocks=max(floor, n // rows_per_block))
+        override_num_blocks=max(floor, n // rows_per_block)).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def _pa_from_pandas(df, **kw):
+    """``pa.Table.from_pandas`` minus the ``b'pandas'`` schema metadata:
+    pyarrow-16 schemas carrying that metadata are UNHASHABLE, which defeats
+    Ray's schema-dedup early exit at EVERY exchange these tables feed (and
+    logs a 'Failed to hash the schemas' warning per unify). Columns and
+    dtypes are untouched."""
+    return pa.Table.from_pandas(df, **kw).replace_schema_metadata(None)
 
 
 def _salt_buckets(sf_dir: str, table: str, rows_per_bucket: int = 2_000_000,
@@ -162,7 +178,7 @@ def q1_pricing_summary(sf_dir: str):
     df["avg_price"] = df.sum_base_price / df.count_order
     df = _round_cols(df, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
                           "avg_qty": 4, "avg_price": 4})
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 Q1_SQL = """
@@ -216,7 +232,7 @@ def rollup_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]]
     out["sum_qty"] = _round(out.sum_qty, 2)
     out["count_order"] = out.count_order.astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 ROLLUP_SQL = """
@@ -289,7 +305,7 @@ class _NationRevenue:
         g = j.groupby("n_name", sort=False).agg(
             total_price=("o_totalprice", "sum"), n_orders=("o_orderkey", "size")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
 
 def join_broadcast_nation_revenue(sf_dir: str):
@@ -315,7 +331,7 @@ def join_broadcast_nation_revenue(sf_dir: str):
         Sum("total_price", alias_name="total_price"), Sum("n_orders", alias_name="n_orders")
     )
     df = _round_cols(out.to_pandas(), {"total_price": 2})
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 JOIN_BROADCAST_SQL = """
@@ -370,7 +386,7 @@ def join_large_priority_revenue(sf_dir: str):
     # n_items via a second cheap aggregate on the same joined stream would
     # re-execute the join; count rides along as sum of ones instead
     df = _round_cols(df, {"revenue": 2})
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 JOIN_LARGE_SQL = """
@@ -402,7 +418,7 @@ def topk_orders(sf_dir: str, k: int = 10):
                          ).sort(["o_totalprice", "o_orderkey"],
                                 descending=[True, False]).limit(k)
     df = _round_cols(out.to_pandas(), {"o_totalprice": 2})
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 TOPK_SQL = """
@@ -511,9 +527,9 @@ def heavy_hitters_screened(sf_dir: str, k: int = 5, m: int = 1024):
             "heavy-hitter certificate failed (kth=%s <= bound=%d): "
             "falling back to the exact groupby",
             int(tot.n.iloc[-1]) if len(tot) else None, thresh_sum)
-        return pa.Table.from_pandas(heavy_hitter_users(sf_dir).to_pandas(),
+        return _pa_from_pandas(heavy_hitter_users(sf_dir).to_pandas(),
                                     preserve_index=False)
-    return pa.Table.from_pandas(tot.reset_index(drop=True), preserve_index=False)
+    return _pa_from_pandas(tot.reset_index(drop=True), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -557,7 +573,7 @@ def window_tumbling_events(sf_dir: str):
     df = _round_cols(out.to_pandas(), {"sum_value": 2})
     # floor_temporal coarsens the unit to [s]; the oracle keeps [us]
     df["hour"] = df["hour"].astype("datetime64[us]")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 WINDOW_SQL = """
@@ -1145,7 +1161,7 @@ def column_stats_lineitem(sf_dir: str):
     df["mean"] = df.vsum / df["count"]
     df = df.drop(columns=["vsum"])
     df = _round_cols(df, {"min": 4, "max": 4, "mean": 4})
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 COLUMN_STATS_SQL = """
@@ -1361,7 +1377,7 @@ def ks_purchase_click(sf_dir: str):
     def split(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         keep = df[df.event_type.isin(["purchase", "click"])]
-        return pa.Table.from_pandas(keep, preserve_index=False)
+        return _pa_from_pandas(keep, preserve_index=False)
 
     small = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     a = small[small.event_type == "purchase"].value.to_numpy()
@@ -1520,7 +1536,7 @@ def grouped_split_events(sf_dir: str):
         rows = [{"user_id": -1, "split": k, "n": int(v), "bkt": -1}
                 for k, v in cnt.items()]
         out["bkt"] = (hash64(uu) % np.uint64(nb)).astype(np.int64)
-        return pa.Table.from_pandas(
+        return _pa_from_pandas(
             pd.concat([out, pd.DataFrame(rows)], ignore_index=True),
             preserve_index=False)
 
@@ -1598,7 +1614,7 @@ def split_proportions_orders(sf_dir: str):
         df = pd.DataFrame({"split": names, "price": batch["o_totalprice"].to_numpy()})
         g = df.groupby("split", sort=False).agg(
             n=("price", "size"), total=("price", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -1606,7 +1622,7 @@ def split_proportions_orders(sf_dir: str):
                          ).groupby("split").aggregate(
         Sum("n", alias_name="n"), Sum("total", alias_name="total"))
     df = _round_cols(out.to_pandas(), {"total": 2})
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 _HASH_SQL = "((o_orderkey % 4096) * 2654435761) % 4294967296"
@@ -1765,7 +1781,7 @@ def ks_purchase_click_hist(sf_dir: str):
             t = pd.DataFrame({"bin": idx, "a": 0, "b": 0})
             t[col] = cnt
             out.append(t)
-        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+        return _pa_from_pandas(pd.concat(out), preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -1857,7 +1873,7 @@ def divergence_purchase_click(sf_dir: str):
             t = pd.DataFrame({"bin": idx, "r": 0, "t": 0})
             t[col] = cnt
             out.append(t)
-        return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+        return _pa_from_pandas(pd.concat(out), preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -2009,7 +2025,7 @@ def window_hopping_events(sf_dir: str):
                                                    batch_format="pandas")
     df = _round_cols(out.to_pandas(), {"sum_value": 2})
     df["window_start"] = df["window_start"].astype("datetime64[us]")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _pa_from_pandas(df, preserve_index=False)
 
 
 WINDOW_HOP_SQL = """
@@ -2066,7 +2082,7 @@ def topn_orders_per_priority(sf_dir: str, n: int = 3):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        return pa.Table.from_pandas(df.groupby("o_orderpriority").head(n),
+        return _pa_from_pandas(df.groupby("o_orderpriority").head(n),
                                     preserve_index=False)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -2192,7 +2208,7 @@ def range_join_price_bands(sf_dir: str):
         Sum("price_sum", alias_name="price_sum"), Sum("n", alias_name="n"))
     df = out.to_pandas()
     df["avg_price"] = _round(df.pop("price_sum") / df["n"], 2)
-    return pa.Table.from_pandas(df[["band", "n", "avg_price"]], preserve_index=False)
+    return _pa_from_pandas(df[["band", "n", "avg_price"]], preserve_index=False)
 
 
 RANGE_JOIN_SQL = """
@@ -2364,7 +2380,7 @@ def pivot_status_by_priority(sf_dir: str):
     for c in piv.columns:
         if c != "o_orderpriority":
             piv[c] = piv[c].astype(np.int64)
-    return pa.Table.from_pandas(piv, preserve_index=False)
+    return _pa_from_pandas(piv, preserve_index=False)
 
 
 PIVOT_SQL = """
@@ -2456,7 +2472,7 @@ def corr_price_quantity_by_flag(sf_dir: str):
         agg = df.assign(n=1, sx=x, sy=y, sxx=x * x, syy=y * y, sxy=x * y
                         ).groupby("g", sort=False)[
             ["n", "sx", "sy", "sxx", "syy", "sxy"]].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return _pa_from_pandas(agg, preserve_index=False)
 
     agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
                          ).groupby("g").aggregate(
@@ -2473,7 +2489,7 @@ def corr_price_quantity_by_flag(sf_dir: str):
         "n": df.n.astype(np.int64),
         "corr_xy": _round(cov / np.sqrt(vx * vy), 6),
     })
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 def corr_matrix_lineitem(sf_dir: str):
@@ -2635,7 +2651,7 @@ def approx_distinct_users_by_type(sf_dir: str):
                          ).groupby("event_type").map_groups(
         merge_group, batch_format="pandas").to_pandas()
     out = out.sort_values("event_type").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 APPROX_DISTINCT_EXACT_SQL = """
@@ -2738,7 +2754,7 @@ def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
     df = out.to_pandas()
     df = df[df.n > 0].reset_index(drop=True)  # oracle emits occupied buckets
     df["lo"] = _round(mn + df.bucket.to_numpy() * w, 6)
-    return pa.Table.from_pandas(df[["bucket", "lo", "n"]], preserve_index=False)
+    return _pa_from_pandas(df[["bucket", "lo", "n"]], preserve_index=False)
 
 
 HISTOGRAM_SQL = """
@@ -2864,7 +2880,7 @@ def cube_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]]
     out["sum_qty"] = _round(out.sum_qty, 2)
     out["count_order"] = out.count_order.astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 CUBE_SQL = """
@@ -2902,7 +2918,7 @@ def month_histogram_orders(sf_dir: str):
     ).to_pandas()
     out["sum_price"] = _round(out.sum_price, 2)
     out["n_orders"] = out.n_orders.astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 MONTH_HIST_SQL = """
@@ -2928,7 +2944,7 @@ def rank_orders_dense(sf_dir: str, n: int = 3):
         return df[df.rnk <= n]
 
     def partial(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
+        return _pa_from_pandas(
             dense_filter(batch.to_pandas()).drop(columns="rnk"),
             preserve_index=False)
 
@@ -2974,7 +2990,7 @@ def json_extract_events(sf_dir: str):
     out = out.drop(columns=["sum_k"])
     out["max_k"] = out.max_k.astype(np.int64)
     out["n"] = out.n.astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 JSON_EXTRACT_SQL = """
@@ -3016,7 +3032,7 @@ def unpivot_lineitem_measures(sf_dir: str):
     out["avg_value"] = _round(out.sum_value / out.n, 4)
     out["sum_value"] = _round(out.sum_value, 2)
     out["n"] = out.n.astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 UNPIVOT_SQL = """
@@ -3078,7 +3094,7 @@ def antijoin_customers_no_orders(sf_dir: str):
                              "n_customers": pd.Series([], dtype=np.int64)})
     res = part.groupby("c_mktsegment", as_index=False).n_customers.sum()
     res["n_customers"] = res.n_customers.astype(np.int64)
-    return pa.Table.from_pandas(res, preserve_index=False)
+    return _pa_from_pandas(res, preserve_index=False)
 
 
 ANTIJOIN_SQL = """
@@ -3109,7 +3125,7 @@ def latest_order_per_customer(sf_dir: str):
         best = df.drop_duplicates("o_custkey", keep="last")
         best = best.assign(
             bkt=(hash64(best.o_custkey.to_numpy()) % nb).astype(np.int64))
-        return pa.Table.from_pandas(best, preserve_index=False)
+        return _pa_from_pandas(best, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
@@ -3182,7 +3198,7 @@ def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
         bucket_count, batch_format="pandas").to_pandas()
     res = part.groupby("n_clicks", as_index=False).n_purchases.sum()
     res["n_purchases"] = res.n_purchases.astype(np.int64)
-    return pa.Table.from_pandas(res, preserve_index=False)
+    return _pa_from_pandas(res, preserve_index=False)
 
 
 INTERVAL_JOIN_SQL = """
@@ -3438,7 +3454,7 @@ def bin_prices_quartile(sf_dir: str):
                          ).groupby("bin").aggregate(
         Sum("n", alias_name="n")).to_pandas()
     out["n"] = out.n.astype(np.int64)
-    return pa.Table.from_pandas(out[out.n > 0], preserve_index=False)
+    return _pa_from_pandas(out[out.n > 0], preserve_index=False)
 
 
 BIN_QUARTILE_SQL = """
@@ -3509,7 +3525,7 @@ def upsert_orders_scd(sf_dir: str):
     out = out.rename(columns={"status": "o_orderstatus"})
     out["n"] = out.n.astype(np.int64)
     out["sum_price"] = _round(out.sum_price, 2)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 UPSERT_SQL = """
@@ -3634,7 +3650,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
         bucket_join, batch_format="pandas").to_pandas()
     out = part.sort_values(["revenue", "l_orderkey"],
                            ascending=[False, True], kind="mergesort").head(k)
-    return pa.Table.from_pandas(
+    return _pa_from_pandas(
         out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]],
         preserve_index=False)
 
@@ -3674,7 +3690,7 @@ def mode_priority_by_status(sf_dir: str):
         df = batch.to_pandas().groupby(
             ["o_orderstatus", "o_orderpriority"], sort=False
         ).size().rename("n").reset_index()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pa_from_pandas(df, preserve_index=False)
 
     part = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
@@ -3685,7 +3701,7 @@ def mode_priority_by_status(sf_dir: str):
     out = tot.drop_duplicates("o_orderstatus", keep="first").rename(
         columns={"o_orderpriority": "mode_priority"})
     out["n"] = out.n.astype(np.int64)
-    return pa.Table.from_pandas(out.reset_index(drop=True),
+    return _pa_from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
 
 
@@ -3765,7 +3781,7 @@ def bloom_semijoin_lineitem(sf_dir: str, priority: str = "1-URGENT"):
             rev=("rev", "sum"), n=("rev", "size")).reset_index()
         g["side"] = np.int8(0)
         g["bkt"] = (hash64(g.key.to_numpy()) % nb).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     li = _read_blocked(sf_dir, "lineitem",
                        ["l_orderkey", "l_returnflag", "l_extendedprice",
@@ -3801,7 +3817,7 @@ def bloom_semijoin_lineitem(sf_dir: str, priority: str = "1-URGENT"):
     out = out.rename(columns={"flag": "l_returnflag"})
     out["revenue"] = _round(out.revenue, 2)
     out["n_items"] = out.n_items.astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 BLOOM_SEMIJOIN_SQL = """
@@ -4095,7 +4111,7 @@ def checksum_orders(sf_dir: str):
             "xor_hash": g.h.agg(lambda s: np.bitwise_xor.reduce(
                 s.to_numpy())).to_numpy().astype(np.int64),
         })
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _pa_from_pandas(out, preserve_index=False)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -4319,7 +4335,7 @@ def freshness_events(sf_dir: str):
                            "t": batch["ts"].cast(pa.int64()).to_numpy()})
         g = df.groupby("event_type", sort=False).agg(
             n=("t", "size"), mx=("t", "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        return _pa_from_pandas(g.reset_index(), preserve_index=False)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"event_type": [df.event_type.iloc[0]],
@@ -4362,7 +4378,7 @@ def gap_hours_events(sf_dir: str):
         df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
                            "h": batch["ts"].cast(pa.int64()).to_numpy() // HOUR})
         df = df.drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pa_from_pandas(df, preserve_index=False)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         h = np.unique(df.h.to_numpy())
@@ -5321,7 +5337,7 @@ def mutual_info_documents(sf_dir: str):
         g = df.groupby(["lang", "source"], sort=False).size().reset_index(
             name="cnt")
         g["cnt"] = g.cnt.astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -5529,7 +5545,7 @@ def jsonl_roundtrip_events(sf_dir: str):
                            "h": h,
                            "t": batch["ts_us"].to_numpy().astype(np.int64)})
         g = df.groupby("event_type", sort=False)
-        return pa.Table.from_pandas(pd.DataFrame({
+        return _pa_from_pandas(pd.DataFrame({
             "event_type": list(g.groups),
             "n": g.size().to_numpy().astype(np.int64),
             "sum_hash": g.h.sum().to_numpy().astype(np.int64),
@@ -5681,7 +5697,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                ascending=[False, True]).reset_index(drop=True)
 
     return parts.repartition(1).map_batches(
-        lambda t: pa.Table.from_pandas(final(t.to_pandas()),
+        lambda t: _pa_from_pandas(final(t.to_pandas()),
                                        preserve_index=False),
         batch_format="pyarrow", batch_size=None)
 
@@ -5802,7 +5818,7 @@ def csv_roundtrip_orders(sf_dir: str):
                            "h": h,
                            "c": batch["cents"].to_numpy().astype(np.int64)})
         g = df.groupby("o_orderstatus", sort=False)
-        return pa.Table.from_pandas(pd.DataFrame({
+        return _pa_from_pandas(pd.DataFrame({
             "o_orderstatus": list(g.groups),
             "n": g.size().to_numpy().astype(np.int64),
             "sum_cents": g.c.sum().to_numpy().astype(np.int64),
@@ -5926,7 +5942,7 @@ def orc_roundtrip_lineitem(sf_dir: str):
         df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
                            "h": h, "q": t["qty"].to_numpy().astype(np.int64)})
         g = df.groupby("l_returnflag", sort=False)
-        return pa.Table.from_pandas(pd.DataFrame({
+        return _pa_from_pandas(pd.DataFrame({
             "l_returnflag": list(g.groups),
             "n": g.size().to_numpy().astype(np.int64),
             "sum_qty_cents": g.q.sum().to_numpy().astype(np.int64),
@@ -6048,7 +6064,7 @@ def ipc_roundtrip_orders(sf_dir: str):
                            "h": h,
                            "c": t["cents"].to_numpy().astype(np.int64)})
         g = df.groupby("o_orderstatus", sort=False)
-        return pa.Table.from_pandas(pd.DataFrame({
+        return _pa_from_pandas(pd.DataFrame({
             "o_orderstatus": list(g.groups),
             "n": g.size().to_numpy().astype(np.int64),
             "sum_price_cents": g.c.sum().to_numpy().astype(np.int64),
@@ -6133,7 +6149,7 @@ def copurchase_parts(sf_dir: str, k: int = 20):
                              "n": g.n.to_numpy().astype(np.int64)})
 
     return parts.repartition(1).map_batches(
-        lambda t: pa.Table.from_pandas(final(t.to_pandas()),
+        lambda t: _pa_from_pandas(final(t.to_pandas()),
                                        preserve_index=False),
         batch_format="pyarrow", batch_size=None)
 
@@ -6864,7 +6880,7 @@ def mad_outliers_events(sf_dir: str, k: float = 3.0):
                .groupby("event_type", sort=False)
                .agg(n=("o", "size"), n_out=("o", "sum")).reset_index())
         out["n_out"] = out.n_out.astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _pa_from_pandas(out, preserve_index=False)
 
     from ray.data.aggregate import Sum
 

@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash64
-from .queries import _read_blocked, _round
+from .queries import _pa_from_pandas, _read_blocked, _round
 
 N_STREAM_BUCKETS = 8
 STREAM_BATCH_ROWS = 4096
@@ -194,7 +194,7 @@ def streaming_running_totals_partitioned(sf_dir: str, n_feeders: int = 2):
                     ignore_index=True)
     out["total"] = _round(out["total"].to_numpy(), 2)
     out["max_running"] = _round(out["max_running"].to_numpy(), 2)
-    return pa.Table.from_pandas(out.sort_values("user_id").reset_index(drop=True),
+    return _pa_from_pandas(out.sort_values("user_id").reset_index(drop=True),
                                 preserve_index=False)
 
 
@@ -227,7 +227,7 @@ def streaming_running_totals(sf_dir: str):
                     ignore_index=True)
     out["total"] = _round(out["total"].to_numpy(), 2)
     out["max_running"] = _round(out["max_running"].to_numpy(), 2)
-    return pa.Table.from_pandas(out.sort_values("user_id").reset_index(drop=True),
+    return _pa_from_pandas(out.sort_values("user_id").reset_index(drop=True),
                                 preserve_index=False)
 
 

@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash64, hash_family, splitmix64
-from .queries import _read, _round
+from .queries import _pa_from_pandas, _read, _round
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -86,7 +86,7 @@ def dedup_keep_best_documents(sf_dir: str):
         out["c"] = g["c"].sum().to_numpy()
         out["b"] = (splitmix64(out.h.to_numpy().astype(np.uint64))
                     % np.uint64(n_buckets)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _pa_from_pandas(out, preserve_index=False)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["h", "nd", "doc_id"],
@@ -565,7 +565,7 @@ def token_stats_by_lang(sf_dir: str):
         g = df.groupby("lang", sort=False).agg(
             n_docs=("lang", "size"), tok=("n_tokens", "sum"), chars=("n_chars", "sum")
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -576,7 +576,7 @@ def token_stats_by_lang(sf_dir: str):
     df = out.to_pandas()
     df["avg_tokens"] = _round(df.tok / df.n_docs, 4)
     df["avg_chars"] = _round(df.chars / df.n_docs, 4)
-    return pa.Table.from_pandas(df.drop(columns=["tok", "chars"]), preserve_index=False)
+    return _pa_from_pandas(df.drop(columns=["tok", "chars"]), preserve_index=False)
 
 
 TOKEN_STATS_SQL = """
@@ -665,7 +665,7 @@ def vocab_drift_documents(sf_dir: str):
             "h", sort=False).agg(cr=("r", "sum"), cc=("c", "sum")).reset_index()
         g["bkt"] = (g.h.to_numpy().astype(np.uint64) % np.uint64(nb)
                     ).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
@@ -753,7 +753,7 @@ def langid_confusion(sf_dir: str):
         g = pd.DataFrame({"lang": df.lang.to_numpy(), "pred_lang": pred}).groupby(
             ["lang", "pred_lang"], sort=False
         ).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -1418,7 +1418,7 @@ def mix_sources_documents(sf_dir: str):
                            "keep": (bkt < pct).astype(np.int64)})
              .groupby("source").agg(n_in=("keep", "size"),
                                     n_sampled=("keep", "sum")).reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
@@ -1429,7 +1429,7 @@ def mix_sources_documents(sf_dir: str):
     ).to_pandas()
     out["n_in"] = out.n_in.astype(np.int64)
     out["n_sampled"] = out.n_sampled.astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 MIX_SOURCES_SQL = """
@@ -1517,7 +1517,7 @@ def cap_per_source_documents(sf_dir: str, n: int = 10):
         df = batch.to_pandas().sort_values("doc_id", kind="mergesort")
         df = df.groupby("source", sort=False).head(n)
         df["bkt"] = (hash64(df.source.to_numpy()) % nb).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pa_from_pandas(df, preserve_index=False)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values("doc_id", kind="mergesort")
@@ -1709,7 +1709,7 @@ def duplicate_ngram_spans(sf_dir: str, n: int = 8):
         g = pd.DataFrame({"h": h.astype(np.int64), "doc_id": docs}).groupby(
             ["h", "doc_id"], sort=False).size().rename("c").reset_index()
         g["bkt"] = (g.h.to_numpy().astype(np.uint64) % nb).astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pa_from_pandas(g, preserve_index=False)
 
     def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
         tot = df.groupby("h", sort=False).c.transform("sum")
