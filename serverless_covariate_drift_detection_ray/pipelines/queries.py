@@ -6635,7 +6635,7 @@ def _footer_minmax(sf_dir: str, table: str, col: str) -> tuple[float, float]:
 def _refined_quantiles(sf_dir: str, table: str, col: str,
                        gcol: str | None, qs: tuple,
                        values_fn=None, bounds: tuple | None = None,
-                       rank_fn=None):
+                       rank_fn=None, counts_out: dict | None = None):
     """Shared exact-quantile engine: iterative 256-bin range refinement
     with one (group, q) target per requested quantile (group = "" when
     ``gcol`` is None). Round 1 histograms the FULL value range PER GROUP,
@@ -6696,12 +6696,18 @@ def _refined_quantiles(sf_dir: str, table: str, col: str,
         hist0[g] = np.bincount(sub.b.to_numpy(), weights=sub.c.to_numpy(),
                                minlength=B).astype(np.int64)
     counts = {g: int(hist0[g].sum()) for g in groups}
+    if counts_out is not None:
+        # expose the SCAN-derived group counts (the same n the ranks use)
+        # so callers computing rank-derived quantities (quantiles_cont's
+        # interpolation fraction) share one authority with the elements
+        counts_out.update(counts)
 
     targets = [(g, q) for g in groups for q in qs]
     T = len(targets)
-    # rank_fn(q, n) -> 1-based target rank; default is QUANTILE_DISC
-    # semantics (ceil(q*n)). quantiles_cont passes floor/ceil((n-1)*q)+1
-    # to fetch the two elements its linear interpolation needs.
+    # rank_fn(q, n) -> 1-based target rank; q is passed through verbatim
+    # (it may be a richer tag, e.g. quantiles_cont's ("lo"|"hi", q) pairs —
+    # the engine only ever hands it to rank_fn and back to the caller).
+    # Default is QUANTILE_DISC semantics (ceil(q*n)).
     if rank_fn is None:
         def rank_fn(q, n):
             return max(int(np.ceil(q * n)), 1)
@@ -6939,26 +6945,32 @@ SELECT 0.95, FLOOR(quantile_disc(l_extendedprice, 0.95)*10000+0.5)/10000 FROM li
 
 def quantiles_cont_lineitem(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.95)):
     """PERCENTILE_CONT (linearly interpolated) quantiles without a driver
-    sort at any scale: the refinement engine fetches the two EXACT data
-    elements at ranks floor((n-1)*q)+1 and ceil((n-1)*q)+1, and the
-    interpolation x_lo + frac*(x_hi - x_lo) runs with the IDENTICAL float
-    expression the oracle SQL spells out (frac = (n-1)*q - floor — exact
-    binary for these q), so the doubles are bit-identical cross-engine."""
-    import pyarrow.parquet as pq_
+    sort at any scale: ONE refinement-engine pass fetches the two EXACT
+    data elements per q at ranks floor((n-1)*q)+1 and ceil((n-1)*q)+1
+    (tagged ("lo"|"hi", q) targets — the engine refines all 2|qs| ranks in
+    the same scans), and the interpolation x_lo + frac*(x_hi - x_lo) runs
+    with the IDENTICAL float expression the oracle SQL spells out. Both
+    the ranks AND frac's n come from the engine's scan-derived count —
+    one authority, so a null-bearing column can't silently skew frac
+    against the picked elements."""
 
-    n = pq_.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
-    lo_rows = _refined_quantiles(
-        sf_dir, "lineitem", "l_extendedprice", None, qs,
-        rank_fn=lambda q, cnt: int(np.floor((cnt - 1) * q)) + 1)
-    hi_rows = _refined_quantiles(
-        sf_dir, "lineitem", "l_extendedprice", None, qs,
-        rank_fn=lambda q, cnt: int(np.ceil((cnt - 1) * q)) + 1)
+    def rank_fn(tag, cnt):
+        kind, q = tag
+        h = (cnt - 1) * q
+        return (int(np.floor(h)) if kind == "lo" else int(np.ceil(h))) + 1
+
+    tags = tuple(("lo", q) for q in qs) + tuple(("hi", q) for q in qs)
+    counts: dict = {}
+    rows = _refined_quantiles(sf_dir, "lineitem", "l_extendedprice", None,
+                              tags, rank_fn=rank_fn, counts_out=counts)
+    val = {tag: v for _, tag, v in rows}
+    n = counts[""]
     out_q, out_v = [], []
-    for (_, q, xlo), (_, _, xhi) in zip(lo_rows, hi_rows):
+    for q in qs:
         h = (n - 1) * q
         frac = h - np.floor(h)
         out_q.append(q)
-        out_v.append(xlo + frac * (xhi - xlo))
+        out_v.append(val[("lo", q)] + frac * (val[("hi", q)] - val[("lo", q)]))
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(_round(np.asarray(out_v), 4))})
 
