@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.stats import median_heuristic_sigma, mmd_permutation_test
-from .queries import _pa_from_pandas, _read, _round
+from .queries import _pa_from_pandas, _read, _read_blocked, _round
 
 TOP_K = 10
 N_QUERIES = 10
@@ -69,7 +69,7 @@ def ann_topk_cosine(sf_dir: str):
     q_ids = qt.filter(pa.array(qmask))["vec_id"].to_numpy().astype(np.int64)
     wrapped = {"ref": ray.put((q_ids, q))}
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def corpus_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
@@ -180,7 +180,7 @@ def ann_lsh_bucketed(sf_dir: str, n_tables: int = LSH_TABLES,
                     }))
         return pa.concat_tables(outs)
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def within_bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +247,7 @@ def mmd_embeddings_drift(sf_dir: str):
     block layout / parallelism."""
     from ..functions.hashing import splitmix64
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     cap = MMD_SAMPLE_CAP
 
     def partial_sample(batch: pa.Table) -> pa.Table:
@@ -401,7 +401,7 @@ def _neardup_pairs_lsh(sf_dir: str, tau: float,
                              "vec_b": np.concatenate(out_b),
                              "cos": np.concatenate(out_c)})
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     cands = (ds.map_batches(bucketize, batch_format="pyarrow")
              .groupby("tbucket").map_groups(bucket_pairs, batch_format="pandas"))
 
@@ -470,7 +470,7 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = NEARDUP_COS_TAU,
             "cos": pa.array(_round(cos[bi, cj], 6)),
         })
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(pair_emit, batch_format="pyarrow")
 
 
@@ -569,7 +569,7 @@ def dedup_semantic_embeddings(sf_dir: str, tau: float = NEARDUP_COS_TAU):
             size[hit] = rsz[pos[hit]]
         return pa.table({"vec_id": pa.array(kept), "cluster_size": pa.array(size)})
 
-    ds = _read(sf_dir, "embeddings", ["vec_id"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id"])
     return ds.map_batches(survivors, batch_format="pyarrow")
 
 
@@ -622,7 +622,7 @@ def _dedup_semantic_distributed(sf_dir: str, pairs_ds):
         return pd.DataFrame({"vec_id": single.astype(np.int64),
                              "cluster_size": np.ones(single.size, np.int64)})
 
-    ids_ds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+    ids_ds = _read_blocked(sf_dir, "embeddings", ["vec_id"]).map_batches(
         tag_ids, batch_format="pyarrow", zero_copy_batch=True)
     nodes_ds = labels.map_batches(tag_nodes, batch_format="pyarrow")
     singles = (ids_ds.union(nodes_ds).groupby("abkt")
@@ -690,7 +690,7 @@ def _ivf_train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
     from ..functions.hashing import splitmix64
 
     cap = IVF_TRAIN_CAP
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def train_sample(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
@@ -734,7 +734,7 @@ def ann_ivf_cosine(sf_dir: str, n_cells: int = IVF_N_CELLS,
     pinned in tests; exact top-k stays the oracle anchor."""
     import ray
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     centroids = _ivf_train_centroids(sf_dir, n_cells)
     wrapped = {"ref": ray.put(centroids)}
 
@@ -828,7 +828,7 @@ def _kmeans_rounds(sf_dir: str, k: int, iters: int):
 
     from ..functions.hashing import splitmix64
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
 
     def seed_sample(batch: pa.Table) -> pa.Table:
         keys = splitmix64(batch["vec_id"].to_numpy().astype(np.uint64))
@@ -944,7 +944,7 @@ def build_ivf_index(sf_dir: str, index_dir: str,
                 and "files" in meta):  # pre-manifest layouts rebuild
             return meta
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     if centroids is None:
         centroids = _ivf_train_centroids(sf_dir, n_cells)
 

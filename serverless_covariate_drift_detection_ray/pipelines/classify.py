@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .queries import _read, _round
+from .queries import _read, _read_blocked, _round
 
 N_CLASSES = 10
 N_PARTS = 8  # accuracy reporting partitions
@@ -32,7 +32,7 @@ def _centroids(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     row per class; the driver merges ~n_classes x n_blocks tiny rows. The
     centroid matrix is the model artifact (reference: fitted CNN state dict,
     /root/reference/ml/training.py:321-335)."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
@@ -101,7 +101,7 @@ def classify_accuracy_embeddings(sf_dir: str):
     cent, _ = _centroids(sf_dir)
     wrapped = {"ref": ray.put(cent)}
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def test_only(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()

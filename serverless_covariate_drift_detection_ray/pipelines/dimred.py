@@ -33,7 +33,7 @@ import pyarrow as pa
 
 from ..functions.pca import pca_partials, pca_solve
 from ..functions.stats import median_heuristic_sigma, mmd_permutation_test
-from .queries import _pa_from_pandas, _read, _round
+from .queries import _pa_from_pandas, _read, _read_blocked, _round
 
 __all__ = ["pca_partials", "pca_solve", "pca_fit",
            "pca_project_embeddings", "pca_mmd_drift"]
@@ -82,7 +82,7 @@ def pca_fit(sf_dir: str, k: int = LATENT_K,
     """Fit PCA over the ``embeddings`` table (optionally the disjoint
     encoder-train window only). Returns ``(mean, components, explained_var)``."""
     cols = ["vec_id", "embedding"] if train_only else ["embedding"]
-    ds = _read(sf_dir, "embeddings", cols)  # vec_id read only when filtered on
+    ds = _read_blocked(sf_dir, "embeddings", cols)  # vec_id read only when filtered on
     if train_only:
         def trainw(batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy()
@@ -117,7 +117,7 @@ def pca_project_embeddings(sf_dir: str, k: int = LATENT_K):
             cols[f"z{j}"] = pa.array(_round(z[:, j], 6), pa.float64())
         return pa.table(cols)
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -126,7 +126,7 @@ def embedding_dim_stats(sf_dir: str):
     normalizer *fit* (feature scaling) as a moment-partial aggregate: ONE
     ``map_batches`` pass contributing d + d² doubles per block, driver merge
     O(blocks · d²), no shuffle and no row ever leaves its block."""
-    ds = _read(sf_dir, "embeddings", ["embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["embedding"])
     n, s, g = _moments_dataset(ds)
     mean = s / max(n, 1)
     var = np.maximum(np.diag(g) / max(n, 1) - mean * mean, 0.0)
@@ -160,7 +160,7 @@ def label_centroids_embeddings(sf_dir: str):
 
     from .ann import _to_matrix
 
-    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
         lab = batch["label"].to_numpy().astype(np.int64)
@@ -262,7 +262,7 @@ def pca_mmd_drift(sf_dir: str, k: int = LATENT_K, alpha: float = 0.01):
                              "z": pa.array([], pa.list_(pa.float64()))})
         return pa.concat_tables(parts)
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
     sampled = ds.map_batches(encode_sample, batch_format="pyarrow",
                              zero_copy_batch=True).to_pandas()
 

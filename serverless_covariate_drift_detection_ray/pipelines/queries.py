@@ -1680,8 +1680,8 @@ def stratified_sample_orders(sf_dir: str, k: int = 20):
     /root/reference/ml/training.py:248-270). Per-block partial top-k per
     stratum first, so the final 5-group shuffle sees <= blocks * strata * k
     rows instead of the table."""
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    ds = _read_blocked(sf_dir, "orders",
+                       ["o_orderkey", "o_totalprice", "o_orderpriority"])
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy()
