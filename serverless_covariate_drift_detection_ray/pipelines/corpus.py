@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
-from .queries import _read, _salt_buckets
+from .queries import _salt_buckets
+from .textops import _read_docs
 from .textops import (
     LANG_MARKERS,
     _shingle_hashes,
@@ -42,7 +43,7 @@ EN_MARKERS = LANG_MARKERS["en"]  # ('the', 'a', 'of') — one source of truth
 def corpus_funnel_documents(sf_dir: str):
     import ray
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     # eval shingle set (bounded by construction: the eval split is tiny)
     def eval_shingles(batch: pa.Table) -> pa.Table:

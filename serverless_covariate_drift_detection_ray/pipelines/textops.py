@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash64, hash_family, splitmix64
-from .queries import _pa_from_pandas, _read, _round
+from .queries import _pa_from_pandas, _read, _read_blocked, _round
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -29,6 +29,16 @@ LANG_MARKERS = {
 }
 
 
+def _read_docs(sf_dir: str, columns=None):
+    """Blocked read of the documents table with block count floored at
+    CLUSTER width: the per-batch tokenization kernels are compute-bound
+    per doc (the fuzzy-join rule — parallelism must track CPUs), while the
+    data-scaled term takes over at corpus scale."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return _read_blocked(sf_dir, "documents", columns, floor=max(4, ncpu))
+
 def _tokens(text_series: pd.Series) -> pd.Series:
     """Whitespace tokens, empties dropped — semantics mirrored in oracle SQL
     (``list_filter(string_split(text,' '), x -> x <> '')``)."""
@@ -41,7 +51,7 @@ def _tokens(text_series: pd.Series) -> pd.Series:
 
 
 def dedup_exact_documents(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = hash64(batch["text"].to_numpy(zero_copy_only=False))
@@ -70,7 +80,7 @@ def dedup_keep_best_documents(sf_dir: str):
     from ..functions.hashing import splitmix64
 
     n_buckets = 64
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -118,7 +128,7 @@ FROM r WHERE rn = 1
 
 
 def dedup_report_documents(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         h = hash64(batch["text"].to_numpy(zero_copy_only=False))
@@ -162,7 +172,7 @@ def jaccard_neardup_pairs(sf_dir: str, threshold: float = 0.8):
     """All-pairs word-set Jaccard inside groupby buckets. The bucket keys bound
     the pair count; at scale the MinHash-LSH variant below replaces the
     all-pairs step with band buckets."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id")
@@ -312,7 +322,7 @@ def _attach_words(pairs_ds, sf_dir: str, key: str, out_col: str, n_buckets: int 
         return widen(pa.table({key: t["doc_id"], out_col: t["words"],
                                "jbkt": pa.array(bkt)}))
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    docs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         tag_docs, batch_format="pyarrow", zero_copy_batch=True)
     tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
 
@@ -367,7 +377,7 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
     """
     import ray
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", zero_copy_batch=True)
 
     def add_bucket_key(batch: pa.Table) -> pa.Table:
@@ -405,7 +415,7 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
     broadcast = n_docs <= VERIFY_BROADCAST_MAX_DOCS
     state_ref = None
     if broadcast:
-        blobs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        blobs = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
             _word_hash_table, batch_format="pyarrow", zero_copy_batch=True
         ).to_pandas()
         # padded token matrix: each row is the doc's sorted distinct word
@@ -526,7 +536,7 @@ def minhash_neardup_documents(sf_dir: str, threshold: float = 0.8):
 
 def simhash_documents(sf_dir: str):
     """64-bit SimHash per document (token-hash bit-vote), deterministic."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def sim(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_numpy(zero_copy_only=False)
@@ -555,7 +565,7 @@ def simhash_documents(sf_dir: str):
 
 
 def token_stats_by_lang(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["text", "lang"])
+    ds = _read_docs(sf_dir, ["text", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -594,7 +604,7 @@ FROM t GROUP BY lang
 def quality_scores(sf_dir: str):
     """Per-document quality features: token count, distinct ratio, stopword
     ratio — the length/stopword heuristics of training-data quality filters."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -646,7 +656,7 @@ def vocab_drift_documents(sf_dir: str):
     from .queries import _salt_buckets
 
     nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000, floor=32)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -739,7 +749,7 @@ FROM j, t
 def langid_confusion(sf_dir: str):
     """Marker-word language-ID heuristic vs the labeled ``lang`` column;
     returns the confusion counts. Ties break by LANG_MARKERS order."""
-    ds = _read(sf_dir, "documents", ["text", "lang"])
+    ds = _read_docs(sf_dir, ["text", "lang"])
     langs = list(LANG_MARKERS)
 
     def predict(batch: pa.Table) -> pa.Table:
@@ -786,7 +796,7 @@ FROM s GROUP BY 1, 2
 def fingerprint_documents(sf_dir: str):
     """Rolling-hash document fingerprint (first 8 bytes of a polynomial hash
     over the token-hash sequence) — order-sensitive, unlike the set hashes."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_numpy(zero_copy_only=False)
@@ -835,7 +845,7 @@ class _RegexTokenCounter:
 
 
 def token_count_regex(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(_RegexTokenCounter, fn_constructor_args=(BPE_TOKEN_PATTERN,),
                           batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
 
@@ -861,7 +871,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.8):
     intersect is a sorted-array op, not Python string sets."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "source"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id")
@@ -940,7 +950,7 @@ def inverted_index_documents(sf_dir: str):
     from .queries import _salt_buckets
 
     n_buckets = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         ex = _explode_tokens(batch, distinct=True)
@@ -988,7 +998,7 @@ def _tfidf_two_shuffle(sf_dir: str, n_docs: int):
     from .queries import _salt_buckets
 
     n_buckets = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def tf_explode(batch: pa.Table) -> pa.Table:
         ex = _explode_tokens(batch, distinct=False)
@@ -1051,7 +1061,7 @@ def tfidf_top_terms(sf_dir: str):
                                            type=pa.string()),
                          "n": pa.array(g["n"].to_numpy().astype(np.int64))})
 
-    parts_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    parts_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         df_partial, batch_format="pyarrow", zero_copy_batch=True).materialize()
     if parts_ds.count() > PARTIALS_COLLECT_MAX:
         return _tfidf_two_shuffle(sf_dir, n_docs)
@@ -1083,7 +1093,7 @@ def tfidf_top_terms(sf_dir: str):
             "score": pa.array(top["score"].to_numpy()),
         })
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(score_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -1141,7 +1151,7 @@ def normalize_text_documents(sf_dir: str):
     match the oracle byte-for-byte) — the shape of every
     normalization/parsing pass in a training-data ingest pipeline:
     stateless, vectorized, no shuffle."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def norm(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"],
@@ -1184,7 +1194,7 @@ def chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
     final chunk-string assembly is O(output bytes) — inherent to emitting
     strings — never a per-token Python loop. Row expansion happens inside
     map_batches, so downstream backpressure sees the expanded size."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def expand(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1247,9 +1257,9 @@ def pack_sequences_documents(sf_dir: str, budget: int = 512):
 
     from .queries import _salt_buckets
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
     # max over the id-only projection: never decode the text column for it
-    max_id = _read(sf_dir, "documents", ["doc_id"]).max("doc_id")
+    max_id = _read_docs(sf_dir, ["doc_id"]).max("doc_id")
     # bucket count scales with rows so one bucket never outgrows a worker;
     # floor 16 (not 64): the repartition + two groupbys all charge per
     # bucket, and 16 already saturates the scan stage at this fan-in
@@ -1355,7 +1365,7 @@ def decontaminate_documents(sf_dir: str, n: int = 8, eval_mod: int = 29):
     corpus itself never leaves its batches."""
     import ray
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def eval_shingles(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1405,7 +1415,7 @@ def mix_sources_documents(sf_dir: str):
     same order-free Knuth-hash bucket the split/sample ops use — a pure
     per-batch filter + per-source partial count, no payload shuffle, stable
     under any task order / resume."""
-    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
 
     from .queries import _knuth_bucket
 
@@ -1452,7 +1462,7 @@ def bpe_pair_counts(sf_dir: str, k: int = 20):
     a <= 65k-row partial regardless of block size — and the global merge is
     a pair-cardinality groupby + driver top-k. Byte pairs == char pairs on
     this ASCII corpus, which is what the character-based oracle compares."""
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read_docs(sf_dir, ["text"])
     sep = ord(" ")
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1511,7 +1521,7 @@ def cap_per_source_documents(sf_dir: str, n: int = 10):
 
     nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=1_000_000,
                        floor=16)
-    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values("doc_id", kind="mergesort")
@@ -1545,7 +1555,7 @@ def bigram_repetition_documents(sf_dir: str):
     corpus-filtering recipes. Stateless map_batches; per doc the bigram
     counting is one np.unique over the hashed token pairs. Docs with < 2
     tokens have no bigrams and are excluded (both engines)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def rep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
@@ -1599,7 +1609,7 @@ def gopher_repetition_documents(sf_dir: str):
     uniques; docs with < 4 tokens have no 4-grams and are excluded (both
     engines). Collision-safe within a doc: n-grams are coded over the
     doc's own token vocabulary, never raw 64-bit hashes."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def rep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
@@ -1700,7 +1710,7 @@ def duplicate_ngram_spans(sf_dir: str, n: int = 8):
     from .queries import _salt_buckets
 
     nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000, floor=32)
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1774,7 +1784,7 @@ def unigram_logprob_documents(sf_dir: str):
                                            type=pa.string()),
                          "n": pa.array(g["n"].to_numpy().astype(np.int64))})
 
-    parts_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    parts_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         cnt_partial, batch_format="pyarrow", zero_copy_batch=True).materialize()
     if parts_ds.count() > PARTIALS_COLLECT_MAX:
         return _unigram_two_shuffle(sf_dir)
@@ -1797,7 +1807,7 @@ def unigram_logprob_documents(sf_dir: str):
             "doc_id": pa.array(g.index.to_numpy().astype(np.int64)),
             "mean_logprob": pa.array(_round(g.to_numpy(), 6))})
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         score_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -1809,7 +1819,7 @@ def _unigram_two_shuffle(sf_dir: str, n_buckets: int = 64):
     Nothing vocabulary- or corpus-sized is broadcast or collected."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
 
     def tag_exploded(batch: pa.Table) -> pa.Table:
         ex = _explode_tokens(batch, distinct=False)
