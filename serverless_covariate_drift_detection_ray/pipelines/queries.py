@@ -148,7 +148,7 @@ def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
 
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: the canonical partial-aggregate groupby."""
-    ds = _read(sf_dir, "lineitem",
+    ds = _read_blocked(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount"])
 
@@ -203,7 +203,7 @@ def rollup_pricing_summary(sf_dir: str):
     data NULL keys as '(null)' (distinguished via GROUPING() in the oracle),
     so the key columns stay non-null strings and never collide; count_order
     is a row count (COUNT(*)), not a non-null value count."""
-    ds = _read(sf_dir, "lineitem",
+    ds = _read_blocked(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -254,7 +254,7 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 def filter_project_revenue(sf_dir: str):
     """Vectorized predicate + computed column, row-level output."""
-    ds = _read(sf_dir, "lineitem",
+    ds = _read_blocked(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_shipdate", "l_discount",
                 "l_extendedprice"])
 
@@ -405,7 +405,7 @@ GROUP BY o_orderpriority
 def topk_orders(sf_dir: str, k: int = 10):
     """Global top-k: per-block partial top-k first, so the all-to-all sort
     sees only blocks*k rows instead of the whole table."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def block_topk(batch: pa.Table) -> pa.Table:
         p = batch["o_totalprice"].to_numpy()
@@ -428,7 +428,7 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def distinct_flag_status(sf_dir: str):
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
     from ray.data.aggregate import Count
 
     return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -445,7 +445,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def heavy_hitter_users(sf_dir: str):
     """Exact top-5 heavy hitters (the CMS sketch is the at-scale screen —
     tested against this exact answer in unit tests)."""
-    ds = _read(sf_dir, "events", ["user_id"])
+    ds = _read_blocked(sf_dir, "events", ["user_id"])
     from ray.data.aggregate import Count
 
     counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
@@ -479,7 +479,7 @@ def heavy_hitters_screened(sf_dir: str, k: int = 5, m: int = 1024):
     uniform key distribution) — honest, logged, never silently wrong."""
     import ray
 
-    ds = _read(sf_dir, "events", ["user_id"])
+    ds = _read_blocked(sf_dir, "events", ["user_id"])
 
     def screen(batch: pa.Table) -> pa.Table:
         """Local top-m (user_id, c) rows + one sentinel row
@@ -546,7 +546,7 @@ def window_tumbling_events(sf_dir: str):
     from ..functions.hashing import hash64
 
     n_buckets = _salt_buckets(sf_dir, "events")
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
@@ -597,7 +597,7 @@ def chi2_by_window_events(sf_dir: str):
     from ..functions.hashing import hash64
 
     n_buckets = _salt_buckets(sf_dir, "events")
-    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    ds = _read_blocked(sf_dir, "events", ["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
@@ -646,7 +646,7 @@ def ks_by_window_events(sf_dir: str, bins: int = 256, lo: float = 0.0,
     from ..functions.hashing import hash64
 
     n_buckets = _salt_buckets(sf_dir, "events")
-    ds = _read(sf_dir, "events", ["ts", "value"])
+    ds = _read_blocked(sf_dir, "events", ["ts", "value"])
     width = (hi - lo) / bins
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -791,7 +791,7 @@ def _hourly_mean_frame(sf_dir: str) -> pd.DataFrame:
     from ..functions.hashing import hash64
 
     n_buckets = _salt_buckets(sf_dir, "events")
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
@@ -1066,7 +1066,7 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     bucketed so the shuffle has a fixed group count; within a bucket ONE
     vectorized pass sessionizes every user (session break = first event of
     a user OR gap > threshold on the (user, ts, event_id)-sorted frame)."""
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    ds = _read_blocked(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     gap = np.timedelta64(gap_minutes * 60 * 1000 * 1000, "us")
 
@@ -1104,7 +1104,7 @@ FROM marked GROUP BY user_id
 def running_sum_events(sf_dir: str):
     """Per-user running sum ordered by (ts, event_id) — cumulative window;
     salt-bucketed, one vectorized grouped-cumsum per bucket."""
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    ds = _read_blocked(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -1134,7 +1134,7 @@ FROM events
 def column_stats_lineitem(sf_dir: str):
     """Per-column exact stats via mergeable partials (NumericStats shape)."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    ds = _read(sf_dir, "lineitem", cols)
+    ds = _read_blocked(sf_dir, "lineitem", cols)
 
     def partial(batch: pa.Table) -> pa.Table:
         rows = []
@@ -1291,7 +1291,7 @@ def referential_orphans(sf_dir: str):
             miss = int((probe[pos] != h).sum())
             return pa.table({"orphans": pa.array([miss], pa.int64())})
 
-        ds = _read(sf_dir, fact, [fk])
+        ds = _read_blocked(sf_dir, fact, [fk])
         return ds.map_batches(anti_join, batch_format="pyarrow", zero_copy_batch=True)
 
     def finish(name, counted) -> dict:
@@ -1331,7 +1331,7 @@ def chi2_event_type(sf_dir: str):
 
     n_total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     half = n_total // 2
-    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "event_type"])
 
     def counts(batch: pa.Table) -> pa.Table:
         side = pa.array(np.where(batch["event_id"].to_numpy() < half, "a", "b"))
@@ -1372,7 +1372,7 @@ def ks_purchase_click(sf_dir: str):
     """Two-sample KS on the value distributions of two event types. The
     samples are collected per-type via column-pruned reads (bounded size); the
     statistic is the engine's exact-sample KS (stats.ks_2samp)."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "value"])
 
     def split(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1410,7 +1410,7 @@ def _sorted_column(sf_dir: str, table: str, col: str) -> np.ndarray:
     """Driver-side sorted copy of ONE pruned column — the oracle-exact fit
     path shared by the exact-quantile and quantile-binning ops (the t-digest
     sketch is the at-scale default; accuracy pinned in unit tests)."""
-    ds = _read(sf_dir, table, [col])
+    ds = _read_blocked(sf_dir, table, [col])
     return np.sort(np.concatenate([
         b[col].to_numpy()
         for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
@@ -1435,7 +1435,7 @@ def _fit_bounds_gated(sf_dir: str, table: str, col: str, qs) -> np.ndarray:
                          for q in qs])
     from ..state.sketches import TDigest
 
-    ds = _read(sf_dir, table, [col])
+    ds = _read_blocked(sf_dir, table, [col])
 
     def partial(batch: pa.Table) -> pa.Table:
         td = TDigest()
@@ -1602,7 +1602,7 @@ FROM a GROUP BY split
 def split_proportions_orders(sf_dir: str):
     """5-way proportional split of orders; per-split row count + revenue
     checksum proves identical assignment vs the oracle."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         b = _knuth_bucket(batch["o_orderkey"].to_numpy())
@@ -1642,7 +1642,7 @@ FROM b GROUP BY 1
 def sample_random_orders(sf_dir: str, k: int = 100):
     """Deterministic 'random' k-sample: global top-k by the multiplicative
     hash (distributed sort + limit) — order-free sampling at any scale."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def add_key(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy()
@@ -1724,7 +1724,7 @@ def shuffle_orders(sf_dir: str, seed: int = 42):
     the oracle checks content preservation (count + key checksum); fixed-seed
     order determinism is pinned by a test, not SQL (the permutation itself is
     executor-defined)."""
-    ds = _read(sf_dir, "orders", ["o_orderkey"]).random_shuffle(seed=seed)
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey"]).random_shuffle(seed=seed)
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch["o_orderkey"].to_numpy()
@@ -1759,7 +1759,7 @@ def ks_purchase_click_hist(sf_dir: str):
     (bin, a, b) count partials -> groupby sum -> D at bin boundaries. The
     binning arithmetic is identical in SQL, so this sketch path is itself
     oracle-checked (bin width from the domain min/max aggregate)."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "value"])
 
     # domain bounds: one cheap distributed aggregate (metadata-sized result)
     lohi = ds.map_batches(
@@ -1826,7 +1826,7 @@ def quantiles_extendedprice_tdigest(sf_dir: str):
     is pinned in tests."""
     from ..state.sketches import TDigest
 
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         td = TDigest()
@@ -1859,7 +1859,7 @@ def divergence_purchase_click(sf_dir: str):
     binning of `value` — sketch-state-only drift scoring, SQL-oracled."""
     from ..functions import divergence as dv
 
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
@@ -1941,7 +1941,7 @@ def asof_join_purchase_click(sf_dir: str):
     searchsorted merge over the (user, time) composite key covers every
     user: a purchase probe only matches clicks in its own user's key range
     by construction."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def keep(batch: pa.Table) -> pa.Table:
         return batch.filter(
@@ -1988,7 +1988,7 @@ def window_hopping_events(sf_dir: str):
     to exactly two windows, assigned by DUPLICATION inside map_batches (no
     self-join, no shuffle amplification beyond the 2x row fan-out), then the
     same partial-groupby as the tumbling path."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["ts", "event_type", "value"])
     hop = pa.scalar(3_600_000_000, pa.duration("us"))
 
     import pyarrow.parquet as pq
@@ -2045,7 +2045,7 @@ def rolling_1h_events(sf_dir: str):
     (user, time) composite key covers every user — window probes that
     underflow a user's range land between users by construction, so no
     per-user loop and no boundary mask."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     hour_us = 3_600_000_000
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
@@ -2077,7 +2077,7 @@ def topn_orders_per_priority(sf_dir: str, n: int = 3):
     """Grouped top-N (window ROW_NUMBER shape): per-block partial top-N per
     key inside map_batches, then a tiny per-key final merge — the partial
     top-k-before-shuffle pattern, so only n x n_blocks x n_keys rows move."""
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -2185,7 +2185,7 @@ def range_join_price_bands(sf_dir: str):
     against the sorted interval edges — the canonical Ray shape for a
     range join with a small build side. Rows outside every band drop out
     (inner join semantics)."""
-    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    ds = _read_blocked(sf_dir, "part", ["p_partkey", "p_retailprice"])
     lows = np.array([b[1] for b in PRICE_BANDS])
     highs = np.array([b[2] for b in PRICE_BANDS])
     names = np.array([b[0] for b in PRICE_BANDS])
@@ -2237,7 +2237,7 @@ def event_gaps_per_user(sf_dir: str):
     from ..functions.hashing import hash64
 
     n_buckets = 256
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = _read_blocked(sf_dir, "events", ["user_id", "ts"])
 
     def tag(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy()
@@ -2290,7 +2290,7 @@ def dedup_events_debounce(sf_dir: str, window_s: int = DEBOUNCE_WINDOW_S):
     from ..functions.hashing import hash64
 
     n_buckets = 256
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
     def tag(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy()
@@ -2333,7 +2333,7 @@ def grouped_quantiles_flag(sf_dir: str):
     few groups -> plain groupby().map_groups with one np.partition pass per
     group (the t-digest sketch path is the at-scale default; this is the
     oracle-exact variant, same split as quantiles_extendedprice)."""
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
     def qtiles(df: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(df.l_extendedprice.to_numpy())
@@ -2369,7 +2369,7 @@ def pivot_status_by_priority(sf_dir: str):
     the wide step never exceeds n_priorities x n_statuses rows."""
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
     agg = ds.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
         Count(alias_name="n")).to_pandas()
     piv = agg.pivot_table(index="o_orderpriority", columns="o_orderstatus",
@@ -2430,7 +2430,7 @@ def semijoin_orders_build_nation(sf_dir: str, nation: str = "NATION_7"):
                                      or 0.0)]),
         })
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     parts = ds.map_batches(semi_join, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
     return pa.Table.from_pylist([{
@@ -2459,7 +2459,7 @@ def corr_price_quantity_by_flag(sf_dir: str):
     group) ever shuffles; the classic mergeable-moments shape."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "lineitem",
+    ds = _read_blocked(sf_dir, "lineitem",
                ["l_returnflag", "l_extendedprice", "l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2503,7 +2503,7 @@ def corr_matrix_lineitem(sf_dir: str):
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     d = len(cols)
-    ds = _read(sf_dir, "lineitem", cols)
+    ds = _read_blocked(sf_dir, "lineitem", cols)
 
     def partial(batch: pa.Table) -> pa.Table:
         x = np.column_stack([batch[c].to_numpy() for c in cols])
@@ -2576,7 +2576,7 @@ def entropy_categoricals(sf_dir: str):
     # fixed latency instead of one per table (the uniqueness_pk pattern)
     parts = None
     for table, col in specs:
-        p = _read(sf_dir, table, [col]).map_batches(
+        p = _read_blocked(sf_dir, table, [col]).map_batches(
             make_partial(col), batch_format="pyarrow", zero_copy_batch=True)
         parts = p if parts is None else parts.union(p)
     agg = parts.groupby(["column_name", "v"]).aggregate(
@@ -2626,7 +2626,7 @@ def approx_distinct_users_by_type(sf_dir: str):
     10^12 rows of high-cardinality COUNT(DISTINCT)."""
     from ..state.sketches import HyperLogLog
 
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -2728,7 +2728,7 @@ def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
     oracle GREATEST guard → bucket 0)."""
     from ray.data.aggregate import Max, Min, Sum
 
-    mm = _read(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
+    mm = _read_blocked(sf_dir, "lineitem", ["l_extendedprice"]).aggregate(
         Min("l_extendedprice", alias_name="mn"),
         Max("l_extendedprice", alias_name="mx"))
     if mm is None or mm.get("mn") is None:  # empty input: no occupied buckets
@@ -2748,7 +2748,7 @@ def histogram_extendedprice(sf_dir: str, n_bins: int = 16):
         return pa.table({"bucket": pa.array(np.arange(n_bins, dtype=np.int64)),
                          "n": pa.array(counts.astype(np.int64))})
 
-    out = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+    out = _read_blocked(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("bucket").aggregate(Sum("n", alias_name="n"))
     df = out.to_pandas()
@@ -2788,7 +2788,7 @@ def funnel_view_click_purchase(sf_dir: str):
     from ..functions.hashing import hash64
 
     n_buckets = 256
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    ds = _read_blocked(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def tag(batch: pa.Table) -> pa.Table:
         keep = pa.compute.is_in(batch["event_type"],
@@ -2850,7 +2850,7 @@ def cube_pricing_summary(sf_dir: str):
     ONCE for the leaf-level partial aggregate; the three coarser grouping
     sets are post-aggregations of the group-cardinality-sized leaf on the
     driver — no second scan, no extra shuffle."""
-    ds = _read(sf_dir, "lineitem",
+    ds = _read_blocked(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2900,7 +2900,7 @@ def month_histogram_orders(sf_dir: str):
     keyed by the 'YYYY-MM' truncation, then a month-cardinality groupby —
     the time-series histogram every log pipeline needs. The truncation is a
     vectorized Arrow strftime, never a Python per-row date walk."""
-    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         m = pc.strftime(batch["o_orderdate"], format="%Y-%m")
@@ -2935,7 +2935,7 @@ def rank_orders_dense(sf_dir: str, n: int = 3):
     in the global top-n DISTINCT prices of its key is necessarily in its
     block's top-n distinct, so each block pre-filters with a vectorized
     pandas dense rank and only candidate rows reach the per-key merge."""
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
 
     def dense_filter(df: pd.DataFrame) -> pd.DataFrame:
         rnk = df.groupby("o_orderpriority").o_totalprice.rank(
@@ -2968,7 +2968,7 @@ def json_extract_events(sf_dir: str):
     batch (compiled once inside the kernel), partial-aggregate per batch,
     then an event_type-cardinality groupby. Rows without the field become
     NULL and drop out of the aggregates, matching SQL semantics."""
-    ds = _read(sf_dir, "events", ["event_type", "props"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch["props"], pattern=r'"k": (?P<k>\d+)')
@@ -3010,7 +3010,7 @@ def unpivot_lineitem_measures(sf_dir: str):
     count per measure), the final groupby is 4 groups. The oracle's UNION
     ALL re-scans per measure; the engine does not."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    ds = _read(sf_dir, "lineitem", cols)
+    ds = _read_blocked(sf_dir, "lineitem", cols)
 
     def partial(batch: pa.Table) -> pa.Table:
         sums, ns = [], []
@@ -3116,7 +3116,7 @@ def latest_order_per_customer(sf_dir: str):
     from ..functions.hashing import hash64
 
     nb = _salt_buckets(sf_dir, "orders", rows_per_bucket=500_000, floor=16)
-    ds = _read(sf_dir, "orders",
+    ds = _read_blocked(sf_dir, "orders",
                ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -3166,7 +3166,7 @@ def interval_join_purchase_clicks(sf_dir: str, window_s: int = 300):
     n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=250_000,
                               floor=32)
     w_us = window_s * 1_000_000
-    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    ds = _read_blocked(sf_dir, "events", ["ts", "user_id", "event_type"])
 
     def keep(batch: pa.Table) -> pa.Table:
         m = pc.is_in(batch["event_type"],
@@ -3220,7 +3220,7 @@ def grouped_quantiles_tdigest(sf_dir: str):
     (approximate); accuracy vs the exact variant is pinned in tests."""
     from ..state.sketches import TDigest
 
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -3396,7 +3396,7 @@ def partition_roundtrip_events(sf_dir: str):
     # cache key = source content fingerprint (size + mtime), so a
     # regenerated fixture with the same row count can't serve stale data
     root = f"/tmp/scdd_query/{tag}/events_by_type_{st.st_size}_{int(st.st_mtime)}"
-    _ensure_staged_cache(root, lambda tmp: _read(
+    _ensure_staged_cache(root, lambda tmp: _read_blocked(
         sf_dir, "events", ["event_type", "value"]).write_parquet(
         tmp, partition_cols=["event_type"]))
 
@@ -3437,7 +3437,7 @@ def bin_prices_quartile(sf_dir: str):
     a distributed per-batch searchsorted + bincount partial. Discrete
     (data-value) boundaries keep the <= comparisons bit-identical on both
     engines."""
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_extendedprice"])
     bounds = _fit_bounds_gated(sf_dir, "lineitem", "l_extendedprice",
                                (0.25, 0.5, 0.75))
 
@@ -3684,7 +3684,7 @@ def mode_priority_by_status(sf_dir: str):
     partials and argmaxes; nothing shuffles. The at-scale contract holds
     because the partial size is bounded by the CATEGORY cross product, not
     the row count."""
-    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().groupby(
@@ -3842,7 +3842,7 @@ def event_path_per_user(sf_dir: str):
     training document): salt-bucketed by hash(user_id) — never one Ray group
     per user — and each bucket does ONE (user, ts, event_id) mergesort, then
     a per-user join of the already-ordered slices."""
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    ds = _read_blocked(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
 
     def paths(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -3872,7 +3872,7 @@ def redact_numbers_events(sf_dir: str):
     runs — the PII-scrub operator shape (emails/phones/ids at a real corpus;
     the pattern here is RE2/Python-re agreeing `[0-9]+`). Pure stateless
     map_batches over two pruned columns; vectorized pandas str kernels."""
-    ds = _read(sf_dir, "events", ["event_id", "props"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "props"])
 
     def redact(batch: pa.Table) -> pa.Table:
         s = batch["props"].to_pandas()
@@ -3933,7 +3933,7 @@ def skyline_orders(sf_dir: str):
     shuffle — for independent dimensions the local skyline is O(log n) rows
     per block, so the final pass input is ~blocks x log(block_rows) rows
     regardless of table size."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
 
     def local(batch: pa.Table) -> pa.Table:
         prices = batch["o_totalprice"].to_numpy()
@@ -3977,7 +3977,7 @@ def _ranked_orders(sf_dir: str, make_cols):
     output column dict; backs NTILE / PERCENT_RANK / CUME_DIST."""
     import ray
 
-    ds = _read(sf_dir, "orders",
+    ds = _read_blocked(sf_dir, "orders",
                ["o_orderkey", "o_orderpriority", "o_totalprice"])
     from ray.data.aggregate import Max, Min
 
@@ -4083,7 +4083,7 @@ def checksum_orders(sf_dir: str):
     a 32-bit lane with exact integer ops shared by the SQL oracle, then SUM
     and BIT_XOR fold per o_orderstatus. Commutative -> per-block partials,
     one 3-row final groupby; bit-identical across engines and row orders."""
-    ds = _read(sf_dir, "orders",
+    ds = _read_blocked(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
                 "o_orderstatus"])
     M = np.int64(4294967296)
@@ -4155,7 +4155,7 @@ def weighted_sample_orders(sf_dir: str, k: int = 100):
     priorities win. Per-block bottom-k partials (argpartition) -> one tiny
     final bottom-k — the exact top-k exchange shape, ~k x n_blocks rows
     moved total."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     M = np.int64(4294967296)
 
     def bottomk(batch: pa.Table) -> pa.Table:
@@ -4328,7 +4328,7 @@ def freshness_events(sf_dir: str):
     (µs) behind the globally freshest source. Per-block (type, count, max)
     partials -> per-type final -> the global max is a driver-side max over
     the handful of type rows. The stalest source is the broken feed."""
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
@@ -4371,7 +4371,7 @@ def gap_hours_events(sf_dir: str):
     emit deduped (type, hour-bucket) pairs — bounded by types x span-hours,
     independent of row count — and the per-type final counts distinct hours
     against the span width."""
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "ts"])
     HOUR = np.int64(3_600_000_000)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4421,7 +4421,7 @@ def table_diff_orders(sf_dir: str):
     table."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     n_buckets = _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000,
                               floor=16)
     M = np.int64(4294967296)
@@ -4508,7 +4508,7 @@ def late_events_watermark(sf_dir: str, lateness_s: int = 300):
     holds one max per bucket; no stage sees more than one bucket."""
     import ray
 
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "event_type", "ts"])
     n_buckets = _salt_buckets(sf_dir, "events", rows_per_bucket=2_000_000,
                               floor=32)
     M = np.int64(4294967296)
@@ -4705,7 +4705,7 @@ def above_avg_customers(sf_dir: str):
     their above-average customers against the broadcast threshold."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     n_buckets = _salt_buckets(sf_dir, "orders", rows_per_bucket=1_000_000,
                               floor=16)
 
@@ -4723,7 +4723,7 @@ def above_avg_customers(sf_dir: str):
                              "k": g.index.to_numpy(np.int64),
                              "total": g.to_numpy()})
 
-    per_cust = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    per_cust = _read_blocked(sf_dir, "orders", ["o_custkey", "o_totalprice"]
                      ).map_batches(partial, batch_format="pyarrow",
                                    zero_copy_batch=True).groupby(
         "bkt").map_groups(totals, batch_format="pandas").materialize()
@@ -4872,7 +4872,7 @@ def pagerank_customers(sf_dir: str, iters: int = PAGERANK_ITERS, k: int = 20):
         return pagerank_customers_distributed(sf_dir, iters, k)
     N = pq_.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
     M = np.int64(4294967296)
-    t = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    t = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
     src = t.o_custkey.to_numpy().astype(np.int64)
     if src.size and (src.min() < 0 or src.max() >= N):
         # the referral graph's node domain is [0, N): both engine paths AND
@@ -4933,7 +4933,7 @@ def pagerank_customers_distributed(sf_dir: str, iters: int = PAGERANK_ITERS,
                          "deg": pa.nulls(src.size, pa.float64()),
                          "bkt": pa.array(hash64(src) % B)})
 
-    edges = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+    edges = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         mk_edges, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     # ---- init state: every customer node, out-degree, uniform rank ----
@@ -4956,7 +4956,7 @@ def pagerank_customers_distributed(sf_dir: str, iters: int = PAGERANK_ITERS,
                              "deg": g.to_numpy().astype(np.float64),
                              "r": np.full(nodes.size, 1.0 / N)})
 
-    nodes_ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+    nodes_ds = _read_blocked(sf_dir, "customer", ["c_custkey"]).map_batches(
         node_rows, batch_format="pyarrow", zero_copy_batch=True)
     state = nodes_ds.union(edges.map_batches(
         deg_partial, batch_format="pyarrow")).groupby("bkt").map_groups(
@@ -5083,7 +5083,7 @@ def fd_check_orders(sf_dir: str):
     per-key distinct count (a key never spans buckets), tiny final sum."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    ds = _read_blocked(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     B = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
 
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -5138,7 +5138,7 @@ def benford_check_orders(sf_dir: str):
     per-digit observed/expected fractions and each digit's Pearson χ²
     contribution (the statistic is their sum — left unreduced so the
     output pins WHERE the deviation lives)."""
-    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch["o_totalprice"].to_numpy()
@@ -5208,7 +5208,7 @@ def zipf_fit_documents(sf_dir: str, top_k: int = 1000):
     from .textops import _tokens
 
     nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=250_000, floor=32)
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read_blocked(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = _tokens(batch["text"].to_pandas())
@@ -5272,7 +5272,7 @@ def skew_profile_orders(sf_dir: str):
     partials over the key counts, so nothing key-shaped reaches the driver."""
     from ..functions.hashing import hash64
 
-    ds = _read(sf_dir, "orders", ["o_custkey"])
+    ds = _read_blocked(sf_dir, "orders", ["o_custkey"])
     B = _salt_buckets(sf_dir, "orders", rows_per_bucket=2_000_000, floor=8)
 
     def count_partial(batch: pa.Table) -> pa.Table:
@@ -5329,7 +5329,7 @@ def mutual_info_documents(sf_dir: str):
     per-block joint counts, one small groupby over (lang, source) cells,
     entropy math on the driver over the bounded cell table (|lang| x
     |source|, category-bounded like chi2_event_type)."""
-    ds = _read(sf_dir, "documents", ["lang", "source"])
+    ds = _read_blocked(sf_dir, "documents", ["lang", "source"])
 
     def joint_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"lang": batch["lang"].to_pandas(),
@@ -5399,7 +5399,7 @@ def impute_value_events(sf_dir: str):
     per type — all derived from one pass of per-block moment partials (the
     imputed aggregate is algebra over (n, sum, sumsq, n_missing); no second
     pass touches the data)."""
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "event_type", "value"])
     M = np.int64(4294967296)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -5474,7 +5474,7 @@ def encode_categories_orders(sf_dir: str):
     code map broadcasts into a stateless projection)."""
     import ray
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         u = np.unique(batch["o_orderpriority"].to_numpy(zero_copy_only=False))
@@ -5513,7 +5513,7 @@ def jsonl_roundtrip_events(sf_dir: str):
     the oracle computes the same aggregates straight from the parquet."""
     import ray.data
 
-    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    ds = _read_blocked(sf_dir, "events", ["event_id", "event_type", "ts"])
     M = np.int64(4294967296)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -5723,7 +5723,7 @@ def winsorize_lineitem(sf_dir: str, p_lo: float = 0.01, p_hi: float = 0.99):
     partials above it), then report clipped counts and the post-clip
     mean/std from one pass of moment partials over the CLIPPED values —
     the robust-stats companion to impute_value_events."""
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    ds = _read_blocked(sf_dir, "lineitem", ["l_extendedprice"])
     lo, hi = (float(b) for b in _fit_bounds_gated(
         sf_dir, "lineitem", "l_extendedprice", (p_lo, p_hi)))
 
@@ -5789,7 +5789,7 @@ def csv_roundtrip_orders(sf_dir: str):
 
     import ray.data
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    ds = _read_blocked(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
     M = np.int64(4294967296)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -5862,7 +5862,7 @@ def orc_roundtrip_lineitem(sf_dir: str):
 
     import ray.data
 
-    ds = _read(sf_dir, "lineitem",
+    ds = _read_blocked(sf_dir, "lineitem",
                ["l_orderkey", "l_returnflag", "l_quantity"])
     M = np.int64(4294967296)
 
@@ -6553,7 +6553,7 @@ def expectation_suite_orders(sf_dir: str):
     """Evaluate the ORDERS_EXPECTATIONS suite in one scan: each block emits
     one (expectation, n_pass, n) partial row per expectation; the final
     fold is |suite| rows. success requires a perfect pass rate."""
-    ds = _read(sf_dir, "orders",
+    ds = _read_blocked(sf_dir, "orders",
                ["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -6875,7 +6875,7 @@ def mad_outliers_events(sf_dir: str, k: float = 3.0):
     mad = {g: v for g, _, v in mad_rows}
     thr = {g: k * 1.4826 * mad[g] for g in mad}
 
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    ds = _read_blocked(sf_dir, "events", ["event_type", "value"])
 
     def count_partial(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy()
@@ -7029,7 +7029,7 @@ def overlap_estimate_orders_customers(sf_dir: str):
     from ..state.sketches import HyperLogLog
 
     def side(table: str, col: str) -> HyperLogLog:
-        ds = _read(sf_dir, table, [col])
+        ds = _read_blocked(sf_dir, table, [col])
 
         def partial(batch: pa.Table) -> pa.Table:
             h = HyperLogLog()
