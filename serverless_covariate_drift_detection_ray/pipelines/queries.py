@@ -428,12 +428,23 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def distinct_flag_status(sf_dir: str):
+    """Distinct (flag, status) pairs with counts: per-block vectorized
+    combiner shrinks each block to the category cross product (<= ~12
+    rows) before anything moves — the native row-shuffling groupby paid a
+    full 600k-row exchange to count 6 groups."""
     ds = _read_blocked(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-    from ray.data.aggregate import Count
 
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Count(alias_name="n")
-    )
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            ["l_returnflag", "l_linestatus"], sort=False
+        ).size().rename("n").reset_index()
+        return _pa_from_pandas(df, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    out = part.groupby(["l_returnflag", "l_linestatus"], as_index=False).n.sum()
+    out["n"] = out.n.astype(np.int64)
+    return _pa_from_pandas(out, preserve_index=False)
 
 
 DISTINCT_SQL = """
