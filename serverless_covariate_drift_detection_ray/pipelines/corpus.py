@@ -24,9 +24,9 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 from .queries import _salt_buckets
-from .textops import _read_docs
 from .textops import (
     LANG_MARKERS,
+    _read_docs,
     _shingle_hashes,
     _tokens,
     normalize_arrow,

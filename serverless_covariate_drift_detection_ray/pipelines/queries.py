@@ -61,6 +61,19 @@ def _pa_from_pandas(df, **kw):
     return pa.Table.from_pandas(df, **kw).replace_schema_metadata(None)
 
 
+def _read_cpu_blocked(sf_dir: str, table: str,
+                      columns: list[str] | None = None):
+    """Blocked read whose floor is the CLUSTER width — for COMPUTE-bound
+    per-row/group kernels (quadratic DP, tokenization) where the exchange's
+    output parallelism (= input block count) must track CPUs, not just rows
+    (measured on the fuzzy join: 4 blocks -> 13 s, 32 -> 3 s on the same
+    input). The data-scaled term still takes over at corpus scale."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return _read_blocked(sf_dir, table, columns, floor=max(4, ncpu))
+
+
 def _salt_buckets(sf_dir: str, table: str, rows_per_bucket: int = 2_000_000,
                   floor: int = 8) -> int:
     """Row-count-scaled salt-bucket count for high-cardinality-key shuffles.
@@ -435,14 +448,18 @@ def distinct_flag_status(sf_dir: str):
     ds = _read_blocked(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # dropna=False: SQL GROUP BY keeps NULL-keyed groups — the pandas
+        # default would silently drop them (latent: fixtures carry no nulls
+        # in these columns, but the oracle contract must not depend on that)
         df = batch.to_pandas().groupby(
-            ["l_returnflag", "l_linestatus"], sort=False
+            ["l_returnflag", "l_linestatus"], sort=False, dropna=False
         ).size().rename("n").reset_index()
         return _pa_from_pandas(df, preserve_index=False)
 
     part = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
-    out = part.groupby(["l_returnflag", "l_linestatus"], as_index=False).n.sum()
+    out = part.groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                       dropna=False).n.sum()
     out["n"] = out.n.astype(np.int64)
     return _pa_from_pandas(out, preserve_index=False)
 
@@ -4219,17 +4236,11 @@ def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
     block size — at corpus scale the blocking key must keep groups under a
     few thousand rows (add a secondary key — first token, length band — or
     salt + cross-bucket band pass, as the phash near-dup stage does)."""
-    import ray
-
     from ..functions.editdist import levenshtein_pairs
 
-    # COMPUTE-bound group kernel (quadratic DP per brand): unlike the cheap
-    # per-row shuffles, the sort exchange's output parallelism (= input block
-    # count) must track CPUs, not just rows — floor at the cluster width
-    # (measured: 4 blocks → 13 s, 32 blocks → 3 s on the same input)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    ds = _read_blocked(sf_dir, "part", ["p_partkey", "p_name", "p_brand"],
-                       floor=max(4, ncpu))
+    # COMPUTE-bound group kernel (quadratic DP per brand): the shared
+    # CPU-floored read (see _read_cpu_blocked for the measurement)
+    ds = _read_cpu_blocked(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         keys = df.p_partkey.to_numpy()

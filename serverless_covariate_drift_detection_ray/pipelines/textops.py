@@ -30,14 +30,13 @@ LANG_MARKERS = {
 
 
 def _read_docs(sf_dir: str, columns=None):
-    """Blocked read of the documents table with block count floored at
-    CLUSTER width: the per-batch tokenization kernels are compute-bound
-    per doc (the fuzzy-join rule — parallelism must track CPUs), while the
-    data-scaled term takes over at corpus scale."""
-    import ray
+    """Documents-table read via the shared CPU-floored blocked read: the
+    per-batch tokenization kernels are compute-bound per doc (the
+    fuzzy-join rule — parallelism must track CPUs), while the data-scaled
+    term takes over at corpus scale."""
+    from .queries import _read_cpu_blocked
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return _read_blocked(sf_dir, "documents", columns, floor=max(4, ncpu))
+    return _read_cpu_blocked(sf_dir, "documents", columns)
 
 def _tokens(text_series: pd.Series) -> pd.Series:
     """Whitespace tokens, empties dropped — semantics mirrored in oracle SQL
