@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
         "ann_ivf_cosine": ann.ann_ivf_cosine,
         "kmeans_embeddings": ann.kmeans_embeddings,
+        "quantize_embeddings_int8": ann.quantize_embeddings_int8,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
@@ -474,6 +475,7 @@ FROM '{truth_path}' GROUP BY "check"
         "embedding_dim_stats": dimred.DIM_STATS_SQL,
         "label_centroids_embeddings": dimred.CENTROIDS_SQL,
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
+        "quantize_embeddings_int8": ann.QUANTIZE_INT8_SQL,
         # rows-only (no SQL equivalent): pca_project_embeddings,
         # pca_mmd_drift (no SQL eigensolver), minhash_neardup_documents,
         # simhash_documents, fingerprint_documents, ann_lsh_bucketed,

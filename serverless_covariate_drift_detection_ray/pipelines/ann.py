@@ -1181,3 +1181,80 @@ def _ivf_query(index_dir: str, sf_dir: str, nprobe: int = IVF_NPROBE):
 
     return partials.groupby("query_id").map_groups(
         _merge_cell_partials, batch_format="pandas")
+
+
+def quantize_embeddings_int8(sf_dir: str):
+    """Int8 scalar quantization of the embedding column — the compression
+    step an at-scale ANN index applies before distance compute (4x smaller
+    vectors, integer dot products). Two bounded passes: (1) per-dim |max|
+    partials (one D-vector per block) -> driver max -> broadcast scales via
+    ``ray.put``; (2) per-block INTEGER partials (sum_q, sum_q2, n per dim)
+    -> driver sum. Every reported aggregate is an integer (summation-order
+    independent — no float-sum drift) and the scale is an exact data
+    element, so the DuckDB oracle matches hash-exactly; the quantizer
+    expression FLOOR(v*127/scale + 0.5) is spelled identically in SQL.
+    Engine-new: the reference ships float vectors between its services
+    (dimensionality_reduction_api/app/schemas/dr.py)."""
+    import ray
+
+    from .queries import _read_blocked, _round
+
+    ds = _read_blocked(sf_dir, "embeddings", ["embedding"])
+
+    def max_abs(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        return pa.table({"m": pa.array([np.abs(x).max(axis=0)],
+                                       pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(max_abs, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    scales = np.max(np.stack(parts.m.to_numpy()), axis=0)
+    scales_ref = ray.put(scales)
+
+    def int_partials(batch: pa.Table) -> pa.Table:
+        s = ray.get(scales_ref)
+        x = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        safe = np.where(s == 0.0, 1.0, s)
+        q = np.floor(x * 127.0 / safe + 0.5).astype(np.int64)
+        q[:, s == 0.0] = 0
+        return pa.table({
+            "sum_q": pa.array([q.sum(axis=0)], pa.list_(pa.int64())),
+            "sum_q2": pa.array([(q * q).sum(axis=0)], pa.list_(pa.int64())),
+            "n": pa.array([np.int64(len(x))]),
+        })
+
+    agg = ds.map_batches(int_partials, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    sum_q = np.sum(np.stack(agg.sum_q.to_numpy()), axis=0).astype(np.int64)
+    sum_q2 = np.sum(np.stack(agg.sum_q2.to_numpy()), axis=0).astype(np.int64)
+    n = int(agg.n.sum())
+    D = scales.size
+    return pa.table({
+        "dim": pa.array(np.arange(1, D + 1, dtype=np.int64)),  # 1-based:
+        # matches DuckDB generate_subscripts
+        "scale": pa.array(_round(scales, 6)),
+        "sum_q": pa.array(sum_q),
+        "sum_q2": pa.array(sum_q2),
+        "n": pa.array(np.full(D, n, dtype=np.int64)),
+    })
+
+
+QUANTIZE_INT8_SQL = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT dim, MAX(ABS(v)) AS scale FROM u GROUP BY dim),
+q AS (SELECT u.dim, u.v,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE CAST(FLOOR(u.v * 127 / s.scale + 0.5) AS BIGINT)
+             END AS qv
+      FROM u JOIN s USING (dim))
+SELECT q.dim, FLOOR(ANY_VALUE(s.scale)*1000000+0.5)/1000000 AS scale,
+       SUM(q.qv)::BIGINT AS sum_q, SUM(q.qv*q.qv)::BIGINT AS sum_q2,
+       COUNT(*)::BIGINT AS n
+FROM q JOIN s ON s.dim = q.dim
+GROUP BY q.dim
+"""
