@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_cosine": ann.ann_ivf_cosine,
         "kmeans_embeddings": ann.kmeans_embeddings,
         "quantize_embeddings_int8": ann.quantize_embeddings_int8,
+        "ann_topk_quantized": ann.ann_topk_quantized,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
@@ -476,6 +477,7 @@ FROM '{truth_path}' GROUP BY "check"
         "label_centroids_embeddings": dimred.CENTROIDS_SQL,
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
         "quantize_embeddings_int8": ann.QUANTIZE_INT8_SQL,
+        "ann_topk_quantized": ann.ANN_TOPK_QUANTIZED_SQL,
         # rows-only (no SQL equivalent): pca_project_embeddings,
         # pca_mmd_drift (no SQL eigensolver), minhash_neardup_documents,
         # simhash_documents, fingerprint_documents, ann_lsh_bucketed,

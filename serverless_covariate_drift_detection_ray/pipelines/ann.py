@@ -1258,3 +1258,111 @@ SELECT q.dim, FLOOR(ANY_VALUE(s.scale)*1000000+0.5)/1000000 AS scale,
 FROM q JOIN s ON s.dim = q.dim
 GROUP BY q.dim
 """
+
+
+def _int8_scales(sf_dir: str) -> np.ndarray:
+    """Pass 1 of the int8 quantizer: per-dim |max| partials (one D-vector
+    per block) -> driver max. Shared by the quantize audit and the
+    quantized top-k."""
+    from .queries import _read_blocked
+
+    ds = _read_blocked(sf_dir, "embeddings", ["embedding"])
+
+    def max_abs(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        return pa.table({"m": pa.array([np.abs(x).max(axis=0)],
+                                       pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(max_abs, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return np.max(np.stack(parts.m.to_numpy()), axis=0)
+
+
+def _quantize_int8(x: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """FLOOR(v*127/scale + 0.5) per dim — the expression the SQL oracle
+    spells out verbatim; zero-scale dims quantize to 0."""
+    safe = np.where(scales == 0.0, 1.0, scales)
+    q = np.floor(x.astype(np.float64) * 127.0 / safe + 0.5).astype(np.int64)
+    q[:, scales == 0.0] = 0
+    return q
+
+
+def ann_topk_quantized(sf_dir: str):
+    """Top-k by INT8-quantized dot product — the compressed-vector scoring
+    path an at-scale ANN runs (4x less memory bandwidth, integer SIMD
+    kernels on a real cluster). Shape mirrors the exact baseline: the
+    quantized QUERY matrix broadcasts once, each corpus block quantizes
+    with the same broadcast per-dim scales and emits its partial top-k,
+    and a per-query merge keeps the global k. Scores are integer dot
+    products — summation-order independent — so the DuckDB oracle
+    (same FLOOR quantizer + SUM of products) matches hash-exactly."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .queries import _read_blocked
+
+    scales = _int8_scales(sf_dir)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qmask = np.asarray(qt["vec_id"].to_numpy() < N_QUERIES)
+    q8 = _quantize_int8(_to_matrix(qt.filter(pa.array(qmask))["embedding"]),
+                        scales)
+    q_ids = qt.filter(pa.array(qmask))["vec_id"].to_numpy().astype(np.int64)
+    wrapped = {"ref": ray.put((q_ids, q8, scales))}
+
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.greater_equal(batch["vec_id"], N_QUERIES)
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        qids_, q8_, scales_ = ray.get(wrapped["ref"])
+        c8 = _quantize_int8(_to_matrix(t["embedding"]), scales_)
+        nids = t["vec_id"].to_numpy().astype(np.int64)
+        dots = q8_ @ c8.T  # (Q, B) int64
+        k = min(TOP_K, nids.size)
+        out_q, out_n, out_d = [], [], []
+        for row, qid in zip(dots, qids_):
+            idx = np.lexsort((nids, -row))[:k]
+            out_q.append(np.full(k, qid, np.int64))
+            out_n.append(nids[idx])
+            out_d.append(row[idx])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "dot": pa.array(np.concatenate(out_d))})
+
+    partials = ds.map_batches(score_block, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["dot", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+
+    return partials.groupby("query_id").map_groups(merge_topk,
+                                                   batch_format="pandas")
+
+
+ANN_TOPK_QUANTIZED_SQL = f"""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT dim, MAX(ABS(v)) AS scale FROM u GROUP BY dim),
+q8 AS (SELECT u.vec_id, u.dim,
+              CASE WHEN s.scale = 0 THEN 0
+                   ELSE CAST(FLOOR(u.v * 127 / s.scale + 0.5) AS BIGINT)
+              END AS qv
+       FROM u JOIN s USING (dim)),
+d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(a.qv * b.qv)::BIGINT AS dot
+      FROM q8 a JOIN q8 b USING (dim)
+      WHERE a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+      GROUP BY a.vec_id, b.vec_id)
+SELECT query_id, neighbor_id, dot FROM d
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= {TOP_K}
+"""
