@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": ann.kmeans_embeddings,
         "quantize_embeddings_int8": ann.quantize_embeddings_int8,
         "ann_topk_quantized": ann.ann_topk_quantized,
+        "ann_quantized_recall": ann.ann_quantized_recall,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
@@ -478,6 +479,7 @@ FROM '{truth_path}' GROUP BY "check"
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
         "quantize_embeddings_int8": ann.QUANTIZE_INT8_SQL,
         "ann_topk_quantized": ann.ANN_TOPK_QUANTIZED_SQL,
+        "ann_quantized_recall": ann.ANN_QUANTIZED_RECALL_SQL,
         # rows-only (no SQL equivalent): pca_project_embeddings,
         # pca_mmd_drift (no SQL eigensolver), minhash_neardup_documents,
         # simhash_documents, fingerprint_documents, ann_lsh_bucketed,

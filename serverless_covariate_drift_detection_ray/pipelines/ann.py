@@ -1366,3 +1366,65 @@ SELECT query_id, neighbor_id, dot FROM d
 QUALIFY ROW_NUMBER() OVER (
   PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= {TOP_K}
 """
+
+
+def ann_quantized_recall(sf_dir: str):
+    """Recall@k of the int8-quantized top-k against the exact cosine
+    top-k — the quality audit that justifies shipping compressed vectors
+    at scale. Both sides are the distributed queries above; their results
+    are Q x k rows, so the overlap join runs on the driver. Outputs are
+    integers per query (overlap count, k) — hash-exact vs the oracle,
+    which composes the same two QUALIFY top-k CTEs. Note the measured gap
+    mixes two effects: quantization error AND the norm mismatch (the
+    quantized path ranks by raw dot product; the baseline by cosine) —
+    deliberately unnormalized, because row-normalizing before the FLOOR
+    quantizer would make the quantized values depend on a float
+    sum-of-squares whose summation order differs cross-engine (a ULP at a
+    FLOOR boundary breaks hash equality); the audit still bounds the
+    end-to-end ranking drift a deployment would see."""
+    ex = ann_topk_cosine(sf_dir).to_pandas()
+    qz = ann_topk_quantized(sf_dir).to_pandas()
+    qz = qz[["query_id", "neighbor_id"]].assign(hit=np.int64(1))
+    m = ex[["query_id", "neighbor_id"]].merge(
+        qz, on=["query_id", "neighbor_id"], how="left")
+    g = m.groupby("query_id", as_index=False).agg(
+        n_overlap=("hit", "count"), k=("neighbor_id", "size"))
+    return pa.table({
+        "query_id": pa.array(g.query_id.to_numpy(np.int64)),
+        "n_overlap": pa.array(g.n_overlap.to_numpy(np.int64)),
+        "k": pa.array(g.k.to_numpy(np.int64)),
+    })
+
+
+ANN_QUANTIZED_RECALL_SQL = f"""
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT dim, MAX(ABS(v)) AS scale FROM u GROUP BY dim),
+q8 AS (SELECT u.vec_id, u.dim,
+              CASE WHEN s.scale = 0 THEN 0
+                   ELSE CAST(FLOOR(u.v * 127 / s.scale + 0.5) AS BIGINT)
+              END AS qv
+       FROM u JOIN s USING (dim)),
+d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(a.qv * b.qv)::BIGINT AS dot
+      FROM q8 a JOIN q8 b USING (dim)
+      WHERE a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+      GROUP BY a.vec_id, b.vec_id),
+qt AS (SELECT query_id, neighbor_id FROM d
+       QUALIFY ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= {TOP_K}),
+et AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       FROM embeddings q, embeddings n
+       WHERE q.vec_id < {N_QUERIES} AND n.vec_id >= {N_QUERIES}
+       QUALIFY ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                         n.embedding::DOUBLE[]) DESC,
+                  n.vec_id) <= {TOP_K})
+SELECT et.query_id, COUNT(qt.neighbor_id)::BIGINT AS n_overlap,
+       COUNT(*)::BIGINT AS k
+FROM et LEFT JOIN qt USING (query_id, neighbor_id)
+GROUP BY et.query_id
+"""
