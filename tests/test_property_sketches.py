@@ -36,7 +36,13 @@ def test_tdigest_split_merge_total_weight_exact(x, k):
     assert merged.count == float(x.size)
     if x.size:
         q = merged.quantile([0.0, 0.5, 1.0])
-        assert (q >= x.min() - 1e-9).all() and (q <= x.max() + 1e-9).all()
+        # tolerance is ULP-aware: centroid means are float weighted
+        # averages, so at |x| ~ 1e12 a single rounding step (~1.2e-4) can
+        # put a mean one ulp past the true extremum — a float-arithmetic
+        # artifact of the sketch, not a range bug (hypothesis found the
+        # all-identical-values case at 7.33e11)
+        tol = 1e-9 + 4 * np.spacing(max(abs(x.min()), abs(x.max()), 1.0))
+        assert (q >= x.min() - tol).all() and (q <= x.max() + tol).all()
 
 
 @settings(max_examples=40, deadline=None)
