@@ -39,17 +39,20 @@ def _read_blocked(sf_dir: str, table: str, columns: list[str] | None = None,
 
     import ray.data
 
-    n = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
-    # strip the b'pandas' schema metadata the testdata files carry: such
-    # schemas are unhashable in pyarrow 16, which defeats Ray's schema-dedup
-    # early exit at every exchange these blocks feed. The map fuses into the
-    # read task (no extra stage); _read keeps the bare read because its
-    # callers rely on metadata-only .count().
+    pf = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    n = pf.metadata.num_rows
+    # explicit metadata-FREE schema: the testdata files carry b'pandas'
+    # schema metadata, and such schemas are unhashable in pyarrow 16 —
+    # which defeats Ray's schema-dedup early exit at every exchange these
+    # blocks feed and logs a warning per unify. Passing schema= strips it
+    # at the source (no extra map stage); _read keeps the bare read
+    # because its callers rely on metadata-only .count().
+    sch = pf.schema_arrow.remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
     return ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns,
-        override_num_blocks=max(floor, n // rows_per_block)).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow",
-        zero_copy_batch=True)
+        f"{sf_dir}/{table}.parquet", columns=columns, schema=sch,
+        override_num_blocks=max(floor, n // rows_per_block))
 
 
 def _pa_from_pandas(df, **kw):
