@@ -1183,25 +1183,17 @@ def _ivf_query(index_dir: str, sf_dir: str, nprobe: int = IVF_NPROBE):
         _merge_cell_partials, batch_format="pandas")
 
 
-def quantize_embeddings_int8(sf_dir: str):
-    """Int8 scalar quantization of the embedding column — the compression
-    step an at-scale ANN index applies before distance compute (4x smaller
-    vectors, integer dot products). Two bounded passes: (1) per-dim |max|
-    partials (one D-vector per block) -> driver max -> broadcast scales via
-    ``ray.put``; (2) per-block INTEGER partials (sum_q, sum_q2, n per dim)
-    -> driver sum. Every reported aggregate is an integer (summation-order
-    independent — no float-sum drift) and the scale is an exact data
-    element, so the DuckDB oracle matches hash-exactly; the quantizer
-    expression FLOOR(v*127/scale + 0.5) is spelled identically in SQL.
-    Engine-new: the reference ships float vectors between its services
-    (dimensionality_reduction_api/app/schemas/dr.py)."""
-    import ray
-
-    from .queries import _read_blocked, _round
+def _int8_scales(sf_dir: str) -> np.ndarray:
+    """Pass 1 of the int8 quantizer: per-dim |max| partials (one D-vector
+    per block) -> driver max. The ONE scale authority every quantized
+    entry shares (audit, top-k, recall)."""
+    from .queries import _read_blocked
 
     ds = _read_blocked(sf_dir, "embeddings", ["embedding"])
 
     def max_abs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # an empty split must not kill the pass
+            return pa.table({"m": pa.array([], pa.list_(pa.float64()))})
         x = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
                      ).astype(np.float64)
         return pa.table({"m": pa.array([np.abs(x).max(axis=0)],
@@ -1209,16 +1201,47 @@ def quantize_embeddings_int8(sf_dir: str):
 
     parts = ds.map_batches(max_abs, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
-    scales = np.max(np.stack(parts.m.to_numpy()), axis=0)
+    return np.max(np.stack(parts.m.to_numpy()), axis=0)
+
+
+def _quantize_int8(x: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """FLOOR(v*127/scale + 0.5) per dim — THE quantizer expression, spelled
+    once here and once in _Q8_CTE_SQL (the SQL twin every quantized oracle
+    composes from); zero-scale dims quantize to 0."""
+    safe = np.where(scales == 0.0, 1.0, scales)
+    q = np.floor(x.astype(np.float64) * 127.0 / safe + 0.5).astype(np.int64)
+    q[:, scales == 0.0] = 0
+    return q
+
+
+def quantize_embeddings_int8(sf_dir: str):
+    """Int8 scalar quantization of the embedding column — the compression
+    step an at-scale ANN index applies before distance compute (4x smaller
+    vectors, integer dot products). Two bounded passes: (1) the shared
+    _int8_scales pass -> broadcast scales via ``ray.put``; (2) per-block
+    INTEGER partials (sum_q, sum_q2, n per dim) -> driver sum. Every
+    reported aggregate is an integer (summation-order independent — no
+    float-sum drift) and the scale is an exact data element, so the DuckDB
+    oracle matches hash-exactly; the quantizer expression is the shared
+    _quantize_int8 / _Q8_CTE_SQL pair. Engine-new: the reference ships
+    float vectors between its services
+    (dimensionality_reduction_api/app/schemas/dr.py)."""
+    import ray
+
+    from .queries import _read_blocked, _round
+
+    scales = _int8_scales(sf_dir)
     scales_ref = ray.put(scales)
+    ds = _read_blocked(sf_dir, "embeddings", ["embedding"])
 
     def int_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"sum_q": pa.array([], pa.list_(pa.int64())),
+                             "sum_q2": pa.array([], pa.list_(pa.int64())),
+                             "n": pa.array([], pa.int64())})
         s = ray.get(scales_ref)
-        x = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
-                     ).astype(np.float64)
-        safe = np.where(s == 0.0, 1.0, s)
-        q = np.floor(x * 127.0 / safe + 0.5).astype(np.int64)
-        q[:, s == 0.0] = 0
+        x = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        q = _quantize_int8(x, s)
         return pa.table({
             "sum_q": pa.array([q.sum(axis=0)], pa.list_(pa.int64())),
             "sum_q2": pa.array([(q * q).sum(axis=0)], pa.list_(pa.int64())),
@@ -1241,74 +1264,65 @@ def quantize_embeddings_int8(sf_dir: str):
     })
 
 
-QUANTIZE_INT8_SQL = """
-WITH u AS (
-  SELECT generate_subscripts(embedding, 1) AS dim,
+# Shared SQL fragment: unnest -> per-dim scale -> int8 quantize. EVERY
+# quantized oracle composes from this one string, so the quantizer can
+# never silently diverge between the audit, the top-k, and the recall.
+_Q8_CTE_SQL = """
+u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings),
 s AS (SELECT dim, MAX(ABS(v)) AS scale FROM u GROUP BY dim),
-q AS (SELECT u.dim, u.v,
-             CASE WHEN s.scale = 0 THEN 0
-                  ELSE CAST(FLOOR(u.v * 127 / s.scale + 0.5) AS BIGINT)
-             END AS qv
-      FROM u JOIN s USING (dim))
-SELECT q.dim, FLOOR(ANY_VALUE(s.scale)*1000000+0.5)/1000000 AS scale,
-       SUM(q.qv)::BIGINT AS sum_q, SUM(q.qv*q.qv)::BIGINT AS sum_q2,
+q8 AS (SELECT u.vec_id, u.dim,
+              CASE WHEN s.scale = 0 THEN 0
+                   ELSE CAST(FLOOR(u.v * 127 / s.scale + 0.5) AS BIGINT)
+              END AS qv
+       FROM u JOIN s USING (dim))"""
+
+QUANTIZE_INT8_SQL = f"""
+WITH {_Q8_CTE_SQL}
+SELECT q8.dim, FLOOR(ANY_VALUE(s.scale)*1000000+0.5)/1000000 AS scale,
+       SUM(q8.qv)::BIGINT AS sum_q, SUM(q8.qv*q8.qv)::BIGINT AS sum_q2,
        COUNT(*)::BIGINT AS n
-FROM q JOIN s ON s.dim = q.dim
-GROUP BY q.dim
+FROM q8 JOIN s ON s.dim = q8.dim
+GROUP BY q8.dim
 """
 
-
-def _int8_scales(sf_dir: str) -> np.ndarray:
-    """Pass 1 of the int8 quantizer: per-dim |max| partials (one D-vector
-    per block) -> driver max. Shared by the quantize audit and the
-    quantized top-k."""
-    from .queries import _read_blocked
-
-    ds = _read_blocked(sf_dir, "embeddings", ["embedding"])
-
-    def max_abs(batch: pa.Table) -> pa.Table:
-        x = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
-                     ).astype(np.float64)
-        return pa.table({"m": pa.array([np.abs(x).max(axis=0)],
-                                       pa.list_(pa.float64()))})
-
-    parts = ds.map_batches(max_abs, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-    return np.max(np.stack(parts.m.to_numpy()), axis=0)
-
-
-def _quantize_int8(x: np.ndarray, scales: np.ndarray) -> np.ndarray:
-    """FLOOR(v*127/scale + 0.5) per dim — the expression the SQL oracle
-    spells out verbatim; zero-scale dims quantize to 0."""
-    safe = np.where(scales == 0.0, 1.0, scales)
-    q = np.floor(x.astype(np.float64) * 127.0 / safe + 0.5).astype(np.int64)
-    q[:, scales == 0.0] = 0
-    return q
+# quantized dot-product top-k CTEs on top of the shared quantizer
+_Q8_TOPK_CTE_SQL = f"""{_Q8_CTE_SQL},
+d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             SUM(a.qv * b.qv)::BIGINT AS dot
+      FROM q8 a JOIN q8 b USING (dim)
+      WHERE a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
+      GROUP BY a.vec_id, b.vec_id),
+qt AS (SELECT query_id, neighbor_id, dot FROM d
+       QUALIFY ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= {TOP_K})"""
 
 
 def ann_topk_quantized(sf_dir: str):
     """Top-k by INT8-quantized dot product — the compressed-vector scoring
     path an at-scale ANN runs (4x less memory bandwidth, integer SIMD
     kernels on a real cluster). Shape mirrors the exact baseline: the
-    quantized QUERY matrix broadcasts once, each corpus block quantizes
-    with the same broadcast per-dim scales and emits its partial top-k,
+    quantized QUERY matrix broadcasts once (query rows come from a
+    row-group-PRUNED pushdown read, never a full-table driver load), each
+    corpus block quantizes with the same broadcast per-dim scales and
+    emits its partial top-k via argpartition + a k-sized tie-break sort,
     and a per-query merge keeps the global k. Scores are integer dot
-    products — summation-order independent — so the DuckDB oracle
-    (same FLOOR quantizer + SUM of products) matches hash-exactly."""
-    import pyarrow.parquet as pq
+    products — summation-order independent — so the DuckDB oracle (the
+    shared _Q8_CTE_SQL quantizer + SUM of products) matches hash-exactly."""
+    import pyarrow.dataset as pads
     import ray
+    import ray.data
 
     from .queries import _read_blocked
 
     scales = _int8_scales(sf_dir)
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    qmask = np.asarray(qt["vec_id"].to_numpy() < N_QUERIES)
-    q8 = _quantize_int8(_to_matrix(qt.filter(pa.array(qmask))["embedding"]),
-                        scales)
-    q_ids = qt.filter(pa.array(qmask))["vec_id"].to_numpy().astype(np.int64)
+    qt = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=(pads.field("vec_id") < N_QUERIES)).to_pandas()
+    q8 = _quantize_int8(np.stack(qt.embedding.to_numpy()), scales)
+    q_ids = qt.vec_id.to_numpy().astype(np.int64)
     wrapped = {"ref": ray.put((q_ids, q8, scales))}
 
     ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1327,10 +1341,24 @@ def ann_topk_quantized(sf_dir: str):
         k = min(TOP_K, nids.size)
         out_q, out_n, out_d = [], [], []
         for row, qid in zip(dots, qids_):
-            idx = np.lexsort((nids, -row))[:k]
+            # O(B) candidate cut, then only the k-boundary candidates pay
+            # the deterministic (dot DESC, neighbor_id) tie-break sort.
+            # Integer dots tie often, so take a safety margin of candidates
+            # (every row tied with the k-th largest could belong in top-k);
+            # the margin only matters when the block has > 4k tied rows, in
+            # which case fall back to the full lexsort for exactness.
+            if nids.size > 4 * k:
+                cand = np.argpartition(-row, 4 * k - 1)[:4 * k]
+                kth = np.partition(-row, k - 1)[k - 1]
+                if (-row == kth).sum() <= 3 * k:
+                    sel = cand[np.lexsort((nids[cand], -row[cand]))[:k]]
+                else:  # pathological tie plateau: exact full sort
+                    sel = np.lexsort((nids, -row))[:k]
+            else:
+                sel = np.lexsort((nids, -row))[:k]
             out_q.append(np.full(k, qid, np.int64))
-            out_n.append(nids[idx])
-            out_d.append(row[idx])
+            out_n.append(nids[sel])
+            out_d.append(row[sel])
         return pa.table({"query_id": pa.array(np.concatenate(out_q)),
                          "neighbor_id": pa.array(np.concatenate(out_n)),
                          "dot": pa.array(np.concatenate(out_d))})
@@ -1347,24 +1375,8 @@ def ann_topk_quantized(sf_dir: str):
 
 
 ANN_TOPK_QUANTIZED_SQL = f"""
-WITH u AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings),
-s AS (SELECT dim, MAX(ABS(v)) AS scale FROM u GROUP BY dim),
-q8 AS (SELECT u.vec_id, u.dim,
-              CASE WHEN s.scale = 0 THEN 0
-                   ELSE CAST(FLOOR(u.v * 127 / s.scale + 0.5) AS BIGINT)
-              END AS qv
-       FROM u JOIN s USING (dim)),
-d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             SUM(a.qv * b.qv)::BIGINT AS dot
-      FROM q8 a JOIN q8 b USING (dim)
-      WHERE a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
-      GROUP BY a.vec_id, b.vec_id)
-SELECT query_id, neighbor_id, dot FROM d
-QUALIFY ROW_NUMBER() OVER (
-  PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= {TOP_K}
+WITH {_Q8_TOPK_CTE_SQL}
+SELECT query_id, neighbor_id, dot FROM qt
 """
 
 
@@ -1374,14 +1386,15 @@ def ann_quantized_recall(sf_dir: str):
     at scale. Both sides are the distributed queries above; their results
     are Q x k rows, so the overlap join runs on the driver. Outputs are
     integers per query (overlap count, k) — hash-exact vs the oracle,
-    which composes the same two QUALIFY top-k CTEs. Note the measured gap
-    mixes two effects: quantization error AND the norm mismatch (the
-    quantized path ranks by raw dot product; the baseline by cosine) —
-    deliberately unnormalized, because row-normalizing before the FLOOR
-    quantizer would make the quantized values depend on a float
-    sum-of-squares whose summation order differs cross-engine (a ULP at a
-    FLOOR boundary breaks hash equality); the audit still bounds the
-    end-to-end ranking drift a deployment would see."""
+    which composes the SAME shared quantized-top-k CTEs as
+    ann_topk_quantized. Note the measured gap mixes two effects:
+    quantization error AND the norm mismatch (the quantized path ranks by
+    raw dot product; the baseline by cosine) — deliberately unnormalized,
+    because row-normalizing before the FLOOR quantizer would make the
+    quantized values depend on a float sum-of-squares whose summation
+    order differs cross-engine (a ULP at a FLOOR boundary breaks hash
+    equality); the audit still bounds the end-to-end ranking drift a
+    deployment would see."""
     ex = ann_topk_cosine(sf_dir).to_pandas()
     qz = ann_topk_quantized(sf_dir).to_pandas()
     qz = qz[["query_id", "neighbor_id"]].assign(hit=np.int64(1))
@@ -1397,24 +1410,7 @@ def ann_quantized_recall(sf_dir: str):
 
 
 ANN_QUANTIZED_RECALL_SQL = f"""
-WITH u AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings),
-s AS (SELECT dim, MAX(ABS(v)) AS scale FROM u GROUP BY dim),
-q8 AS (SELECT u.vec_id, u.dim,
-              CASE WHEN s.scale = 0 THEN 0
-                   ELSE CAST(FLOOR(u.v * 127 / s.scale + 0.5) AS BIGINT)
-              END AS qv
-       FROM u JOIN s USING (dim)),
-d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             SUM(a.qv * b.qv)::BIGINT AS dot
-      FROM q8 a JOIN q8 b USING (dim)
-      WHERE a.vec_id < {N_QUERIES} AND b.vec_id >= {N_QUERIES}
-      GROUP BY a.vec_id, b.vec_id),
-qt AS (SELECT query_id, neighbor_id FROM d
-       QUALIFY ROW_NUMBER() OVER (
-         PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= {TOP_K}),
+WITH {_Q8_TOPK_CTE_SQL},
 et AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
        FROM embeddings q, embeddings n
        WHERE q.vec_id < {N_QUERIES} AND n.vec_id >= {N_QUERIES}
