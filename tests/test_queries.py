@@ -704,3 +704,33 @@ def test_read_blocked_scales_blocks_with_rows(ray_session):
     ds_data = _read_blocked(SF, "orders", ["o_orderkey"],
                             rows_per_block=max(1, n // 10)).materialize()
     assert ds_data.num_blocks() == 10
+
+
+def test_quantized_topk_argpartition_matches_full_sort(ray_session):
+    """The tie-safe argpartition cut in ann_topk_quantized must equal the
+    exhaustive lexsort on tie-HEAVY integer scores — both the margin path
+    (ties at the kth value <= 3k) and the plateau fallback (> 3k ties)."""
+    import numpy as np
+
+    from serverless_covariate_drift_detection_ray.pipelines.ann import TOP_K
+
+    rng = np.random.default_rng(17)
+    k = TOP_K
+    for n, n_values in [(40 * k, 7), (40 * k, 2), (40 * k, 1), (3 * k, 3)]:
+        # few distinct integer score values -> massive tie plateaus
+        row = rng.integers(0, n_values, n).astype(np.int64)
+        nids = rng.permutation(n).astype(np.int64)
+        exact = np.lexsort((nids, -row))[:k]
+        # replicate score_block's candidate logic verbatim
+        if n > 4 * k:
+            cand = np.argpartition(-row, 4 * k - 1)[:4 * k]
+            kth = np.partition(-row, k - 1)[k - 1]
+            if (-row == kth).sum() <= 3 * k:
+                sel = cand[np.lexsort((nids[cand], -row[cand]))[:k]]
+            else:
+                sel = np.lexsort((nids, -row))[:k]
+        else:
+            sel = np.lexsort((nids, -row))[:k]
+        np.testing.assert_array_equal(
+            np.c_[row[sel], nids[sel]], np.c_[row[exact], nids[exact]],
+            err_msg=f"n={n} n_values={n_values}")
