@@ -1300,6 +1300,23 @@ qt AS (SELECT query_id, neighbor_id, dot FROM d
          PARTITION BY query_id ORDER BY dot DESC, neighbor_id) <= {TOP_K})"""
 
 
+
+def _topk_tiebreak_cut(row: np.ndarray, nids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the exact top-k by (row DESC, nids ASC) — O(B) candidate
+    cut, then only the k-boundary candidates pay the deterministic
+    tie-break sort. Integer scores tie often, so a 4k candidate margin is
+    taken; provably exact while rows tied with the kth value number <= 3k
+    (rows >= the kth value then number <= 4k-1, so every one of them beats
+    the partition boundary), with a full-lexsort fallback for pathological
+    plateaus. Pinned against the exhaustive sort in tests."""
+    if row.size > 4 * k:
+        cand = np.argpartition(-row, 4 * k - 1)[:4 * k]
+        kth = np.partition(-row, k - 1)[k - 1]
+        if (-row == kth).sum() <= 3 * k:
+            return cand[np.lexsort((nids[cand], -row[cand]))[:k]]
+    return np.lexsort((nids, -row))[:k]
+
+
 def ann_topk_quantized(sf_dir: str):
     """Top-k by INT8-quantized dot product — the compressed-vector scoring
     path an at-scale ANN runs (4x less memory bandwidth, integer SIMD
@@ -1341,21 +1358,7 @@ def ann_topk_quantized(sf_dir: str):
         k = min(TOP_K, nids.size)
         out_q, out_n, out_d = [], [], []
         for row, qid in zip(dots, qids_):
-            # O(B) candidate cut, then only the k-boundary candidates pay
-            # the deterministic (dot DESC, neighbor_id) tie-break sort.
-            # Integer dots tie often, so take a safety margin of candidates
-            # (every row tied with the k-th largest could belong in top-k);
-            # the margin only matters when the block has > 4k tied rows, in
-            # which case fall back to the full lexsort for exactness.
-            if nids.size > 4 * k:
-                cand = np.argpartition(-row, 4 * k - 1)[:4 * k]
-                kth = np.partition(-row, k - 1)[k - 1]
-                if (-row == kth).sum() <= 3 * k:
-                    sel = cand[np.lexsort((nids[cand], -row[cand]))[:k]]
-                else:  # pathological tie plateau: exact full sort
-                    sel = np.lexsort((nids, -row))[:k]
-            else:
-                sel = np.lexsort((nids, -row))[:k]
+            sel = _topk_tiebreak_cut(row, nids, k)
             out_q.append(np.full(k, qid, np.int64))
             out_n.append(nids[sel])
             out_d.append(row[sel])

@@ -707,9 +707,9 @@ def test_read_blocked_scales_blocks_with_rows(ray_session):
 
 
 def test_quantized_topk_argpartition_matches_full_sort(ray_session):
-    """The tie-safe argpartition cut in ann_topk_quantized must equal the
-    exhaustive lexsort on tie-HEAVY integer scores — both the margin path
-    (ties at the kth value <= 3k) and the plateau fallback (> 3k ties)."""
+    """The tie-safe argpartition cut used by ann_topk_quantized must equal
+    the exhaustive lexsort on tie-HEAVY integer scores — both the margin
+    path (ties at the kth value <= 3k) and the plateau fallback."""
     import numpy as np
 
     from serverless_covariate_drift_detection_ray.pipelines.ann import TOP_K
@@ -721,16 +721,11 @@ def test_quantized_topk_argpartition_matches_full_sort(ray_session):
         row = rng.integers(0, n_values, n).astype(np.int64)
         nids = rng.permutation(n).astype(np.int64)
         exact = np.lexsort((nids, -row))[:k]
-        # replicate score_block's candidate logic verbatim
-        if n > 4 * k:
-            cand = np.argpartition(-row, 4 * k - 1)[:4 * k]
-            kth = np.partition(-row, k - 1)[k - 1]
-            if (-row == kth).sum() <= 3 * k:
-                sel = cand[np.lexsort((nids[cand], -row[cand]))[:k]]
-            else:
-                sel = np.lexsort((nids, -row))[:k]
-        else:
-            sel = np.lexsort((nids, -row))[:k]
+        from serverless_covariate_drift_detection_ray.pipelines.ann import (
+            _topk_tiebreak_cut,
+        )
+
+        sel = _topk_tiebreak_cut(row, nids, k)
         np.testing.assert_array_equal(
             np.c_[row[sel], nids[sel]], np.c_[row[exact], nids[exact]],
             err_msg=f"n={n} n_values={n_values}")
