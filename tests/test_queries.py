@@ -729,3 +729,23 @@ def test_quantized_topk_argpartition_matches_full_sort(ray_session):
         np.testing.assert_array_equal(
             np.c_[row[sel], nids[sel]], np.c_[row[exact], nids[exact]],
             err_msg=f"n={n} n_values={n_values}")
+
+
+def _rows_only_names():
+    import __ray_entry__ as e
+
+    return sorted(set(e.queries()) - set(e.oracle_sql()) - {"validate_images"})
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_query_smokes(ray_session, name):
+    """Driver contract for the NON-oracled entries: every rows-only query
+    the driver may sample must run at sf0.001 and return a well-formed
+    result (>= 0 rows, stable columns). The oracled entries get the
+    stronger parity test above; the flagship is covered by its e2e +
+    digest tests."""
+    import __ray_entry__ as e
+
+    df = _to_df(e.queries()[name](SF))
+    assert df is not None and len(df.columns) > 0
+    assert len(df) >= 0  # materializes without raising
