@@ -1,0 +1,82 @@
+"""Regression tests for the round-4 advice fixes (ADVICE.md r3→r4).
+
+Each test pins a specific hardening that landed this round:
+  * ``_footer_minmax`` raises a clear ValueError (naming table + column)
+    when a parquet row group lacks min/max statistics, instead of a
+    confusing ``AttributeError`` deep inside the quantile engine.
+  * ``write_plots`` refuses to sum histogram counts across partition
+    stats blobs whose (lo, hi, bins) configs disagree — a stale or
+    mixed-run blob directory must fail loudly, not render a wrong
+    run-wide marginal.
+  * ``orc_roundtrip_lineitem``'s staged cache cross-checks rows ON DISK
+    (ORC stripe footers) against the source row count, so a lost or
+    collided block file surfaces as a RuntimeError instead of silently
+    diverging from the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_footer_minmax_missing_statistics_raises(tmp_path):
+    from serverless_covariate_drift_detection_ray.pipelines.queries import _footer_minmax
+
+    t = pa.table({"x": pa.array(np.arange(100, dtype=np.int64))})
+    pq.write_table(t, str(tmp_path / "t.parquet"), write_statistics=False)
+    with pytest.raises(ValueError, match=r"t\.parquet.*'x'.*statistics"):
+        _footer_minmax(str(tmp_path), "t", "x")
+    # sanity: the same file WITH statistics resolves the true range
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    assert _footer_minmax(str(tmp_path), "t", "x") == (0.0, 99.0)
+
+
+def test_write_plots_rejects_mixed_histogram_configs(tmp_path):
+    from serverless_covariate_drift_detection_ray.pipelines.plots import write_plots
+    from serverless_covariate_drift_detection_ray.state.partials import PartialState
+
+    out_dir = str(tmp_path / "out")
+    blob_dir = os.path.join(out_dir, "stats_blobs")
+    os.makedirs(blob_dir)
+    a = PartialState({"w": (0.0, 100.0, 8)}, fmt_categories=("png",))
+    a.update_numeric("w", np.array([1.0, 50.0]))
+    b = PartialState({"w": (0.0, 200.0, 8)}, fmt_categories=("png",))  # other range
+    b.update_numeric("w", np.array([150.0]))
+    for name, st in (("p0.bin", a), ("p1.bin", b)):
+        with open(os.path.join(blob_dir, name), "wb") as fh:
+            fh.write(st.to_bytes())
+    with pytest.raises(ValueError, match="incompatible histogram config"):
+        write_plots(out_dir)
+    # compatible blobs render fine (and produce the histogram SVG)
+    with open(os.path.join(blob_dir, "p1.bin"), "wb") as fh:
+        fh.write(a.to_bytes())
+    written = write_plots(out_dir)
+    assert any(p.endswith("hist_w.svg") for p in written)
+
+
+def test_orc_roundtrip_detects_rows_lost_on_disk(ray_session):
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        orc_roundtrip_lineitem,
+    )
+
+    st = os.stat(f"{SF_DIR}/lineitem.parquet")
+    out_dir = (f"/tmp/scdd_orc/sf0.001/"
+               f"lineitem_{st.st_size}_{st.st_mtime_ns}")
+    try:
+        orc_roundtrip_lineitem(SF_DIR)  # populates + passes the cross-check
+        orc_files = sorted(f for f in os.listdir(out_dir) if f.endswith(".orc"))
+        assert orc_files, "staged ORC dir should hold at least one block file"
+        os.remove(os.path.join(out_dir, orc_files[0]))  # simulate a lost block
+        with pytest.raises(RuntimeError, match="rows on disk"):
+            orc_roundtrip_lineitem(SF_DIR)
+    finally:
+        # leave no poisoned cache behind: the next caller must rebuild
+        shutil.rmtree(out_dir, ignore_errors=True)
