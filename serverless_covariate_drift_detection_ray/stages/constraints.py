@@ -58,6 +58,9 @@ def _precount(batch: pa.Table) -> pa.Table:
 
 
 SCREEN_MAX_ROWS = 50_000_000  # above this the dup screen would strain the driver
+# distinct duplicated hashes the driver will fold exactly (the screen already
+# holds this set as a numpy array, so the bound introduces no new driver risk)
+DUP_FOLD_DRIVER_MAX = 100_000
 
 
 def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
@@ -116,6 +119,55 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
                 "observed": pa.array([""] * n),
                 "expected": pa.array(["1"] * n),
             }, schema=VIOLATION_SCHEMA)
+
+        if dup_hashes.size <= DUP_FOLD_DRIVER_MAX:
+            # driver-fold path: per-block (id, count, min partition) partials
+            # over dup-candidate rows only, summed on the driver. The driver
+            # state is bounded by the DISTINCT duplicated-id count — a set
+            # the screen above ALREADY holds as a numpy array — so this adds
+            # no new scale assumption, and it replaces a full groupby
+            # exchange (~1.5 s fixed cost at any input size) whose groups
+            # sum tens of rows. Exactness matches dedupe_bucket: counts key
+            # on the real image_id, so a 64-bit hash collision between two
+            # distinct ids never pools their counts.
+            def dup_partials(batch: pa.Table) -> pa.Table:
+                batch = batch.filter(pc.is_valid(batch["image_id"]))
+                h = hash64(batch["image_id"].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)
+                dup = batch.filter(pa.array(probe_sorted(dup_hashes, h)))
+                if dup.num_rows == 0:
+                    return pa.table({"image_id": pa.array([], pa.string()),
+                                     "cnt": pa.array([], pa.int64()),
+                                     "partition_id": pa.array([], pa.int32())})
+                df = dup.select(["image_id", "partition_id"]).to_pandas()
+                g = df.groupby("image_id", sort=False).agg(
+                    cnt=("image_id", "size"), partition_id=("partition_id", "min"))
+                return pa.table({
+                    "image_id": pa.array(g.index.to_numpy(), pa.string()),
+                    "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+                    "partition_id": pa.array(g["partition_id"].to_numpy(),
+                                             pa.int32()),
+                })
+
+            parts = ds.map_batches(dup_partials, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+            if not len(parts):
+                return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+            g = parts.groupby("image_id", sort=False).agg(
+                cnt=("cnt", "sum"), partition_id=("partition_id", "min"))
+            g = g[g.cnt > 1]
+            if not len(g):
+                return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+            n = len(g)
+            return ray.data.from_arrow(pa.table({
+                "partition_id": pa.array(
+                    g["partition_id"].to_numpy().astype(np.int32), pa.int32()),
+                "image_id": pa.array(g.index.to_numpy(), pa.string()),
+                "check": pa.array(["unique_image_id"] * n),
+                "column": pa.array(["image_id"] * n),
+                "observed": pa.array(g["cnt"].to_numpy().astype(np.int64).astype(str)),
+                "expected": pa.array(["1"] * n),
+            }, schema=VIOLATION_SCHEMA))
 
         dup_rows = ds.map_batches(collect_dups, batch_format="pyarrow",
                                   zero_copy_batch=True)

@@ -20,6 +20,7 @@ import os
 import shutil
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -60,6 +61,36 @@ def test_write_plots_rejects_mixed_histogram_configs(tmp_path):
         fh.write(a.to_bytes())
     written = write_plots(out_dir)
     assert any(p.endswith("hist_w.svg") for p in written)
+
+
+def test_uniqueness_dup_fold_gate_parity(ray_session, monkeypatch):
+    """The PK-uniqueness driver-fold branch (bounded dup set summed on the
+    driver) must emit exactly what the salted-groupby branch emits: one row
+    per duplicated KEY, observed = exact global count, partition_id = min
+    locus. Forces the distributed branch via DUP_FOLD_DRIVER_MAX = -1."""
+    import ray.data
+
+    from serverless_covariate_drift_detection_ray.stages import constraints as C
+
+    ids = (["dup-a"] * 3 + ["dup-b"] * 2 + [f"u{i}" for i in range(40)]
+           + [None, None])
+    parts = [3, 1, 2, 0, 2] + [i % 4 for i in range(40)] + [1, 2]
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "partition_id": pa.array(parts, pa.int32())})
+    ds = ray.data.from_arrow(t).repartition(5).materialize()
+
+    def run():
+        df = C.check_uniqueness(ds).to_pandas()
+        return (df.sort_values("image_id").reset_index(drop=True)
+                if len(df) else df)
+
+    fold = run()
+    monkeypatch.setattr(C, "DUP_FOLD_DRIVER_MAX", -1)
+    shuffled = run()
+    assert list(fold.image_id) == ["dup-a", "dup-b"]
+    assert list(fold.observed) == ["3", "2"]
+    assert list(fold.partition_id) == [1, 0]  # min partition locus
+    pd.testing.assert_frame_equal(fold, shuffled)
 
 
 def test_orc_roundtrip_detects_rows_lost_on_disk(ray_session):
