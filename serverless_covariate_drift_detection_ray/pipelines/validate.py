@@ -329,25 +329,35 @@ def validate(
     constraints_fut = pool.submit(build_constraints)
 
     # ---- pass 1: bytes-heavy featurize + sketch partials ----
-    # actor pool must leave CPU slots for the read stage, or the pipeline
-    # deadlocks (pool reserves every CPU and ReadParquet never schedules)
-    # an actor pool that reserves every CPU starves (or deadlocks) the read.
-    # Read slots scale with the cluster (ncpu // 4, min 2): since the phash
-    # kernel rewrite the stage is parquet-decode-bound, not actor-bound —
-    # measured at 400k rows: 32 CPUs best featurize 11.8 s at 24 actors vs
-    # 18.2 s at 30; 16 CPUs best 16.4 s at 12 actors vs 18.2 s at 14
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    concurrency = cfg.featurize_concurrency or max(2, ncpu - max(2, ncpu // 4))
+    # Default: STATELESS tasks (featurize_task, warm-worker module cache).
+    # Ray fuses the parquet read into the same task and shares every CPU
+    # between read and compute; an actor pool must reserve a fixed CPU split
+    # up front (and deadlocks the read stage if sized to every CPU) —
+    # measured at 400k rows / 32 CPUs: 6.2 s tasks vs 7.1 s best-split
+    # (24-actor) pool. cfg.featurize_concurrency forces the explicit actor
+    # pool (load-once-per-actor escape hatch; same output, parity-tested).
     ds = read_images(manifest, skip_partitions=finished)
     t1 = time.time()
-    reduced = ds.map_batches(
-        FeaturizeAndSketch,
-        fn_constructor_args=(cfg, broadcast),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    ).materialize()  # tiny: per-block partial rows + violation rows only
+    if cfg.featurize_concurrency:
+        reduced = ds.map_batches(
+            FeaturizeAndSketch,
+            fn_constructor_args=(cfg, broadcast),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+            concurrency=cfg.featurize_concurrency,
+        ).materialize()  # tiny: per-block partial rows + violation rows only
+    else:
+        from functools import partial as _fpartial
+
+        from ..stages.featurize import featurize_task
+
+        reduced = ds.map_batches(
+            _fpartial(featurize_task, cfg=cfg, manifest_broadcast=broadcast),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        ).materialize()  # tiny: per-block partial rows + violation rows only
     stage_t["featurize"] = time.time() - t1
 
     # the reduced stream is a few KB per input block — collect it once on the

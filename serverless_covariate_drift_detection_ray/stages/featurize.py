@@ -52,10 +52,13 @@ OUT_SCHEMA = pa.schema(
 
 
 class FeaturizeAndSketch:
-    """Callable-class stage: runs as an actor pool so the broadcast manifest-id
-    set is fetched once per worker (``ray.put`` → ``ray.get`` in ``__init__``),
-    mirroring the reference's singleton-per-process model cache
-    (/root/reference/detector_api/app/utils.py:4-14)."""
+    """Callable-class stage: the broadcast manifest-id set is fetched once per
+    worker (``ray.put`` → ``ray.get`` in ``__init__``), mirroring the
+    reference's singleton-per-process model cache
+    (/root/reference/detector_api/app/utils.py:4-14). Runs either as an actor
+    pool (``cfg.featurize_concurrency`` set) or — the default — via the
+    stateless ``featurize_task`` wrapper below, which keeps the same
+    load-once-per-worker contract through a module cache."""
 
     def __init__(self, cfg: EngineConfig, manifest_broadcast: dict | None = None):
         self.cfg = cfg
@@ -279,3 +282,30 @@ class FeaturizeAndSketch:
         if not tables:
             return OUT_SCHEMA.empty_table()
         return pa.concat_tables(tables)
+
+
+# ---------------------------------------------------------------------------
+# Stateless-task wrapper (default execution mode; drift stage's warm-worker
+# pattern). An actor pool must reserve a fixed CPU split against the read
+# stage up front (and deadlocks if sized to every CPU); stateless tasks let
+# Ray fuse the parquet read into the same task and share all CPUs between
+# read and compute — measured on the 400k-row bench fixture at 32 CPUs:
+# 7.1 s (24-actor pool, best split) vs 6.2 s (tasks). The broadcast id-set
+# is still fetched once per WORKER process: warm workers are reused across
+# tasks and the cache is keyed by (config fingerprint, broadcast ref id).
+# ---------------------------------------------------------------------------
+
+_WORKER_CACHE: dict = {}
+
+
+def featurize_task(batch: pa.Table, cfg: EngineConfig,
+                   manifest_broadcast: dict | None = None) -> pa.Table:
+    from ..state.checkpoint import config_fingerprint
+
+    key = (config_fingerprint(cfg),
+           manifest_broadcast["ref"].hex() if manifest_broadcast else None)
+    st = _WORKER_CACHE.get(key)
+    if st is None:
+        st = FeaturizeAndSketch(cfg, manifest_broadcast)
+        _WORKER_CACHE[key] = st
+    return st(batch)
