@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classify_accuracy_embeddings": classify.classify_accuracy_embeddings,
         # similarity search / embedding drift
         "ann_topk_cosine": ann.ann_topk_cosine,
+        "ann_topk_filtered": ann.ann_topk_filtered,
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
         "ann_ivf_cosine": ann.ann_ivf_cosine,
         "kmeans_embeddings": ann.kmeans_embeddings,
@@ -477,6 +478,7 @@ FROM '{truth_path}' GROUP BY "check"
         "embedding_dim_stats": dimred.DIM_STATS_SQL,
         "label_centroids_embeddings": dimred.CENTROIDS_SQL,
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
+        "ann_topk_filtered": ann.ANN_TOPK_FILTERED_SQL,
         "quantize_embeddings_int8": ann.QUANTIZE_INT8_SQL,
         "ann_topk_quantized": ann.ANN_TOPK_QUANTIZED_SQL,
         "ann_quantized_recall": ann.ANN_QUANTIZED_RECALL_SQL,

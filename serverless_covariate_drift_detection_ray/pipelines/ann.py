@@ -109,6 +109,96 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def ann_topk_filtered(sf_dir: str):
+    """Predicate-constrained exact top-k (filtered vector search): each query
+    retrieves its TOP_K nearest corpus neighbors AMONG rows satisfying the
+    predicate — here "same label as the query", the metadata-filter shape
+    every production vector store exposes. The filter applies DURING the
+    scan (pre-filtering): post-filtering a plain top-k would return < k
+    rows whenever the predicate is selective, the classic filtered-ANN bug.
+    Same broadcast-scan / per-batch-partial-top-k shape as
+    ``ann_topk_cosine`` with the per-query label mask folded into the score
+    pass; at IVF scale the same mask drops into the probed-cell scorer."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding", "label"])
+    qmask = np.asarray(qt["vec_id"].to_numpy() < N_QUERIES)
+    qsel = qt.filter(pa.array(qmask))
+    q = _to_matrix(qsel["embedding"])
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ids = qsel["vec_id"].to_numpy().astype(np.int64)
+    q_labels = qsel["label"].to_numpy().astype(np.int64)
+    wrapped = {"ref": ray.put((q_ids, q, q_labels))}
+
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def score_filtered(batch: pa.Table) -> pa.Table:
+        qi_ids, qm, ql = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        labels = batch["label"].to_numpy().astype(np.int64)
+        x = _to_matrix(batch["embedding"])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cos = qm @ x.T  # (m, n)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(cos.shape[0]):
+            valid = np.flatnonzero(labels == ql[qi])
+            if valid.size == 0:
+                continue
+            kk = min(TOP_K, valid.size)
+            top = valid[np.argpartition(-cos[qi, valid], kk - 1)[:kk]]
+            out_q.append(np.full(kk, qi_ids[qi], dtype=np.int64))
+            out_n.append(ids[top])
+            out_c.append(cos[qi][top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "cos": pa.array(np.concatenate(out_c), pa.float64()),
+        })
+
+    partials = ds.map_batches(score_filtered, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cos", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+
+    out = partials.groupby("query_id").map_groups(merge_topk,
+                                                  batch_format="pandas")
+
+    def final_round(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": batch["query_id"],
+            "neighbor_id": batch["neighbor_id"],
+            "cos": pa.array(_round(batch["cos"].to_numpy(), 6)),
+        })
+
+    return out.map_batches(final_round, batch_format="pyarrow")
+
+
+ANN_TOPK_FILTERED_SQL = f"""
+SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+  FLOOR(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[])*1000000+0.5)/1000000 AS cos
+FROM embeddings q, embeddings n
+WHERE q.vec_id < {N_QUERIES} AND n.vec_id >= {N_QUERIES} AND n.label = q.label
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+           n.vec_id) <= {TOP_K}
+"""
+
+
 LSH_TABLES = 3  # independent hash tables (banding): recall 1-(1-p^planes)^tables
 LSH_PLANES = 4  # 16 buckets per table; ~3/16 of the corpus scanned per query
 LSH_BUCKET_CAP = 4096  # max corpus rows scored per bucket (deterministic subset)

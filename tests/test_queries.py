@@ -99,6 +99,36 @@ def test_ann_lsh_recall_vs_exact(ray_session):
     assert (lsh.neighbor_id >= 10).all()
 
 
+def test_ann_topk_filtered_pre_filter_semantics(ray_session):
+    """Filtered vector search must PRE-filter: every neighbor satisfies the
+    predicate (label == query's label) AND every query still gets its full k
+    among the eligible pool — a post-filtered top-k would come up short
+    whenever the filter is selective."""
+    import pyarrow.parquet as pq_
+
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["ann_topk_filtered"](SF))
+    emb = pq_.read_table(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "label"]).to_pandas()
+    lab = emb.set_index("vec_id").label
+    assert (out.neighbor_id >= 10).all()  # corpus side only, never a query
+    assert (lab[out.neighbor_id].to_numpy()
+            == lab[out.query_id].to_numpy()).all()
+    pool = emb[emb.vec_id >= 10].label.value_counts()
+    for qid, grp in out.groupby("query_id"):
+        assert len(grp) == min(10, int(pool.get(lab[qid], 0)))
+    # and it is exactly the label-restricted subset of a full exact scan:
+    # every filtered hit with cos >= the unfiltered k-th must appear there
+    exact = _to_df(e.queries()["ann_topk_cosine"](SF))
+    epairs = set(zip(exact.query_id, exact.neighbor_id))
+    for qid, grp in out.groupby("query_id"):
+        floor_cos = exact[exact.query_id == qid].cos.min()
+        for _, r in grp.iterrows():
+            if r.cos > floor_cos:
+                assert (qid, r.neighbor_id) in epairs
+
+
 def test_ann_ivf_recall_vs_exact(ray_session):
     import __ray_entry__ as e
 
