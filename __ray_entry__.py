@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding drift
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_filtered": ann.ann_topk_filtered,
+        "hybrid_search_rrf": ann.hybrid_search_rrf,
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
         "ann_ivf_cosine": ann.ann_ivf_cosine,
         "kmeans_embeddings": ann.kmeans_embeddings,
@@ -479,6 +480,7 @@ FROM '{truth_path}' GROUP BY "check"
         "label_centroids_embeddings": dimred.CENTROIDS_SQL,
         "ann_topk_cosine": ann.ANN_TOPK_SQL,
         "ann_topk_filtered": ann.ANN_TOPK_FILTERED_SQL,
+        "hybrid_search_rrf": ann.HYBRID_SEARCH_SQL,
         "quantize_embeddings_int8": ann.QUANTIZE_INT8_SQL,
         "ann_topk_quantized": ann.ANN_TOPK_QUANTIZED_SQL,
         "ann_quantized_recall": ann.ANN_QUANTIZED_RECALL_SQL,

@@ -1517,3 +1517,186 @@ SELECT et.query_id, COUNT(qt.neighbor_id)::BIGINT AS n_overlap,
 FROM et LEFT JOIN qt USING (query_id, neighbor_id)
 GROUP BY et.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: keyword + vector with reciprocal-rank fusion — the
+# standard production search shape (sparse lexical recall fused with dense
+# semantic recall). Each side retrieves a bounded per-query candidate list
+# (top-C by a STRICT total order: score desc, doc_id asc — float ties can't
+# reorder across engines), then RRF folds the two rank lists:
+# rrf(d) = Σ_side 1/(K + rank_side(d)), absent side contributes 0.
+# Candidate lists are N_QUERIES × HYBRID_C rows by construction, so the
+# fusion join runs on the driver; both retrieval scans stay distributed
+# (per-block partial top-C → one bounded per-query merge).
+# ---------------------------------------------------------------------------
+
+HYBRID_C = 50   # per-side candidate depth
+HYBRID_K = 60   # classic RRF constant
+
+
+def _ranked_candidates(partials, c: int) -> pd.DataFrame:
+    """Per-query global top-c of (score desc, doc_id asc) + 1-based rank.
+    Exact given per-block partials kept under the same strict order."""
+    def head_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(c).copy()
+        df["r"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return (partials.groupby("query_id")
+            .map_groups(head_rank, batch_format="pandas").to_pandas())
+
+
+def hybrid_search_rrf(sf_dir: str):
+    """Hybrid search over the documents/embeddings pair (doc_id == vec_id):
+    keyword side scores distinct-token Jaccard against the query text (only
+    docs sharing ≥1 token are lexical candidates), vector side scores
+    cosine; reciprocal-rank fusion returns the top-TOP_K per query. All
+    scores that feed ranks are computed identically in the oracle (exact
+    small-integer ratios / the same IEEE divisions), and every rank order
+    carries a doc_id tie-break, so the fused output is hash-exact."""
+    import pyarrow.parquet as pq
+    import ray
+
+    # ---- queries (bounded: N_QUERIES rows of each table) ----
+    qd = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    qd = qd.filter(pa.array(np.asarray(qd["doc_id"].to_numpy()) < N_QUERIES))
+    q_ids_t = qd["doc_id"].to_numpy().astype(np.int64)
+    q_tokens = [frozenset(t for t in s.lower().split(" ") if t)
+                for s in qd["text"].to_pylist()]
+    qt_ = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = np.asarray(qt_["vec_id"].to_numpy() < N_QUERIES)
+    qsel = qt_.filter(pa.array(qmask))
+    qm = _to_matrix(qsel["embedding"])
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    q_ids_v = qsel["vec_id"].to_numpy().astype(np.int64)
+    wrapped = {"ref": ray.put((q_ids_t, q_tokens, q_ids_v, qm))}
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+
+    def text_partial(batch: pa.Table) -> pa.Table:
+        qi, qtok, _, _ = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["doc_id"], N_QUERIES))
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        toks = [frozenset(t for t in s.lower().split(" ") if t)
+                for s in batch["text"].to_pylist()]
+        out_q, out_d, out_s = [], [], []
+        for k in range(len(qi)):
+            qs = qtok[k]
+            jac = np.array([len(qs & d) / len(qs | d) if (qs or d) else 0.0
+                            for d in toks])
+            keep = np.flatnonzero(jac > 0)
+            if keep.size == 0:
+                continue
+            order = keep[np.lexsort((ids[keep], -jac[keep]))][:HYBRID_C]
+            out_q.append(np.full(order.size, qi[k], dtype=np.int64))
+            out_d.append(ids[order])
+            out_s.append(jac[order])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "score": pa.array(np.concatenate(out_s),
+                                           pa.float64())})
+
+    def vec_partial(batch: pa.Table) -> pa.Table:
+        _, _, qi, q = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        x = _to_matrix(batch["embedding"])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cos = q @ x.T
+        out_q, out_d, out_s = [], [], []
+        for k in range(cos.shape[0]):
+            order = np.lexsort((ids, -cos[k]))[:HYBRID_C]
+            out_q.append(np.full(order.size, qi[k], dtype=np.int64))
+            out_d.append(ids[order])
+            out_s.append(cos[k][order])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "score": pa.array(np.concatenate(out_s),
+                                           pa.float64())})
+
+    docs = _read_blocked(sf_dir, "documents", ["doc_id", "text"])
+    vecs = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
+    t_rank = _ranked_candidates(
+        docs.map_batches(text_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), HYBRID_C)
+    v_rank = _ranked_candidates(
+        vecs.map_batches(vec_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), HYBRID_C)
+
+    # ---- driver fusion over ≤ 2 × N_QUERIES × HYBRID_C candidate rows ----
+    fused = t_rank[["query_id", "doc_id", "r"]].merge(
+        v_rank[["query_id", "doc_id", "r"]],
+        on=["query_id", "doc_id"], how="outer", suffixes=("_t", "_v"))
+    rt = fused["r_t"].to_numpy(dtype=np.float64, na_value=np.nan)
+    rv = fused["r_v"].to_numpy(dtype=np.float64, na_value=np.nan)
+    rrf = (np.where(np.isnan(rt), 0.0, 1.0 / (HYBRID_K + rt))
+           + np.where(np.isnan(rv), 0.0, 1.0 / (HYBRID_K + rv)))
+    fused = pd.DataFrame({"query_id": fused.query_id.to_numpy(np.int64),
+                          "doc_id": fused.doc_id.to_numpy(np.int64),
+                          "rrf": rrf})
+    fused = fused.sort_values(["query_id", "rrf", "doc_id"],
+                              ascending=[True, False, True])
+    fused = fused.groupby("query_id", sort=False).head(TOP_K)
+    return pa.table({
+        "query_id": pa.array(fused.query_id.to_numpy(), pa.int64()),
+        "doc_id": pa.array(fused.doc_id.to_numpy(), pa.int64()),
+        "rrf": pa.array(_round(fused.rrf.to_numpy(), 9), pa.float64()),
+    })
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH qdoc AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '')) AS toks
+  FROM documents WHERE doc_id < {N_QUERIES}),
+cdoc AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '')) AS toks
+  FROM documents WHERE doc_id >= {N_QUERIES}),
+trank AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY len(list_intersect(q.toks, c.toks))::DOUBLE
+                    / len(list_distinct(list_concat(q.toks, c.toks))) DESC,
+                    c.doc_id) AS r
+  FROM qdoc q, cdoc c
+  WHERE len(list_intersect(q.toks, c.toks)) > 0
+  QUALIFY r <= {HYBRID_C}),
+vrank AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           n.embedding::DOUBLE[]) DESC,
+                    n.vec_id) AS r
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < {N_QUERIES} AND n.vec_id >= {N_QUERIES}
+  QUALIFY r <= {HYBRID_C}),
+fused AS (
+  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1.0 / ({HYBRID_K} + t.r), 0)
+         + COALESCE(1.0 / ({HYBRID_K} + v.r), 0) AS rrf_raw
+  FROM trank t FULL OUTER JOIN vrank v
+    ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+SELECT query_id, doc_id,
+       FLOOR(rrf_raw * 1000000000 + 0.5) / 1000000000 AS rrf
+FROM fused
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id) <= {TOP_K}
+"""

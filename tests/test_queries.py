@@ -129,6 +129,27 @@ def test_ann_topk_filtered_pre_filter_semantics(ray_session):
                 assert (qid, r.neighbor_id) in epairs
 
 
+def test_hybrid_search_rrf_fusion_invariants(ray_session):
+    """RRF output invariants: scores bounded by the two best possible ranks,
+    ≤ TOP_K rows per query, and the fused order actually mixes evidence —
+    at least one returned doc carries BOTH a lexical and a vector rank
+    (rrf > 1/(K+1), impossible from a single list)."""
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        HYBRID_K,
+        TOP_K,
+    )
+
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["hybrid_search_rrf"](SF))
+    assert len(out)
+    assert (out.rrf > 0).all()
+    assert (out.rrf <= 2.0 / (HYBRID_K + 1) + 1e-12).all()
+    assert out.groupby("query_id").size().max() <= TOP_K
+    assert (out.doc_id >= 10).all()
+    assert (out.rrf > 1.0 / (HYBRID_K + 1)).any()
+
+
 def test_ann_ivf_recall_vs_exact(ray_session):
     import __ray_entry__ as e
 
