@@ -30,24 +30,66 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def _query_matrix(sf_dir: str, with_label: bool = False):
+    """(q_ids, L2-normalized query matrix[, labels]) for vec_id < N_QUERIES —
+    the shared query-side load of every brute-force scan variant."""
+    import pyarrow.parquet as pq
+
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols)
+    qsel = qt.filter(pa.array(np.asarray(qt["vec_id"].to_numpy()) < N_QUERIES))
+    q_ids = qsel["vec_id"].to_numpy().astype(np.int64)
+    q = _normalize_rows(_to_matrix(qsel["embedding"]))
+    if with_label:
+        return q_ids, q, qsel["label"].to_numpy().astype(np.int64)
+    return q_ids, q
+
+
+def _merge_round_topk(partials, k: int = TOP_K):
+    """Per-query exact merge of block partials under the strict
+    (cos DESC, neighbor_id ASC) order, then the 1e-6 score rounding the
+    oracles use — shared by every exact-scan variant."""
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cos", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+
+    out = partials.groupby("query_id").map_groups(merge_topk,
+                                                  batch_format="pandas")
+
+    def final_round(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "query_id": batch["query_id"],
+            "neighbor_id": batch["neighbor_id"],
+            "cos": pa.array(_round(batch["cos"].to_numpy(), 6)),
+        })
+
+    return out.map_batches(final_round, batch_format="pyarrow")
+
+
 def _topk_score(batch: pa.Table, wrapped, k: int) -> pa.Table:
     """Broadcast-task stage: the query matrix reads zero-copy from the
-    object store per call; per batch one matmul + per-query partial top-k.
-    (Stateless tasks instead of a capped actor pool — the scan scales with
-    free CPUs and reuses warm workers.)"""
+    object store per call; per batch one matmul + per-query partial top-k
+    with the tie-exact (cos DESC, id ASC) block cut — a bare argpartition
+    could drop the lower-id member of a cos tie at the boundary, which the
+    downstream merge can never recover. (Stateless tasks instead of a
+    capped actor pool — the scan scales with free CPUs and reuses warm
+    workers.)"""
     import ray
 
     q_ids, q = ray.get(wrapped["ref"])  # (m,), (m, d) L2-normalized
-    ids = batch["vec_id"].to_numpy()
-    x = _to_matrix(batch["embedding"])
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    ids = batch["vec_id"].to_numpy().astype(np.int64)
+    x = _normalize_rows(_to_matrix(batch["embedding"]))
     cos = q @ x.T  # (m, n)
     k = min(k, cos.shape[1])
     out_q, out_n, out_c = [], [], []
     for qi in range(cos.shape[0]):
-        top = np.argpartition(-cos[qi], k - 1)[:k]
+        top = _topk_tiebreak_cut(cos[qi], ids, k)
         out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
-        out_n.append(ids[top].astype(np.int64))
+        out_n.append(ids[top])
         out_c.append(cos[qi][top])
     return pa.table({
         "query_id": pa.array(np.concatenate(out_q)),
@@ -57,16 +99,11 @@ def _topk_score(batch: pa.Table, wrapped, k: int) -> pa.Table:
 
 
 def ann_topk_cosine(sf_dir: str):
-    """Exact brute-force cosine top-k: per-batch partial top-k in an actor
-    pool, then a per-query merge of the partials (k × n_blocks rows — tiny)."""
-    import pyarrow.parquet as pq
+    """Exact brute-force cosine top-k: per-batch partial top-k in broadcast
+    tasks, then a per-query merge of the partials (k × n_blocks rows — tiny)."""
     import ray
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = np.asarray(qt["vec_id"].to_numpy() < N_QUERIES)
-    q = _to_matrix(qt.filter(pa.array(qmask))["embedding"])
-    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    q_ids = qt.filter(pa.array(qmask))["vec_id"].to_numpy().astype(np.int64)
+    q_ids, q = _query_matrix(sf_dir)
     wrapped = {"ref": ray.put((q_ids, q))}
 
     ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -80,21 +117,7 @@ def ann_topk_cosine(sf_dir: str):
                               ).map_batches(
         _partial(_topk_score, wrapped=wrapped, k=TOP_K), batch_format="pyarrow",
     )
-
-    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(TOP_K)
-        return df
-
-    out = partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
-
-    def final_round(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "query_id": batch["query_id"],
-            "neighbor_id": batch["neighbor_id"],
-            "cos": pa.array(_round(batch["cos"].to_numpy(), 6)),
-        })
-
-    return out.map_batches(final_round, batch_format="pyarrow")
+    return _merge_round_topk(partials)
 
 
 ANN_TOPK_SQL = f"""
@@ -119,17 +142,9 @@ def ann_topk_filtered(sf_dir: str):
     Same broadcast-scan / per-batch-partial-top-k shape as
     ``ann_topk_cosine`` with the per-query label mask folded into the score
     pass; at IVF scale the same mask drops into the probed-cell scorer."""
-    import pyarrow.parquet as pq
     import ray
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding", "label"])
-    qmask = np.asarray(qt["vec_id"].to_numpy() < N_QUERIES)
-    qsel = qt.filter(pa.array(qmask))
-    q = _to_matrix(qsel["embedding"])
-    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    q_ids = qsel["vec_id"].to_numpy().astype(np.int64)
-    q_labels = qsel["label"].to_numpy().astype(np.int64)
+    q_ids, q, q_labels = _query_matrix(sf_dir, with_label=True)
     wrapped = {"ref": ray.put((q_ids, q, q_labels))}
 
     ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
@@ -144,8 +159,7 @@ def ann_topk_filtered(sf_dir: str):
                              "cos": pa.array([], pa.float64())})
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         labels = batch["label"].to_numpy().astype(np.int64)
-        x = _to_matrix(batch["embedding"])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = _normalize_rows(_to_matrix(batch["embedding"]))
         cos = qm @ x.T  # (m, n)
         out_q, out_n, out_c = [], [], []
         for qi in range(cos.shape[0]):
@@ -153,7 +167,7 @@ def ann_topk_filtered(sf_dir: str):
             if valid.size == 0:
                 continue
             kk = min(TOP_K, valid.size)
-            top = valid[np.argpartition(-cos[qi, valid], kk - 1)[:kk]]
+            top = valid[_topk_tiebreak_cut(cos[qi, valid], ids[valid], kk)]
             out_q.append(np.full(kk, qi_ids[qi], dtype=np.int64))
             out_n.append(ids[top])
             out_c.append(cos[qi][top])
@@ -169,22 +183,7 @@ def ann_topk_filtered(sf_dir: str):
 
     partials = ds.map_batches(score_filtered, batch_format="pyarrow",
                               zero_copy_batch=True)
-
-    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["cos", "neighbor_id"],
-                              ascending=[False, True]).head(TOP_K)
-
-    out = partials.groupby("query_id").map_groups(merge_topk,
-                                                  batch_format="pandas")
-
-    def final_round(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "query_id": batch["query_id"],
-            "neighbor_id": batch["neighbor_id"],
-            "cos": pa.array(_round(batch["cos"].to_numpy(), 6)),
-        })
-
-    return out.map_batches(final_round, batch_format="pyarrow")
+    return _merge_round_topk(partials)
 
 
 ANN_TOPK_FILTERED_SQL = f"""
@@ -1552,10 +1551,12 @@ def hybrid_search_rrf(sf_dir: str):
     """Hybrid search over the documents/embeddings pair (doc_id == vec_id):
     keyword side scores distinct-token Jaccard against the query text (only
     docs sharing ≥1 token are lexical candidates), vector side scores
-    cosine; reciprocal-rank fusion returns the top-TOP_K per query. All
-    scores that feed ranks are computed identically in the oracle (exact
-    small-integer ratios / the same IEEE divisions), and every rank order
-    carries a doc_id tie-break, so the fused output is hash-exact."""
+    cosine; reciprocal-rank fusion returns the top-TOP_K per query. Every
+    rank order carries a doc_id tie-break, and every score feeding a rank
+    is either an exact small-integer ratio (Jaccard) or the 1e-6-rounded
+    cosine the oracle SQL ranks with the identical expression, so the
+    fused output hash-matches the oracle (a residual flip would need a
+    true cosine within float-rounding distance of a 1e-6 bucket edge)."""
     import pyarrow.parquet as pq
     import ray
 
@@ -1566,13 +1567,7 @@ def hybrid_search_rrf(sf_dir: str):
     q_ids_t = qd["doc_id"].to_numpy().astype(np.int64)
     q_tokens = [frozenset(t for t in s.lower().split(" ") if t)
                 for s in qd["text"].to_pylist()]
-    qt_ = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    qmask = np.asarray(qt_["vec_id"].to_numpy() < N_QUERIES)
-    qsel = qt_.filter(pa.array(qmask))
-    qm = _to_matrix(qsel["embedding"])
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    q_ids_v = qsel["vec_id"].to_numpy().astype(np.int64)
+    q_ids_v, qm = _query_matrix(sf_dir)
     wrapped = {"ref": ray.put((q_ids_t, q_tokens, q_ids_v, qm))}
 
     empty = pa.table({"query_id": pa.array([], pa.int64()),
@@ -1614,15 +1609,20 @@ def hybrid_search_rrf(sf_dir: str):
         if batch.num_rows == 0:
             return empty
         ids = batch["vec_id"].to_numpy().astype(np.int64)
-        x = _to_matrix(batch["embedding"])
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        cos = q @ x.T
+        x = _normalize_rows(_to_matrix(batch["embedding"]))
+        # rank on the 1e-6-ROUNDED cosine (the oracle ranks the identically
+        # rounded SQL expression): raw float ranks would let a ~1e-15
+        # cross-engine rounding gap between near-equal cosines flip a rank
+        # pair, and a rank flip shifts the fused rrf by ~1/(K+r)²
+        cos = np.floor((q @ x.T) * 1e6 + 0.5) / 1e6
         out_q, out_d, out_s = [], [], []
         for k in range(cos.shape[0]):
             order = np.lexsort((ids, -cos[k]))[:HYBRID_C]
             out_q.append(np.full(order.size, qi[k], dtype=np.int64))
             out_d.append(ids[order])
             out_s.append(cos[k][order])
+        if not out_q:
+            return empty
         return pa.table({"query_id": pa.array(np.concatenate(out_q)),
                          "doc_id": pa.array(np.concatenate(out_d)),
                          "score": pa.array(np.concatenate(out_s),
@@ -1681,8 +1681,9 @@ vrank AS (
   SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
-                                           n.embedding::DOUBLE[]) DESC,
+           ORDER BY FLOOR(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 n.embedding::DOUBLE[])
+                          * 1000000 + 0.5) / 1000000 DESC,
                     n.vec_id) AS r
   FROM embeddings q, embeddings n
   WHERE q.vec_id < {N_QUERIES} AND n.vec_id >= {N_QUERIES}

@@ -307,5 +307,9 @@ def featurize_task(batch: pa.Table, cfg: EngineConfig,
     st = _WORKER_CACHE.get(key)
     if st is None:
         st = FeaturizeAndSketch(cfg, manifest_broadcast)
+        # one live broadcast copy per worker (drift.py's bound): every
+        # validate() run ray.puts a fresh broadcast ref, so an unbounded
+        # cache would leak one manifest-hash array per run in warm workers
+        _WORKER_CACHE.clear()
         _WORKER_CACHE[key] = st
     return st(batch)

@@ -85,12 +85,15 @@ def test_uniqueness_dup_fold_gate_parity(ray_session, monkeypatch):
                 if len(df) else df)
 
     fold = run()
-    monkeypatch.setattr(C, "DUP_FOLD_DRIVER_MAX", -1)
+    monkeypatch.setattr(C, "DUP_FOLD_ROWS_MAX", -1)  # fan-out bound trips
+    via_rows_gate = run()
+    monkeypatch.setattr(C, "DUP_FOLD_DRIVER_MAX", -1)  # hash bound trips
     shuffled = run()
     assert list(fold.image_id) == ["dup-a", "dup-b"]
     assert list(fold.observed) == ["3", "2"]
     assert list(fold.partition_id) == [1, 0]  # min partition locus
     pd.testing.assert_frame_equal(fold, shuffled)
+    pd.testing.assert_frame_equal(fold, via_rows_gate)
 
 
 def test_featurize_task_vs_actor_pool_parity(ray_session, tmp_path_factory):
