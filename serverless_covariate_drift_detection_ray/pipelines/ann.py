@@ -1534,16 +1534,29 @@ HYBRID_C = 50   # per-side candidate depth
 HYBRID_K = 60   # classic RRF constant
 
 
+_RANK_COMBINE_BLOCKS = 32  # pre-combine width: bounds the per-query group
+
+
 def _ranked_candidates(partials, c: int) -> pd.DataFrame:
     """Per-query global top-c of (score desc, doc_id asc) + 1-based rank.
-    Exact given per-block partials kept under the same strict order."""
+    Exact given per-block partials kept under the same strict order. A
+    repartition + per-block combine runs first so the final per-query group
+    holds ≤ _RANK_COMBINE_BLOCKS × c rows regardless of input block count
+    (without it a 10^6-block corpus would feed 10^6 × c rows into one
+    group); the combine is order-preserving, so the merge stays exact."""
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["score", "doc_id"], ascending=[False, True])
+                .groupby("query_id", sort=False).head(c))
+
     def head_rank(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["score", "doc_id"],
                             ascending=[False, True]).head(c).copy()
         df["r"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df
 
-    return (partials.groupby("query_id")
+    return (partials.repartition(_RANK_COMBINE_BLOCKS)
+            .map_batches(combine, batch_format="pandas")
+            .groupby("query_id")
             .map_groups(head_rank, batch_format="pandas").to_pandas())
 
 
