@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": ann.ann_topk_cosine,
         "ann_topk_filtered": ann.ann_topk_filtered,
         "hybrid_search_rrf": ann.hybrid_search_rrf,
+        "mmr_rerank_embeddings": ann.mmr_rerank_embeddings,
         "ann_lsh_bucketed": ann.ann_lsh_bucketed,
         "ann_ivf_cosine": ann.ann_ivf_cosine,
         "kmeans_embeddings": ann.kmeans_embeddings,

@@ -1714,3 +1714,88 @@ FROM fused
 QUALIFY ROW_NUMBER() OVER (
   PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id) <= {TOP_K}
 """
+
+
+MMR_LAMBDA = 0.7  # relevance/diversity trade-off (classic Carbonell-Goldstein)
+
+
+def mmr_rerank_embeddings(sf_dir: str):
+    """Diversified re-rank via maximal marginal relevance: retrieve each
+    query's top-HYBRID_C cosine candidates with the exact distributed scan
+    (per-block tie-exact partial top-C, bounded merge), then greedily pick
+    TOP_K of them maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)``
+    — relevance first, then novelty against what's already picked. The
+    greedy loop runs on the driver over ≤ N_QUERIES × HYBRID_C candidates
+    by construction (the candidate×candidate sims come from one pruned
+    candidate-id read), so only the retrieval scan touches the corpus.
+    Rows-only: the iterative argmax isn't SQL-expressible; pinned against
+    an independent reimplementation + invariants in tests. All ties break
+    on the smaller doc_id, so output is deterministic at any parallelism."""
+    import pyarrow.parquet as pq
+    import ray
+
+    q_ids, q = _query_matrix(sf_dir)
+    wrapped = {"ref": ray.put((q_ids, q))}
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def corpus_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.greater_equal(batch["vec_id"],
+                                                     N_QUERIES))
+
+    from functools import partial as _partial
+
+    partials = ds.map_batches(corpus_only, batch_format="pyarrow",
+                              zero_copy_batch=True).map_batches(
+        _partial(_topk_score, wrapped=wrapped, k=HYBRID_C),
+        batch_format="pyarrow")
+
+    def merge_c(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cos", "neighbor_id"],
+                              ascending=[False, True]).head(HYBRID_C)
+
+    cand = (partials.groupby("query_id")
+            .map_groups(merge_c, batch_format="pandas").to_pandas())
+
+    # one pruned read of the ≤ N_QUERIES × HYBRID_C candidate vectors
+    cand_ids = np.unique(cand.neighbor_id.to_numpy())
+    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in",
+                                 sorted(int(i) for i in cand_ids))])
+    cid = ct["vec_id"].to_numpy().astype(np.int64)
+    cvec = _normalize_rows(_to_matrix(ct["embedding"]))
+    pos = {int(v): i for i, v in enumerate(cid)}
+
+    out_q, out_d, out_r, out_s = [], [], [], []
+    for k_q, grp in cand.groupby("query_id", sort=True):
+        g = grp.sort_values(["cos", "neighbor_id"],
+                            ascending=[False, True])
+        ids = g.neighbor_id.to_numpy().astype(np.int64)
+        rel = g.cos.to_numpy()
+        vecs = cvec[[pos[int(i)] for i in ids]]
+        sims = vecs @ vecs.T  # candidate × candidate
+        picked: list[int] = []
+        max_sim = np.full(ids.size, -np.inf)
+        remaining = np.ones(ids.size, dtype=bool)
+        for rank in range(min(TOP_K, ids.size)):
+            if picked:
+                score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            else:
+                score = rel.copy()
+            score[~remaining] = -np.inf
+            # argmax with smaller-doc_id tie-break (masked rows sort last)
+            best = int(np.lexsort((ids, -score))[0])
+            picked.append(best)
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, sims[best])
+            out_q.append(int(k_q))
+            out_d.append(int(ids[best]))
+            out_r.append(rank + 1)
+            out_s.append(float(rel[best]))
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "mmr_rank": pa.array(out_r, pa.int64()),
+        "relevance": pa.array(_round(np.array(out_s, dtype=np.float64), 6),
+                              pa.float64()),
+    })

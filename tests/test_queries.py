@@ -150,6 +150,55 @@ def test_hybrid_search_rrf_fusion_invariants(ray_session):
     assert (out.rrf > 1.0 / (HYBRID_K + 1)).any()
 
 
+def test_mmr_rerank_matches_reference_greedy(ray_session):
+    """Pin the distributed MMR pipeline against a from-scratch single-
+    machine greedy over the full corpus (same λ, candidate depth, and
+    smaller-doc_id tie-break) — rows-only op, so this parity test is its
+    correctness gate. Also pins the invariants: rank 1 is the plain cosine
+    argmax, and no query repeats a document."""
+    import pyarrow.parquet as pq_
+
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        HYBRID_C,
+        MMR_LAMBDA,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["mmr_rerank_embeddings"](SF))
+
+    t = pq_.read_table(f"{SF}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).to_pandas()
+    ids_all = t.vec_id.to_numpy().astype(np.int64)
+    x = np.stack(t.embedding.to_numpy()).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    qsel, csel = ids_all < N_QUERIES, ids_all >= N_QUERIES
+    cid, cx = ids_all[csel], x[csel]
+
+    for qpos, qid in zip(np.flatnonzero(qsel), ids_all[qsel]):
+        rel_all = x[qpos] @ cx.T
+        order = np.lexsort((cid, -rel_all))[:HYBRID_C]
+        ids, rel, vecs = cid[order], rel_all[order], cx[order]
+        sims = vecs @ vecs.T
+        picked, max_sim = [], np.full(ids.size, -np.inf)
+        remaining = np.ones(ids.size, dtype=bool)
+        for _ in range(min(TOP_K, ids.size)):
+            score = (rel.copy() if not picked
+                     else MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim)
+            score[~remaining] = -np.inf
+            best = int(np.lexsort((ids, -score))[0])
+            picked.append(best)
+            remaining[best] = False
+            max_sim = np.maximum(max_sim, sims[best])
+        expect = [int(ids[b]) for b in picked]
+        got = out[out.query_id == qid].sort_values("mmr_rank")
+        assert list(got.doc_id) == expect, f"query {qid}"
+        assert not got.doc_id.duplicated().any()
+        assert int(got.doc_id.iloc[0]) == int(ids[0])  # rank 1 = cos argmax
+
+
 def test_ann_ivf_recall_vs_exact(ray_session):
     import __ray_entry__ as e
 
