@@ -36,12 +36,14 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
 
 def _query_matrix(sf_dir: str, with_label: bool = False):
     """(q_ids, L2-normalized query matrix[, labels]) for vec_id < N_QUERIES —
-    the shared query-side load of every brute-force scan variant."""
+    the shared query-side load of every brute-force scan variant. The
+    predicate pushes into the parquet read (row-group pruning), so the
+    driver never materializes the corpus to pick out N_QUERIES rows."""
     import pyarrow.parquet as pq
 
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols)
-    qsel = qt.filter(pa.array(np.asarray(qt["vec_id"].to_numpy()) < N_QUERIES))
+    qsel = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols,
+                         filters=[("vec_id", "<", N_QUERIES)])
     q_ids = qsel["vec_id"].to_numpy().astype(np.int64)
     q = _normalize_rows(_to_matrix(qsel["embedding"]))
     if with_label:
@@ -70,20 +72,26 @@ def _merge_round_topk(partials, k: int = TOP_K):
     return out.map_batches(final_round, batch_format="pyarrow")
 
 
-def _topk_score(batch: pa.Table, wrapped, k: int) -> pa.Table:
+def _topk_score(batch: pa.Table, wrapped, k: int,
+                round6: bool = False) -> pa.Table:
     """Broadcast-task stage: the query matrix reads zero-copy from the
     object store per call; per batch one matmul + per-query partial top-k
     with the tie-exact (cos DESC, id ASC) block cut — a bare argpartition
     could drop the lower-id member of a cos tie at the boundary, which the
-    downstream merge can never recover. (Stateless tasks instead of a
-    capped actor pool — the scan scales with free CPUs and reuses warm
-    workers.)"""
+    downstream merge can never recover. ``round6`` ranks on the
+    1e-6-rounded cosine instead (consumers whose DOWNSTREAM output depends
+    on rank order — MMR, RRF — need rank stability across matmul shapes;
+    the plain top-k ops keep raw scores, matching their oracles' raw-rank
+    SQL). (Stateless tasks instead of a capped actor pool — the scan
+    scales with free CPUs and reuses warm workers.)"""
     import ray
 
     q_ids, q = ray.get(wrapped["ref"])  # (m,), (m, d) L2-normalized
     ids = batch["vec_id"].to_numpy().astype(np.int64)
     x = _normalize_rows(_to_matrix(batch["embedding"]))
     cos = q @ x.T  # (m, n)
+    if round6:
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
     k = min(k, cos.shape[1])
     out_q, out_n, out_c = [], [], []
     for qi in range(cos.shape[0]):
@@ -1554,10 +1562,19 @@ def _ranked_candidates(partials, c: int) -> pd.DataFrame:
         df["r"] = np.arange(1, len(df) + 1, dtype=np.int64)
         return df
 
-    return (partials.repartition(_RANK_COMBINE_BLOCKS)
-            .map_batches(combine, batch_format="pandas")
-            .groupby("query_id")
-            .map_groups(head_rank, batch_format="pandas").to_pandas())
+    out = (partials.repartition(_RANK_COMBINE_BLOCKS)
+           .map_batches(combine, batch_format="pandas")
+           .groupby("query_id")
+           .map_groups(head_rank, batch_format="pandas").to_pandas())
+    if not len(out.columns):
+        # an ALL-empty side (e.g. no doc shares a token with any query)
+        # loses its columns through map_groups().to_pandas(); the fusion
+        # contract is "absent side contributes 0", not a KeyError
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                            "doc_id": pd.Series([], dtype=np.int64),
+                            "score": pd.Series([], dtype=np.float64),
+                            "r": pd.Series([], dtype=np.int64)})
+    return out
 
 
 def hybrid_search_rrf(sf_dir: str):
@@ -1744,17 +1761,20 @@ def mmr_rerank_embeddings(sf_dir: str):
 
     from functools import partial as _partial
 
+    # candidate retrieval ranks the 1e-6-ROUNDED cosine (round6): the MMR
+    # output depends on candidate ORDER, and raw float ranks differ at the
+    # last ulp across matmul shapes/parallelism; the bounded pre-combine
+    # (_ranked_candidates) keeps the per-query merge group fixed-size at
+    # any corpus block count
     partials = ds.map_batches(corpus_only, batch_format="pyarrow",
                               zero_copy_batch=True).map_batches(
-        _partial(_topk_score, wrapped=wrapped, k=HYBRID_C),
+        _partial(_topk_score, wrapped=wrapped, k=HYBRID_C, round6=True),
+        batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(["query_id", "doc_id", "score"]),
         batch_format="pyarrow")
 
-    def merge_c(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["cos", "neighbor_id"],
-                              ascending=[False, True]).head(HYBRID_C)
-
-    cand = (partials.groupby("query_id")
-            .map_groups(merge_c, batch_format="pandas").to_pandas())
+    cand = _ranked_candidates(partials, HYBRID_C).rename(
+        columns={"doc_id": "neighbor_id", "score": "cos"})
 
     # one pruned read of the ≤ N_QUERIES × HYBRID_C candidate vectors
     cand_ids = np.unique(cand.neighbor_id.to_numpy())

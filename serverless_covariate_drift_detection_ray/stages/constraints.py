@@ -104,123 +104,99 @@ def check_uniqueness(ds) -> "ray.data.Dataset":  # noqa: F821
         if dup_hashes.size == 0:
             return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
 
-        def collect_dups(batch: pa.Table) -> pa.Table:
+        # per-block (id, count, min partition) partials over dup-candidate
+        # rows ONLY — the one pass that touches the raw table after the
+        # screen; both fold strategies below consume these partials, never
+        # the raw rows again. Exactness: counts key on the real image_id,
+        # so a 64-bit hash collision between two distinct ids never pools
+        # their counts.
+        def dup_partials(batch: pa.Table) -> pa.Table:
             batch = batch.filter(pc.is_valid(batch["image_id"]))
-            h = hash64(batch["image_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
-            mask = probe_sorted(dup_hashes, h)
-            dup = batch.filter(pa.array(mask))
-            n = dup.num_rows
-            if n == 0:
-                return VIOLATION_SCHEMA.empty_table()
+            h = hash64(batch["image_id"].to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+            dup = batch.filter(pa.array(probe_sorted(dup_hashes, h)))
+            if dup.num_rows == 0:
+                return pa.table({"image_id": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "partition_id": pa.array([], pa.int32())})
+            df = dup.select(["image_id", "partition_id"]).to_pandas()
+            g = df.groupby("image_id", sort=False).agg(
+                cnt=("image_id", "size"), partition_id=("partition_id", "min"))
             return pa.table({
-                "partition_id": dup["partition_id"].cast(pa.int32()),
-                "image_id": dup["image_id"],
+                "image_id": pa.array(g.index.to_numpy(), pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+                "partition_id": pa.array(g["partition_id"].to_numpy(),
+                                         pa.int32()),
+            })
+
+        parts_ds = ds.map_batches(dup_partials, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+        n_parts = parts_ds.count()
+
+        if dup_hashes.size <= DUP_FOLD_DRIVER_MAX and n_parts <= DUP_FOLD_ROWS_MAX:
+            # driver fold: replaces a full groupby exchange (~1.5 s fixed
+            # cost at any input size) whose groups sum tens of rows, and
+            # runs eagerly here — i.e. inside validate()'s background setup
+            # thread, overlapping featurize (a cheap pass over the
+            # materialized 3-column id table; measured a win, unlike the
+            # full constraint shuffles the design note defers). Gated on
+            # BOTH the distinct-dup-hash count and the MEASURED partial row
+            # count — a 100k-dup-id input fanned out across thousands of
+            # blocks folds distributed instead.
+            parts = parts_ds.to_pandas()
+            if not len(parts):
+                return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+            g = parts.groupby("image_id", sort=False).agg(
+                cnt=("cnt", "sum"), partition_id=("partition_id", "min"))
+            g = g[g.cnt > 1]
+            if not len(g):
+                return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
+            n = len(g)
+            return ray.data.from_arrow(pa.table({
+                "partition_id": pa.array(
+                    g["partition_id"].to_numpy().astype(np.int32),
+                    pa.int32()),
+                "image_id": pa.array(g.index.to_numpy(), pa.string()),
                 "check": pa.array(["unique_image_id"] * n),
                 "column": pa.array(["image_id"] * n),
-                # placeholder: dedupe_bucket below overwrites observed with
-                # the exact within-bucket count for every surviving row
-                "observed": pa.array([""] * n),
+                "observed": pa.array(
+                    g["cnt"].to_numpy().astype(np.int64).astype(str)),
                 "expected": pa.array(["1"] * n),
-            }, schema=VIOLATION_SCHEMA)
+            }, schema=VIOLATION_SCHEMA))
+        import logging
 
-        if dup_hashes.size <= DUP_FOLD_DRIVER_MAX:
-            # driver-fold path: per-block (id, count, min partition) partials
-            # over dup-candidate rows only, summed on the driver. It replaces
-            # a full groupby exchange (~1.5 s fixed cost at any input size)
-            # whose groups sum tens of rows, and runs eagerly here — i.e.
-            # inside validate()'s background setup thread, overlapping
-            # featurize (a cheap pass over the materialized 3-column id
-            # table; measured a win, unlike the full constraint shuffles the
-            # design note defers). Exactness matches dedupe_bucket: counts
-            # key on the real image_id, so a 64-bit hash collision between
-            # two distinct ids never pools their counts. The driver holds
-            # per-(id, block) partial rows, so the collect is gated on the
-            # MEASURED row count too — a 100k-dup-id input fanned out across
-            # thousands of blocks falls through to the salted shuffle below.
-            def dup_partials(batch: pa.Table) -> pa.Table:
-                batch = batch.filter(pc.is_valid(batch["image_id"]))
-                h = hash64(batch["image_id"].to_numpy(
-                    zero_copy_only=False)).astype(np.int64)
-                dup = batch.filter(pa.array(probe_sorted(dup_hashes, h)))
-                if dup.num_rows == 0:
-                    return pa.table({"image_id": pa.array([], pa.string()),
-                                     "cnt": pa.array([], pa.int64()),
-                                     "partition_id": pa.array([], pa.int32())})
-                df = dup.select(["image_id", "partition_id"]).to_pandas()
-                g = df.groupby("image_id", sort=False).agg(
-                    cnt=("image_id", "size"), partition_id=("partition_id", "min"))
-                return pa.table({
-                    "image_id": pa.array(g.index.to_numpy(), pa.string()),
-                    "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
-                    "partition_id": pa.array(g["partition_id"].to_numpy(),
-                                             pa.int32()),
-                })
+        logging.getLogger(__name__).warning(
+            "uniqueness: %d dup hashes / %d partial rows exceed the driver "
+            "fold bounds — folding distributed", dup_hashes.size, n_parts)
 
-            parts_ds = ds.map_batches(dup_partials, batch_format="pyarrow",
-                                      zero_copy_batch=True).materialize()
-            if parts_ds.count() <= DUP_FOLD_ROWS_MAX:
-                parts = parts_ds.to_pandas()
-                if not len(parts):
-                    return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
-                g = parts.groupby("image_id", sort=False).agg(
-                    cnt=("cnt", "sum"), partition_id=("partition_id", "min"))
-                g = g[g.cnt > 1]
-                if not len(g):
-                    return ray.data.from_arrow(VIOLATION_SCHEMA.empty_table())
-                n = len(g)
-                return ray.data.from_arrow(pa.table({
-                    "partition_id": pa.array(
-                        g["partition_id"].to_numpy().astype(np.int32),
-                        pa.int32()),
-                    "image_id": pa.array(g.index.to_numpy(), pa.string()),
-                    "check": pa.array(["unique_image_id"] * n),
-                    "column": pa.array(["image_id"] * n),
-                    "observed": pa.array(
-                        g["cnt"].to_numpy().astype(np.int64).astype(str)),
-                    "expected": pa.array(["1"] * n),
-                }, schema=VIOLATION_SCHEMA))
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "uniqueness: %d per-block dup partials exceed the driver "
-                "fold bound %d — using the salted shuffle",
-                parts_ds.count(), DUP_FOLD_ROWS_MAX)
-
-        dup_rows = ds.map_batches(collect_dups, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-
-        # one violation row per duplicated KEY (min partition as the locus);
-        # salt-bucketed so the shuffle has a fixed group count (Ray charges
-        # ~2 ms per map_groups group) with a vectorized within-bucket head-1
+        # distributed fold of the SAME materialized partials (never a
+        # rescan of the raw table): salt-bucket by id hash so the shuffle
+        # has a fixed group count, then fold (sum cnt, min partition) per
+        # id inside each bucket. Exact verify of the hash screen: counts
+        # key on the real image_id, so a 64-bit collision between two
+        # DISTINCT ids never pools their counts; all partials of an id
+        # share its bucket, so the within-bucket sum is the global count.
         def add_bucket(batch: pa.Table) -> pa.Table:
             b = (hash64(batch["image_id"].to_numpy(zero_copy_only=False))
                  % np.uint64(64)).astype(np.int64)
             return batch.append_column("dbkt", pa.array(b))
 
-        def dedupe_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            # exact verify of the hash screen: the dup set keys on
-            # hash64(image_id), so a 64-bit collision between two DISTINCT
-            # ids would otherwise surface both as false PK duplicates with
-            # the hash's pooled count. All physical rows of an id share
-            # this bucket (bucket = hash64(id) % 64), so the id's true
-            # global count is its within-group count — keep only ids that
-            # actually repeat and report that exact count.
-            # (numpy first-per-key mask — .ne(.shift()) silently drops
-            # every first row under pandas nullable string dtype)
-            d = df.sort_values(["image_id", "partition_id"], kind="mergesort")
-            ids = d.image_id.to_numpy()
-            if not len(ids):
-                return d.drop(columns=["dbkt"])
-            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-            counts = np.diff(np.r_[starts, ids.size])
-            keep = counts > 1
-            out = d.iloc[starts[keep]].copy()
-            out["observed"] = counts[keep].astype(np.int64).astype(str)
-            return out.drop(columns=["dbkt"])
+        def fold_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("image_id", sort=False).agg(
+                cnt=("cnt", "sum"), partition_id=("partition_id", "min"))
+            g = g[g.cnt > 1]
+            return pd.DataFrame({
+                "partition_id": g["partition_id"].to_numpy().astype(np.int32),
+                "image_id": g.index.to_numpy(),
+                "check": "unique_image_id",
+                "column": "image_id",
+                "observed": g["cnt"].to_numpy().astype(np.int64).astype(str),
+                "expected": "1",
+            })
 
-        return dup_rows.map_batches(add_bucket, batch_format="pyarrow"
+        return parts_ds.map_batches(add_bucket, batch_format="pyarrow"
                                     ).groupby("dbkt").map_groups(
-            dedupe_bucket, batch_format="pandas")
+            fold_bucket, batch_format="pandas")
 
     from ray.data.aggregate import Min, Sum
 

@@ -307,9 +307,14 @@ def featurize_task(batch: pa.Table, cfg: EngineConfig,
     st = _WORKER_CACHE.get(key)
     if st is None:
         st = FeaturizeAndSketch(cfg, manifest_broadcast)
-        # one live broadcast copy per worker (drift.py's bound): every
+        # bound the cache at TWO live broadcast copies per worker: every
         # validate() run ray.puts a fresh broadcast ref, so an unbounded
-        # cache would leak one manifest-hash array per run in warm workers
-        _WORKER_CACHE.clear()
+        # cache would leak one manifest-hash array per run — but a
+        # single-entry bound (drift.py's) would make two INTERLEAVED
+        # pipelines sharing warm workers evict each other every task
+        # (load-once-per-worker degrading to load-once-per-batch). Two
+        # entries covers the overlap case; oldest-insertion evicts beyond.
+        while len(_WORKER_CACHE) >= 2:
+            _WORKER_CACHE.pop(next(iter(_WORKER_CACHE)))
         _WORKER_CACHE[key] = st
     return st(batch)

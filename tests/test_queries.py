@@ -178,7 +178,9 @@ def test_mmr_rerank_matches_reference_greedy(ray_session):
     cid, cx = ids_all[csel], x[csel]
 
     for qpos, qid in zip(np.flatnonzero(qsel), ids_all[qsel]):
-        rel_all = x[qpos] @ cx.T
+        # the pipeline ranks (and scores) the 1e-6-rounded cosine so rank
+        # order is stable across matmul shapes — mirror it here
+        rel_all = np.floor((x[qpos] @ cx.T) * 1e6 + 0.5) / 1e6
         order = np.lexsort((cid, -rel_all))[:HYBRID_C]
         ids, rel, vecs = cid[order], rel_all[order], cx[order]
         sims = vecs @ vecs.T
