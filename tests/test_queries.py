@@ -150,6 +150,42 @@ def test_hybrid_search_rrf_fusion_invariants(ray_session):
     assert (out.rrf > 1.0 / (HYBRID_K + 1)).any()
 
 
+def test_hybrid_search_rrf_empty_lexical_side(ray_session, tmp_path):
+    """No corpus document shares a token with any query → the lexical side
+    retrieves nothing and the fusion must degrade to vector-only results
+    (absent side contributes 0), not crash on the empty candidate frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        hybrid_search_rrf,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 30, 8
+    texts = [f"querytoken{i}" for i in range(10)] + [
+        f"corpustoken{i}" for i in range(10, n)]  # zero overlap
+    pq_.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    pq_.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(rng.normal(size=(n, d)).astype("f4"))),
+        "label": pa.array(np.zeros(n, np.int32)),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    out = hybrid_search_rrf(str(tmp_path)).to_pandas()
+    assert len(out) == 10 * 10  # every query still gets TOP_K vector hits
+    assert (out.doc_id >= 10).all()
+    # pure single-list rrf values: 1/(60+r) for some rank r (output is
+    # rounded to 1e-9, so allow that much over the exact 1/61 ceiling)
+    assert (out.rrf <= 1.0 / 61 + 1e-9).all() and (out.rrf > 0).all()
+
+
 def test_mmr_rerank_matches_reference_greedy(ray_session):
     """Pin the distributed MMR pipeline against a from-scratch single-
     machine greedy over the full corpus (same λ, candidate depth, and
