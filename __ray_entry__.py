@@ -490,3 +490,41 @@ FROM '{truth_path}' GROUP BY "check"
         # simhash_documents, fingerprint_documents, ann_lsh_bucketed,
         # mmd_embeddings_drift, validate_images
     }
+
+
+# Evidence map for the rows-only entries (every key in queries() absent from
+# oracle_sql()): the driver's hard signal can only say "no_oracle" for these,
+# so this table names the test that IS each one's correctness gate.
+ROWS_ONLY_EVIDENCE: dict[str, str] = {
+    "ann_ivf_cosine": "tests/test_queries.py::test_ann_ivf_recall_vs_exact",
+    "ann_ivf_persistent": "tests/test_queries.py::"
+                          "test_ann_ivf_persistent_index_reuse_and_recall",
+    "ann_lsh_bucketed": "tests/test_queries.py::test_ann_lsh_recall_vs_exact",
+    "approx_distinct_users_by_type": "tests/test_queries.py::"
+                                     "test_approx_distinct_hll_within_error_bound",
+    "fingerprint_documents": "tests/test_queries.py::"
+                             "test_rows_only_queries_deterministic",
+    "grouped_quantiles_tdigest": "tests/test_queries.py (tdigest accuracy "
+                                 "vs exact grouped quantiles)",
+    "kmeans_embeddings": "tests/test_queries.py::"
+                         "test_kmeans_matches_numpy_lloyd_and_inertia_monotone",
+    "minhash_neardup_documents": "tests/test_queries.py (recall vs exact "
+                                 "jaccard pairs + gate-forced parity)",
+    "mmd_embeddings_drift": "tests/test_queries.py::"
+                            "test_mmd_embeddings_verdicts (+ golden/"
+                            "determinism tests in tests/test_stats.py)",
+    "mmr_rerank_embeddings": "tests/test_queries.py::"
+                             "test_mmr_rerank_matches_reference_greedy",
+    "overlap_estimate_orders_customers": "tests/test_queries.py::"
+                                         "test_overlap_estimate_within_hll_error",
+    "pca_mmd_drift": "tests/test_dimred.py::test_pca_mmd_drift_verdicts",
+    "pca_project_embeddings": "tests/test_dimred.py::"
+                              "test_pca_projection_values_and_variance_order",
+    "quantiles_extendedprice_tdigest": "tests/test_sketches.py (t-digest "
+                                       "quantile error bounds) + oracled "
+                                       "exact variant",
+    "simhash_documents": "tests/test_queries.py::"
+                         "test_rows_only_queries_deterministic",
+    "validate_images": "tests/test_validate_e2e.py (seeded-truth e2e) + "
+                       "oracled validate_violations_digest",
+}
