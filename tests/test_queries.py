@@ -875,6 +875,15 @@ def _rows_only_names():
     return sorted(set(e.queries()) - set(e.oracle_sql()) - {"validate_images"})
 
 
+def test_rows_only_evidence_map_in_sync(ray_session):
+    """Every rows-only entry names its correctness gate, and no stale keys
+    linger when an entry gains an oracle."""
+    import __ray_entry__ as e
+
+    ro = set(e.queries()) - set(e.oracle_sql())
+    assert set(e.ROWS_ONLY_EVIDENCE) == ro
+
+
 @pytest.mark.parametrize("name", _rows_only_names())
 def test_rows_only_query_smokes(ray_session, name):
     """Driver contract for the NON-oracled entries: every rows-only query
