@@ -44,6 +44,11 @@ def _query_matrix(sf_dir: str, with_label: bool = False):
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
     qsel = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols,
                          filters=[("vec_id", "<", N_QUERIES)])
+    if with_label:
+        # SQL `n.label = q.label` is never true for a NULL query label, so
+        # a null-label query contributes zero rows — drop it here instead
+        # of casting NULL→garbage int
+        qsel = qsel.filter(pa.compute.is_valid(qsel["label"]))
     q_ids = qsel["vec_id"].to_numpy().astype(np.int64)
     q = _normalize_rows(_to_matrix(qsel["embedding"]))
     if with_label:
@@ -159,8 +164,12 @@ def ann_topk_filtered(sf_dir: str):
 
     def score_filtered(batch: pa.Table) -> pa.Table:
         qi_ids, qm, ql = ray.get(wrapped["ref"])
-        batch = batch.filter(
-            pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
+        # NULL corpus labels can never satisfy `n.label = q.label` —
+        # exclude them with the same is_valid mask the SQL implies rather
+        # than letting the int64 cast raise (or worse, fabricate a value)
+        batch = batch.filter(pa.compute.and_(
+            pa.compute.greater_equal(batch["vec_id"], N_QUERIES),
+            pa.compute.is_valid(batch["label"])))
         if batch.num_rows == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -1591,9 +1600,12 @@ def hybrid_search_rrf(sf_dir: str):
     import ray
 
     # ---- queries (bounded: N_QUERIES rows of each table) ----
+    # predicate pushed into the parquet read (row-group pruning) — the
+    # driver picks out N_QUERIES rows without materializing the corpus,
+    # same shape as _query_matrix on the embeddings side
     qd = pq.read_table(f"{sf_dir}/documents.parquet",
-                       columns=["doc_id", "text"])
-    qd = qd.filter(pa.array(np.asarray(qd["doc_id"].to_numpy()) < N_QUERIES))
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "<", N_QUERIES)])
     q_ids_t = qd["doc_id"].to_numpy().astype(np.int64)
     q_tokens = [frozenset(t for t in s.lower().split(" ") if t)
                 for s in qd["text"].to_pylist()]

@@ -305,6 +305,12 @@ def featurize_task(batch: pa.Table, cfg: EngineConfig,
     key = (config_fingerprint(cfg),
            manifest_broadcast["ref"].hex() if manifest_broadcast else None)
     st = _WORKER_CACHE.get(key)
+    if st is not None:
+        # refresh recency so the 2-entry bound behaves as LRU: with 3+
+        # interleaved pipelines sharing warm workers, insertion-order
+        # eviction would let the two LIVE keys thrash each other
+        _WORKER_CACHE.pop(key)
+        _WORKER_CACHE[key] = st
     if st is None:
         st = FeaturizeAndSketch(cfg, manifest_broadcast)
         # bound the cache at TWO live broadcast copies per worker: every

@@ -1,0 +1,86 @@
+"""Round-5 regression pins for the r4 ADVICE items.
+
+Each test forces the exact condition the advice named (nullable labels,
+3-pipeline cache interleaving) rather than re-running the happy path.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _null_label_fixture(tmp_path):
+    """embeddings.parquet whose label column is nullable: one null-label
+    QUERY row (vec_id 3) and several null-label CORPUS rows."""
+    rng = np.random.default_rng(7)
+    n = 64
+    emb = rng.normal(size=(n, 8)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype("int32").astype(object)
+    labels[3] = None            # a query row with NULL label
+    labels[20] = None           # corpus rows with NULL label
+    labels[21] = None
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array(list(labels), pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_ann_topk_filtered_null_labels_match_sql_semantics(ray_session,
+                                                           tmp_path):
+    """SQL `n.label = q.label` silently excludes NULL on either side; the
+    Ray path must do the same instead of raising (or garbage-casting) on
+    the int64 conversion."""
+    import duckdb
+
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        ANN_TOPK_FILTERED_SQL, ann_topk_filtered)
+
+    sf = _null_label_fixture(tmp_path)
+    out = ann_topk_filtered(sf)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    odf = con.execute(ANN_TOPK_FILTERED_SQL).fetchdf()
+    canon = lambda d: d.sort_values(list(sorted(d.columns)))[
+        sorted(d.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(df), canon(odf), check_dtype=False)
+    # the null-label query and null-label corpus rows are gone entirely
+    assert 3 not in set(df.query_id)
+    assert not ({20, 21} & set(df.neighbor_id))
+
+
+def test_featurize_worker_cache_is_lru(ray_session):
+    """Three interleaved configs over the 2-entry bound: a cache HIT must
+    refresh recency, so with pipelines A and B live and a stale C arriving,
+    C evicts the least-recently-USED entry (B after an A-hit), and A's
+    loaded state object survives — load-once-per-worker holds for the two
+    live pipelines (the r4 insertion-order eviction thrashed them)."""
+    from serverless_covariate_drift_detection_ray.pipelines.config import (
+        EngineConfig)
+    from serverless_covariate_drift_detection_ray.stages import featurize as fz
+
+    saved = dict(fz._WORKER_CACHE)
+    fz._WORKER_CACHE.clear()
+    try:
+        empty = fz.OUT_SCHEMA.empty_table()  # 0 rows short-circuits __call__
+        cfg_a, cfg_b, cfg_c = (EngineConfig(seed=s) for s in (101, 102, 103))
+        fz.featurize_task(empty, cfg_a)
+        fz.featurize_task(empty, cfg_b)
+        a0 = next(iter(fz._WORKER_CACHE.values()))  # A is oldest by insertion
+        fz.featurize_task(empty, cfg_a)             # HIT — refreshes A
+        fz.featurize_task(empty, cfg_c)             # evicts LRU = B, not A
+        assert len(fz._WORKER_CACHE) == 2
+        fz.featurize_task(empty, cfg_a)
+        assert a0 in fz._WORKER_CACHE.values()      # A's state never reloaded
+    finally:
+        fz._WORKER_CACHE.clear()
+        fz._WORKER_CACHE.update(saved)
