@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.hashing import hash64, probe_sorted
 from ..functions.stats import median_heuristic_sigma, mmd_permutation_test
 from .queries import _pa_from_pandas, _read, _read_blocked, _round
 
@@ -1586,7 +1587,7 @@ def _ranked_candidates(partials, c: int) -> pd.DataFrame:
     return out
 
 
-def hybrid_search_rrf(sf_dir: str):
+def hybrid_search_rrf(sf_dir: str, lexical_path: str = "postings"):
     """Hybrid search over the documents/embeddings pair (doc_id == vec_id):
     keyword side scores distinct-token Jaccard against the query text (only
     docs sharing ≥1 token are lexical candidates), vector side scores
@@ -1595,7 +1596,26 @@ def hybrid_search_rrf(sf_dir: str):
     is either an exact small-integer ratio (Jaccard) or the 1e-6-rounded
     cosine the oracle SQL ranks with the identical expression, so the
     fused output hash-matches the oracle (a residual flip would need a
-    true cosine within float-rounding distance of a 1e-6 bucket edge)."""
+    true cosine within float-rounding distance of a 1e-6 bucket edge).
+
+    Lexical candidate generation is INDEX-PROBED, not scan-per-query
+    (``lexical_path="postings"``, the default): the driver builds an
+    inverted index over the bounded QUERY vocabulary (token → int64 query
+    postings — the small-side dual of ``textops.inverted_index_documents``'s
+    corpus postings), broadcasts it once, and each corpus batch probes its
+    tokens against the index (vectorized hash64 membership against the
+    sorted query-vocab hashes, string-confirmed on the tiny hit subset) to
+    scatter-add |q∩d| intersection counts. Per-batch cost is
+    O(tokens-shared-with-query-vocab) — the candidate volume itself —
+    instead of the scan path's O(N_QUERIES × docs) Python set algebra, so
+    at 100-TB corpus scale the probe cost no longer multiplies by query
+    count. Jaccard = inter/(|q|+|d|-inter) uses the same integers as the
+    set expression, so both paths are bit-identical (pinned by the
+    forced-path parity test). ``lexical_path="scan"`` keeps the direct
+    per-query set scan for that parity check. A query batch too large to
+    broadcast its vocabulary flips to the corpus-side postings build
+    (``inverted_index_documents``) + bucket join — same candidate set, one
+    extra shuffle."""
     import pyarrow.parquet as pq
     import ray
 
@@ -1609,27 +1629,30 @@ def hybrid_search_rrf(sf_dir: str):
     q_ids_t = qd["doc_id"].to_numpy().astype(np.int64)
     q_tokens = [frozenset(t for t in s.lower().split(" ") if t)
                 for s in qd["text"].to_pylist()]
+    # query-vocab inverted index: token → sorted int64 array of query
+    # POSITIONS (not ids — positions index q_sizes/q_ids_t directly)
+    tok2q: dict = {}
+    for k, s in enumerate(q_tokens):
+        for t in s:
+            tok2q.setdefault(t, []).append(k)
+    tok2q = {t: np.asarray(v, dtype=np.int64) for t, v in tok2q.items()}
+    qv_hashes = np.sort(hash64(np.array(sorted(tok2q), dtype=object))) \
+        if tok2q else np.array([], dtype=np.uint64)
+    q_sizes = np.fromiter((len(s) for s in q_tokens), dtype=np.int64,
+                          count=len(q_tokens))
     q_ids_v, qm = _query_matrix(sf_dir)
-    wrapped = {"ref": ray.put((q_ids_t, q_tokens, q_ids_v, qm))}
+    wrapped = {"ref": ray.put((q_ids_t, q_tokens, tok2q, qv_hashes,
+                               q_sizes, q_ids_v, qm))}
 
     empty = pa.table({"query_id": pa.array([], pa.int64()),
                       "doc_id": pa.array([], pa.int64()),
                       "score": pa.array([], pa.float64())})
 
-    def text_partial(batch: pa.Table) -> pa.Table:
-        qi, qtok, _, _ = ray.get(wrapped["ref"])
-        batch = batch.filter(
-            pa.compute.greater_equal(batch["doc_id"], N_QUERIES))
-        if batch.num_rows == 0:
-            return empty
-        ids = batch["doc_id"].to_numpy().astype(np.int64)
-        toks = [frozenset(t for t in s.lower().split(" ") if t)
-                for s in batch["text"].to_pylist()]
+    def _topc_jaccard(qi, ids, jac_rows) -> pa.Table:
+        """Per-query top-C cut under the strict (jac desc, doc_id asc)
+        order — shared tail of both lexical paths."""
         out_q, out_d, out_s = [], [], []
-        for k in range(len(qi)):
-            qs = qtok[k]
-            jac = np.array([len(qs & d) / len(qs | d) if (qs or d) else 0.0
-                            for d in toks])
+        for k, jac in enumerate(jac_rows):
             keep = np.flatnonzero(jac > 0)
             if keep.size == 0:
                 continue
@@ -1644,8 +1667,70 @@ def hybrid_search_rrf(sf_dir: str):
                          "score": pa.array(np.concatenate(out_s),
                                            pa.float64())})
 
+    def text_partial_scan(batch: pa.Table) -> pa.Table:
+        """Direct per-query set scan — O(N_QUERIES × docs) per batch; kept
+        as the parity reference for the postings probe below."""
+        qi, qtok, _, _, _, _, _ = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["doc_id"], N_QUERIES))
+        if batch.num_rows == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        toks = [frozenset(t for t in s.lower().split(" ") if t)
+                for s in batch["text"].to_pylist()]
+        jac_rows = [
+            np.array([len(qs & d) / len(qs | d) if (qs or d) else 0.0
+                      for d in toks])
+            for qs in qtok]
+        return _topc_jaccard(qi, ids, jac_rows)
+
+    def text_partial_probe(batch: pa.Table) -> pa.Table:
+        """Posting-probe candidate generation: batch tokens are tested
+        against the broadcast query-vocab index (vectorized hash64
+        membership, string-confirmed), and only the hits scatter-add into
+        the |q∩d| intersection matrix — no per-query corpus pass, and a
+        doc sharing no query token costs one hash probe per token."""
+        qi, _, t2q, qvh, qsz, _, _ = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["doc_id"], N_QUERIES))
+        n = batch.num_rows
+        if n == 0 or not t2q:
+            return empty
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        # set order within a doc is irrelevant: the scatter-add commutes,
+        # so |q∩d| is order-free — skip the per-doc sort
+        token_lists = [list({t for t in s.lower().split(" ") if t})
+                       for s in batch["text"].to_pylist()]
+        d_sizes = np.fromiter((len(l) for l in token_lists),
+                              dtype=np.int64, count=n)
+        if d_sizes.sum() == 0:
+            return empty
+        flat = np.array([t for l in token_lists for t in l], dtype=object)
+        doc_pos = np.repeat(np.arange(n), d_sizes)
+        maybe = np.flatnonzero(probe_sorted(qvh, hash64(flat)))
+        # string-confirm the hash hits (collision guard) and expand each
+        # hit token's query postings → (query, doc) intersection pairs
+        hit_pos = [p for p in maybe if flat[p] in t2q]
+        hit_qs = [t2q[flat[p]] for p in hit_pos]
+        hit_docs = doc_pos[hit_pos] if hit_pos else np.array([],
+                                                            dtype=np.int64)
+        inter = np.zeros((len(qi), n), dtype=np.int64)
+        if hit_qs:
+            qs_arr = np.concatenate(hit_qs)
+            ds_arr = np.repeat(hit_docs,
+                               np.fromiter((len(x) for x in hit_qs),
+                                           dtype=np.int64, count=len(hit_qs)))
+            np.add.at(inter, (qs_arr, ds_arr), 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            union = qsz[:, None] + d_sizes[None, :] - inter
+            jac = np.where(inter > 0, inter / np.maximum(union, 1), 0.0)
+        return _topc_jaccard(qi, ids, list(jac))
+
+    text_partial = (text_partial_probe if lexical_path == "postings"
+                    else text_partial_scan)
+
     def vec_partial(batch: pa.Table) -> pa.Table:
-        _, _, qi, q = ray.get(wrapped["ref"])
+        _, _, _, _, _, qi, q = ray.get(wrapped["ref"])
         batch = batch.filter(
             pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
         if batch.num_rows == 0:

@@ -84,3 +84,18 @@ def test_featurize_worker_cache_is_lru(ray_session):
     finally:
         fz._WORKER_CACHE.clear()
         fz._WORKER_CACHE.update(saved)
+
+
+def test_hybrid_lexical_postings_matches_scan(ray_session):
+    """Forced-path parity: the index-probed lexical candidate path (the
+    default) must be bit-identical to the direct per-query set scan —
+    same integers feed the same Jaccard division, so even float scores
+    match exactly."""
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        hybrid_search_rrf)
+
+    a = hybrid_search_rrf(SF, lexical_path="postings").to_pandas()
+    b = hybrid_search_rrf(SF, lexical_path="scan").to_pandas()
+    canon = lambda d: d.sort_values(list(sorted(d.columns)))[
+        sorted(d.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(a), canon(b))
