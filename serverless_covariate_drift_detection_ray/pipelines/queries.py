@@ -4230,27 +4230,61 @@ ORDER BY priority LIMIT 100
 # ---------------------------------------------------------------------------
 
 
+LEN_BAND_W = 8  # length-band width; must exceed max_dist (see proof below)
+
+
+def _len_band_explode(batch: pa.Table, max_dist: int, w: int) -> pd.DataFrame:
+    """Composite-blocking explode for the Levenshtein family: each part row
+    lands NATIVE in block ``(p_brand, len // w)`` and, when its length sits
+    within ``max_dist`` of the band's lower boundary (``len mod w <
+    max_dist``), ALSO as a BORROWED copy in the band below. Exactness for
+    ``w > max_dist``: a pair with |len diff| <= max_dist either shares a
+    band (found native×native, exactly once) or spans adjacent bands — then
+    the upper row's ``len mod w`` is < max_dist, so its borrowed copy meets
+    the lower row natively (exactly once; borrowed×borrowed pairs are
+    skipped because both appear native one band up). Bands further apart
+    can't pair (|diff| <= max_dist < w). Row inflation is bounded by
+    ``max_dist / w`` (25% at the defaults)."""
+    df = batch.to_pandas()
+    lens = np.fromiter((len(s) for s in df.p_name.to_numpy()),
+                       np.int64, len(df))
+    band = lens // w
+    df = df.assign(_len=lens)
+    native = df.assign(blk=df.p_brand + "#" + band.astype(str),
+                       _native=True)
+    bm = (lens % w < max_dist) & (band > 0)
+    borrowed = df[bm].assign(
+        blk=df.p_brand[bm] + "#" + (band[bm] - 1).astype(str),
+        _native=False)
+    return pd.concat([native, borrowed], ignore_index=True)
+
+
 def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
     """Same-brand part-name pairs within Levenshtein distance 2: one
-    shuffle on the blocking key (p_brand), all-pairs-within-block candidate
-    generation pre-filtered by |len diff| <= max_dist, then the vectorized
-    shared-shape DP kernel (functions/editdist.py) verifies every candidate
-    in a handful of numpy passes. Blocking bounds the quadratic term to
-    block size — at corpus scale the blocking key must keep groups under a
-    few thousand rows (add a secondary key — first token, length band — or
-    salt + cross-bucket band pass, as the phash near-dup stage does)."""
+    shuffle on the COMPOSITE blocking key (p_brand, length band — see
+    ``_len_band_explode`` for the exactness argument), all-pairs-within-
+    block candidate generation pre-filtered by |len diff| <= max_dist, then
+    the vectorized shared-shape DP kernel (functions/editdist.py) verifies
+    every candidate in a handful of numpy passes. The secondary length-band
+    key bounds the quadratic term by the per-(brand, band) count instead of
+    the full brand group — a synthetically hot brand splits across its
+    length distribution (property-pinned in tests) — at the cost of a
+    bounded 25% row inflation from the cross-band boundary copies."""
     from ..functions.editdist import levenshtein_pairs
 
-    # COMPUTE-bound group kernel (quadratic DP per brand): the shared
+    # COMPUTE-bound group kernel (quadratic DP per block): the shared
     # CPU-floored read (see _read_cpu_blocked for the measurement)
     ds = _read_cpu_blocked(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    w = max(LEN_BAND_W, max_dist + 1)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         keys = df.p_partkey.to_numpy()
         names = df.p_name.to_numpy()
-        lens = np.fromiter((len(s) for s in names), np.int64, len(names))
+        lens = df._len.to_numpy()
+        nat = df._native.to_numpy()
         i, j = np.triu_indices(len(df), k=1)
-        keep = np.abs(lens[i] - lens[j]) <= max_dist
+        # borrowed×borrowed pairs replay one band up — natives only there
+        keep = (np.abs(lens[i] - lens[j]) <= max_dist) & (nat[i] | nat[j])
         i, j = i[keep], j[keep]
         # contract: key_a < key_b
         swap = keys[i] > keys[j]
@@ -4265,7 +4299,9 @@ def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
             "dist": d[hit],
         })
 
-    return ds.groupby("p_brand").map_groups(pairs, batch_format="pandas")
+    exploded = ds.map_batches(
+        lambda b: _len_band_explode(b, max_dist, w), batch_format="pyarrow")
+    return exploded.groupby("blk").map_groups(pairs, batch_format="pandas")
 
 
 FUZZY_SQL = """

@@ -99,3 +99,61 @@ def test_hybrid_lexical_postings_matches_scan(ray_session):
     canon = lambda d: d.sort_values(list(sorted(d.columns)))[
         sorted(d.columns)].reset_index(drop=True)
     pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_fuzzy_banding_bounds_hot_brand_groups(ray_session, tmp_path):
+    """A synthetically HOT brand (every part the same brand) must split
+    across (brand, length-band) blocks — no block sees the whole brand —
+    and the banded pipeline must still emit exactly the naive quadratic
+    answer (cross-band boundary pairs included)."""
+    import duckdb
+
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        FUZZY_SQL, LEN_BAND_W, _len_band_explode, fuzzy_match_parts)
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    # clustered name lengths so bands are populated AND boundary-adjacent
+    base = "abcdefghijklmnopqrstuvwxyz"
+    names = []
+    for i in range(n):
+        L = int(rng.integers(12, 44))
+        s = "".join(rng.choice(list(base), size=L))
+        names.append(s)
+    # seed true near-matches: 60 pairs at distance 1-2, some crossing a
+    # band boundary (length change of 1 flips the band when len % W == 0)
+    for i in range(60):
+        src = names[i]
+        mut = src + "x" if i % 2 else src[:-1] + "zz"
+        names[600 + i] = mut
+    t = pa.table({
+        "p_partkey": pa.array(np.arange(n, dtype=np.int64)),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["Brand#99"] * n),
+    })
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+
+    # (1) block-size bound: the hot brand's rows spread over its length
+    # bands; with lengths in [12,44) and W=8 there are >=4 bands, so no
+    # block may hold the whole brand (native + borrowed <= band + W/4 of
+    # the neighbour band, far under n)
+    ex = _len_band_explode(t, max_dist=2, w=LEN_BAND_W)
+    blk_sizes = ex.groupby("blk").size()
+    assert len(blk_sizes) >= 4
+    assert blk_sizes.max() < 0.55 * n, blk_sizes.sort_values().tail()
+
+    # (2) exactness incl. boundary pairs vs the naive quadratic oracle
+    out = fuzzy_match_parts(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{tmp_path}/part.parquet'")
+    odf = con.execute(FUZZY_SQL).fetchdf()
+    assert len(odf) >= 50  # the seeded mutations actually produced pairs
+    canon = lambda d: d.sort_values(list(sorted(d.columns)))[
+        sorted(d.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(out), canon(odf), check_dtype=False)
+    # at least one emitted pair crosses a band boundary (the case brand-
+    # only blocking got for free and banding must borrow for)
+    lens_a = odf.name_a.str.len().to_numpy()
+    lens_b = odf.name_b.str.len().to_numpy()
+    assert ((lens_a // LEN_BAND_W) != (lens_b // LEN_BAND_W)).any()
