@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from ..functions.hashing import hash64, probe_sorted
 from ..functions.stats import median_heuristic_sigma, mmd_permutation_test
+from .config import scratch_root
 from .queries import _pa_from_pandas, _read, _read_blocked, _round
 
 TOP_K = 10
@@ -1200,7 +1201,7 @@ def ann_ivf_persistent(sf_dir: str, nprobe: int = IVF_NPROBE):
     plus the tiny query rows. Same exact within-cell math and per-query
     merge as ann_ivf_cosine, so results match it wherever probes agree."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = f"/tmp/scdd_ivf/{tag}"
+    index_dir = f"{scratch_root()}/scdd_ivf/{tag}"
     os.makedirs(index_dir, exist_ok=True)
     build_ivf_index(sf_dir, index_dir)
     return _ivf_query(index_dir, sf_dir, nprobe)

@@ -20,6 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.stats import chi2_test_counts, ks_2samp
+from .config import scratch_root
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -3426,7 +3427,7 @@ def partition_roundtrip_events(sf_dir: str):
     st = os.stat(src)
     # cache key = source content fingerprint (size + mtime), so a
     # regenerated fixture with the same row count can't serve stale data
-    root = f"/tmp/scdd_query/{tag}/events_by_type_{st.st_size}_{int(st.st_mtime)}"
+    root = f"{scratch_root()}/scdd_query/{tag}/events_by_type_{st.st_size}_{int(st.st_mtime)}"
     _ensure_staged_cache(root, lambda tmp: _read_blocked(
         sf_dir, "events", ["event_type", "value"]).write_parquet(
         tmp, partition_cols=["event_type"]))
@@ -5590,7 +5591,7 @@ def jsonl_roundtrip_events(sf_dir: str):
     # never see a half-written or mid-delete directory
     st = os.stat(f"{sf_dir}/events.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = (f"/tmp/scdd_jsonl/{tag}/"
+    out_dir = (f"{scratch_root()}/scdd_jsonl/{tag}/"
                f"events_{st.st_size}_{st.st_mtime_ns}")
     _ensure_staged_cache(out_dir, lambda tmp: ds.map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True).write_json(tmp))
@@ -5864,7 +5865,7 @@ def csv_roundtrip_orders(sf_dir: str):
     # same atomic staged-rename convention as jsonl_roundtrip_events
     st = os.stat(f"{sf_dir}/orders.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/scdd_csv/{tag}/orders_{st.st_size}_{st.st_mtime_ns}"
+    out_dir = f"{scratch_root()}/scdd_csv/{tag}/orders_{st.st_size}_{st.st_mtime_ns}"
     _ensure_staged_cache(out_dir, lambda tmp: ds.map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True).write_csv(tmp))
 
@@ -5929,7 +5930,7 @@ def orc_roundtrip_lineitem(sf_dir: str):
 
     st = os.stat(f"{sf_dir}/lineitem.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/scdd_orc/{tag}/lineitem_{st.st_size}_{st.st_mtime_ns}"
+    out_dir = f"{scratch_root()}/scdd_orc/{tag}/lineitem_{st.st_size}_{st.st_mtime_ns}"
 
     def write_blocks(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)  # write_csv mkdirs itself; orc won't
@@ -6057,7 +6058,7 @@ def ipc_roundtrip_orders(sf_dir: str):
 
     st = os.stat(f"{sf_dir}/orders.parquet")
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/scdd_ipc/{tag}/orders_{st.st_size}_{st.st_mtime_ns}"
+    out_dir = f"{scratch_root()}/scdd_ipc/{tag}/orders_{st.st_size}_{st.st_mtime_ns}"
 
     def write_blocks(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)

