@@ -1502,6 +1502,180 @@ GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Full BPE trainer — the iterative merge-until-vocab-K driver on top of the
+# bpe_pair_counts inner loop (kmeans_embeddings shape: bounded rounds,
+# broadcast merge table, per-block partials)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 30               # default merge budget (vocab = 256 base + K)
+BPE_DRIVER_MAX_TYPES = 2_000_000  # word-TYPE gate for the driver merge loop
+
+
+def _bpe_apply_merges(word: str, merges: list) -> list:
+    """Apply the learned merge table to one word, greedily left-to-right in
+    merge-rank order — the canonical BPE segmentation. O(len × n_merges);
+    both training paths share it so they cannot diverge."""
+    seq = list(word)
+    for left, right in merges:
+        i, out = 0, []
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def _bpe_pair_counts_of(seqs, counts) -> dict:
+    """Weighted adjacent-pair counts over symbol sequences — the exact
+    inner statistic both paths argmax over."""
+    pc: dict = {}
+    for seq, c in zip(seqs, counts):
+        for a, b in zip(seq, seq[1:]):
+            pc[(a, b)] = pc.get((a, b), 0) + int(c)
+    return pc
+
+
+def _bpe_best(pc: dict):
+    """Deterministic merge choice: max count, then lexicographically
+    smallest (left, right) — integer counts, so the argmax is identical at
+    any parallelism level."""
+    (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return left, right, n
+
+
+def bpe_train_documents(sf_dir: str, n_merges: int = BPE_MERGES):
+    """Full BPE vocabulary trainer: distributed word-TYPE counting, then
+    ``n_merges`` rounds of (pair-count → argmax → merge) over the type
+    table. Returns the merge table — (merge_rank, left, right, merged, n)
+    — the artifact a tokenizer loads.
+
+    Scale shape (the uniqueness-screen idiom): training runs on word TYPES
+    weighted by frequency, never on the corpus — the distributed count
+    collapses 100 TB of text to a type table bounded by vocabulary size.
+    Under ``BPE_DRIVER_MAX_TYPES`` (gate decided by a Dataset count(), no
+    collect) the merge loop folds on the driver; above it, each round is a
+    per-block pair-count partial over the materialized type table with the
+    merge table broadcast per round and only bounded (left, right, n)
+    partials leaving the blocks — kmeans_embeddings' bounded-round shape.
+    Counts are exact integer sums and ties break lexicographically, so the
+    merge table is bit-identical across parallelism levels AND between the
+    two paths (forced-path parity + independent-reference tests pin both).
+    Stops early when no pair repeats (best n < 2)."""
+    from .queries import _salt_buckets
+
+    nb = _salt_buckets(sf_dir, "documents", rows_per_bucket=1_000_000,
+                       floor=16)
+    ds = _read_docs(sf_dir, ["text"])
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch.to_pandas().text)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if flat.size == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bkt": pa.array([], pa.int64())})
+        words, counts = np.unique(flat, return_counts=True)
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+            "bkt": pa.array((hash64(words) % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False).n.sum().reset_index()
+        g["n"] = g.n.astype(np.int64)
+        return g[["word", "n"]]
+
+    types = (ds.map_batches(word_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("bkt").map_groups(bucket_sum, batch_format="pandas")
+             .materialize())
+
+    merges: list = []          # [(left, right)] in rank order
+    rows: list = []            # output rows incl. counts
+    if types.count() <= BPE_DRIVER_MAX_TYPES:
+        tdf = types.to_pandas()
+        seqs = [list(w) for w in tdf.word.to_numpy()]
+        counts = tdf.n.to_numpy()
+        for r in range(n_merges):
+            pc = _bpe_pair_counts_of(seqs, counts)
+            if not pc:
+                break
+            left, right, n = _bpe_best(pc)
+            if n < 2:
+                break
+            merges.append((left, right))
+            rows.append((r, left, right, left + right, n))
+            merged = left + right
+            for si, seq in enumerate(seqs):
+                if left in seq and right in seq:
+                    seqs[si] = _bpe_merge_one(seq, left, right, merged)
+    else:
+        import ray
+
+        for r in range(n_merges):
+            mref = {"ref": ray.put(list(merges))}
+
+            def pair_partial(batch: pa.Table, _m=mref) -> pa.Table:
+                import ray as _ray
+
+                ms = _ray.get(_m["ref"])
+                seqs = [_bpe_apply_merges(w, ms)
+                        for w in batch["word"].to_pylist()]
+                pc = _bpe_pair_counts_of(seqs, batch["n"].to_numpy())
+                if not pc:
+                    return pa.table({"left": pa.array([], pa.string()),
+                                     "right": pa.array([], pa.string()),
+                                     "n": pa.array([], pa.int64())})
+                ls, rs = zip(*pc.keys())
+                return pa.table({"left": pa.array(ls, pa.string()),
+                                 "right": pa.array(rs, pa.string()),
+                                 "n": pa.array(list(pc.values()), pa.int64())})
+
+            parts = types.map_batches(pair_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True).to_pandas()
+            if not len(parts):
+                break
+            agg = parts.groupby(["left", "right"], sort=False).n.sum()
+            pc = {k: int(v) for k, v in agg.items()}
+            left, right, n = _bpe_best(pc)
+            if n < 2:
+                break
+            merges.append((left, right))
+            rows.append((r, left, right, left + right, n))
+
+    if not rows:
+        return pa.table({"merge_rank": pa.array([], pa.int64()),
+                         "left": pa.array([], pa.string()),
+                         "right": pa.array([], pa.string()),
+                         "merged": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    rk, ls, rs, mg, ns = zip(*rows)
+    return pa.table({"merge_rank": pa.array(rk, pa.int64()),
+                     "left": pa.array(ls, pa.string()),
+                     "right": pa.array(rs, pa.string()),
+                     "merged": pa.array(mg, pa.string()),
+                     "n": pa.array(ns, pa.int64())})
+
+
+def _bpe_merge_one(seq: list, left: str, right: str, merged: str) -> list:
+    """One-pair greedy left-to-right merge over a symbol sequence."""
+    i, out = 0, []
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Per-source cap (domain-cap sampling): keep at most N docs per source
 # ---------------------------------------------------------------------------
 

@@ -202,3 +202,65 @@ def test_scratch_root_relocates_staged_caches(ray_session, tmp_path,
 
 def _to_pd(res):
     return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
+def test_bpe_trainer_matches_reference_and_paths(ray_session):
+    """Full BPE trainer vs an INDEPENDENT pure-python reference (own word
+    counting, own merge loop) — merge table must match rank-for-rank with
+    counts — and the gate-forced distributed path must be bit-identical to
+    the driver fold (integer counts + lexicographic tie-break make the
+    argmax parallelism-invariant)."""
+    from collections import Counter
+
+    from serverless_covariate_drift_detection_ray.pipelines import (
+        textops as tx)
+
+    mt = tx.bpe_train_documents(SF).to_pandas()
+    assert len(mt) == tx.BPE_MERGES  # corpus is rich enough to fill budget
+
+    txts = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"])["text"].to_pylist()
+    wc = Counter(w for t in txts for w in t.split(" ") if w)
+    seqs = {w: list(w) for w in wc}
+    ref = []
+    for r in range(tx.BPE_MERGES):
+        pc = Counter()
+        for w, c in wc.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, rr), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        ref.append((r, l, rr, l + rr, n))
+        for w in wc:
+            s = seqs[w]
+            i, out = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == rr:
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    rdf = pd.DataFrame(ref, columns=["merge_rank", "left", "right",
+                                     "merged", "n"])
+    pd.testing.assert_frame_equal(mt, rdf, check_dtype=False)
+
+    old = tx.BPE_DRIVER_MAX_TYPES
+    try:
+        tx.BPE_DRIVER_MAX_TYPES = 0  # force the distributed round loop
+        mt2 = tx.bpe_train_documents(SF).to_pandas()
+    finally:
+        tx.BPE_DRIVER_MAX_TYPES = old
+    pd.testing.assert_frame_equal(mt, mt2)
+
+    # the learned table actually tokenizes: segmenting any corpus word with
+    # it yields symbols whose concat restores the word
+    some = [w for w in list(wc)[:50]]
+    for w in some:
+        seg = tx._bpe_apply_merges(w, list(zip(mt.left, mt.right)))
+        assert "".join(seg) == w
