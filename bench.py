@@ -160,6 +160,45 @@ def run_queries() -> tuple[dict[str, float], dict]:
 
 
 def main() -> None:
+    if "--violations" in sys.argv:
+        # Violation-heavy pass (fixtures.gen "violheavy": 256k rows, ~40k
+        # seeded defects): run the SAME validation twice in fresh processes
+        # — default driver-fold assembly vs the FORCED distributed
+        # per-partition writer (SCDD_VIOLATIONS_DRIVER_MAX=0) — so the
+        # streamed path's cost at bench scale is a measured number
+        # (VERDICT r4 item 6), not an e2e-test assumption.
+        _init_ray()
+        run_headline(rounds=1, scale="violheavy")  # pre-gen fixture+ref
+        import ray
+
+        ray.shutdown()
+        results = {}
+        for label, extra in (("driver_fold", {}),
+                             ("streamed_writer",
+                              {"SCDD_VIOLATIONS_DRIVER_MAX": "0"})):
+            env = dict(os.environ, GRAFT_BENCH_HEADLINE_ONLY="1",
+                       GRAFT_BENCH_SCALE="violheavy",
+                       GRAFT_HEADLINE_ROUNDS="2", GRAFT_BENCH_LARGE="0",
+                       **extra)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            results[label] = json.loads(out.strip().splitlines()[-1])
+        d, s = results["driver_fold"], results["streamed_writer"]
+        print(json.dumps({
+            "metric": "violation_heavy_streamed_vs_driver",
+            "rows": d["rows"], "violations": d["violations"],
+            "sec_driver_fold": d["value"],
+            "sec_streamed_writer": s["value"],
+            "images_per_sec_driver_fold": d["images_per_sec"],
+            "images_per_sec_streamed_writer": s["images_per_sec"],
+            "streamed_overhead": round(s["value"] / d["value"], 3),
+            "violations_match": d["violations"] == s["violations"],
+            "num_cpus": NUM_CPUS,
+        }))
+        return
+
     if "--scaling" in sys.argv:
         # pre-generate fixture + ref state once so subprocesses only validate
         _init_ray()

@@ -83,8 +83,12 @@ def _merged_state_row(pid: int, merged) -> "pa.Table":
 REDUCED_DRIVER_MAX = 500_000
 
 # total violation rows assembled driver-side; beyond this, violations are
-# sorted and written per partition by a distributed groupby writer
-VIOLATIONS_DRIVER_MAX = 1_000_000
+# sorted and written per partition by a distributed groupby writer.
+# Env-overridable so bench can FORCE the streamed writer on the
+# violation-heavy fixture (SCDD_VIOLATIONS_DRIVER_MAX=0) and measure its
+# cost instead of assuming it.
+VIOLATIONS_DRIVER_MAX = int(os.environ.get("SCDD_VIOLATIONS_DRIVER_MAX",
+                                           1_000_000))
 
 COLUMN_STATS_SCHEMA = pa.schema(
     [
