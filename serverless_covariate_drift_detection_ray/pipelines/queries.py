@@ -4234,7 +4234,7 @@ ORDER BY priority LIMIT 100
 LEN_BAND_W = 8  # length-band width; must exceed max_dist (see proof below)
 
 
-def _len_band_explode(batch: pa.Table, max_dist: int, w: int) -> pd.DataFrame:
+def _len_band_explode(batch: pa.Table, max_dist: int, w: int) -> pa.Table:
     """Composite-blocking explode for the Levenshtein family: each part row
     lands NATIVE in block ``(p_brand, len // w)`` and, when its length sits
     within ``max_dist`` of the band's lower boundary (``len mod w <
@@ -4245,19 +4245,36 @@ def _len_band_explode(batch: pa.Table, max_dist: int, w: int) -> pd.DataFrame:
     the lower row natively (exactly once; borrowed×borrowed pairs are
     skipped because both appear native one band up). Bands further apart
     can't pair (|diff| <= max_dist < w). Row inflation is bounded by
-    ``max_dist / w`` (25% at the defaults)."""
-    df = batch.to_pandas()
-    lens = np.fromiter((len(s) for s in df.p_name.to_numpy()),
-                       np.int64, len(df))
+    ``max_dist / w`` (25% at the defaults).
+
+    The block key is an int64 ``hash(brand) ⊕ band`` (cheaper through the
+    sort-shuffle than a composite string); a hash COLLISION merely merges
+    two blocks — the pair kernel re-checks brand equality, so exactness
+    never rests on hash uniqueness."""
+    from ..functions.hashing import hash64
+
+    names = batch["p_name"].to_numpy(zero_copy_only=False)
+    lens = np.fromiter((len(s) for s in names), np.int64, len(names))
     band = lens // w
-    df = df.assign(_len=lens)
-    native = df.assign(blk=df.p_brand + "#" + band.astype(str),
-                       _native=True)
+    bh = (hash64(batch["p_brand"].to_numpy(zero_copy_only=False))
+          % np.uint64(1 << 32)).astype(np.int64)
     bm = (lens % w < max_dist) & (band > 0)
-    borrowed = df[bm].assign(
-        blk=df.p_brand[bm] + "#" + (band[bm] - 1).astype(str),
-        _native=False)
-    return pd.concat([native, borrowed], ignore_index=True)
+    idx = np.flatnonzero(bm)
+
+    def emit(sel, bands, native):
+        t = batch.take(pa.array(sel)) if sel is not None else batch
+        return t.append_column("_len", pa.array(lens[sel] if sel is not None
+                                                else lens)) \
+                .append_column("_native",
+                               pa.array(np.full(t.num_rows, native))) \
+                .append_column("blk", pa.array(
+                    (bh[sel] if sel is not None else bh) * 256 + bands))
+
+    native = emit(None, band, True)
+    if idx.size == 0:
+        return native
+    borrowed = emit(idx, band[idx] - 1, False)
+    return pa.concat_tables([native, borrowed])
 
 
 def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
@@ -4281,11 +4298,14 @@ def fuzzy_match_parts(sf_dir: str, max_dist: int = 2):
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         keys = df.p_partkey.to_numpy()
         names = df.p_name.to_numpy()
+        brands = df.p_brand.to_numpy()
         lens = df._len.to_numpy()
         nat = df._native.to_numpy()
         i, j = np.triu_indices(len(df), k=1)
-        # borrowed×borrowed pairs replay one band up — natives only there
-        keep = (np.abs(lens[i] - lens[j]) <= max_dist) & (nat[i] | nat[j])
+        # borrowed×borrowed pairs replay one band up — natives only there;
+        # brand equality re-checked so a blk-hash collision stays harmless
+        keep = ((np.abs(lens[i] - lens[j]) <= max_dist) & (nat[i] | nat[j])
+                & (brands[i] == brands[j]))
         i, j = i[keep], j[keep]
         # contract: key_a < key_b
         swap = keys[i] > keys[j]

@@ -137,7 +137,7 @@ def test_fuzzy_banding_bounds_hot_brand_groups(ray_session, tmp_path):
     # bands; with lengths in [12,44) and W=8 there are >=4 bands, so no
     # block may hold the whole brand (native + borrowed <= band + W/4 of
     # the neighbour band, far under n)
-    ex = _len_band_explode(t, max_dist=2, w=LEN_BAND_W)
+    ex = _len_band_explode(t, max_dist=2, w=LEN_BAND_W).to_pandas()
     blk_sizes = ex.groupby("blk").size()
     assert len(blk_sizes) >= 4
     assert blk_sizes.max() < 0.55 * n, blk_sizes.sort_values().tail()
