@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_funnel_documents": corpus.corpus_funnel_documents,
         "bpe_pair_counts": textops.bpe_pair_counts,
         "bpe_train_documents": textops.bpe_train_documents,
+        "bpe_tokenize_documents": textops.bpe_tokenize_documents,
         "quality_scores": textops.quality_scores,
         "langid_confusion": textops.langid_confusion,
         # classifier projection + accuracy aggregate (SURVEY M3/A5)
@@ -503,6 +504,8 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "ann_lsh_bucketed": "tests/test_queries.py::test_ann_lsh_recall_vs_exact",
     "approx_distinct_users_by_type": "tests/test_queries.py::"
                                      "test_approx_distinct_hll_within_error_bound",
+    "bpe_tokenize_documents": "tests/test_regressions_r5.py::"
+                              "test_bpe_tokenize_matches_reference",
     "bpe_train_documents": "tests/test_regressions_r5.py::"
                            "test_bpe_trainer_matches_reference_and_paths",
     "fingerprint_documents": "tests/test_queries.py::"

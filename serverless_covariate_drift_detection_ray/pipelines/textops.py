@@ -1630,18 +1630,34 @@ def bpe_train_documents(sf_dir: str, n_merges: int = BPE_MERGES):
                 if not pc:
                     return pa.table({"left": pa.array([], pa.string()),
                                      "right": pa.array([], pa.string()),
-                                     "n": pa.array([], pa.int64())})
+                                     "n": pa.array([], pa.int64()),
+                                     "bkt": pa.array([], pa.int64())})
                 ls, rs = zip(*pc.keys())
+                key = np.array([a + "\x00" + b for a, b in pc.keys()],
+                               dtype=object)
                 return pa.table({"left": pa.array(ls, pa.string()),
                                  "right": pa.array(rs, pa.string()),
-                                 "n": pa.array(list(pc.values()), pa.int64())})
+                                 "n": pa.array(list(pc.values()), pa.int64()),
+                                 "bkt": pa.array((hash64(key) % np.uint64(nb)
+                                                  ).astype(np.int64))})
 
-            parts = types.map_batches(pair_partial, batch_format="pyarrow",
-                                      zero_copy_batch=True).to_pandas()
+            def pair_sum(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.groupby(["left", "right"], sort=False).n.sum()
+                return g.reset_index()[["left", "right", "n"]]
+
+            # bucket-aggregate BEFORE collecting: the driver sees at most
+            # one row per distinct pair (≤ ~(256+K)² symbols), never the
+            # blocks × pairs partial fan-out — at 10^5-block corpus scale
+            # the raw partials would be a driver collapse
+            parts = (types.map_batches(pair_partial, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                     .groupby("bkt").map_groups(pair_sum,
+                                                batch_format="pandas")
+                     .to_pandas())
             if not len(parts):
                 break
-            agg = parts.groupby(["left", "right"], sort=False).n.sum()
-            pc = {k: int(v) for k, v in agg.items()}
+            pc = {(l, r): int(v) for l, r, v in
+                  zip(parts.left, parts.right, parts.n)}
             left, right, n = _bpe_best(pc)
             if n < 2:
                 break
@@ -1660,6 +1676,51 @@ def bpe_train_documents(sf_dir: str, n_merges: int = BPE_MERGES):
                      "right": pa.array(rs, pa.string()),
                      "merged": pa.array(mg, pa.string()),
                      "n": pa.array(ns, pa.int64())})
+
+
+def bpe_tokenize_documents(sf_dir: str, n_merges: int = BPE_MERGES):
+    """Tokenize the corpus WITH the trained BPE vocabulary — the consumer
+    half of ``bpe_train_documents``: train (or reuse) the merge table, then
+    one stateless distributed pass applies it per document and emits
+    (doc_id, n_bpe_tokens, n_chars_tokenized) — the pre-training length
+    accounting a data pipeline feeds into packing/budgeting.
+
+    Scale shape: the merge table is a ≤ n_merges-row broadcast (``ray.put``
+    once, read per worker); segmentation memoizes per distinct WORD within
+    each batch (Zipf means a block re-sees its head words constantly), so
+    per-batch cost tracks distinct words, not tokens. No shuffle at all —
+    the corpus pass is embarrassingly parallel. Rows-only (BPE application
+    is not SQL-expressible); pinned by a per-doc pure-python reference
+    parity test."""
+    import ray
+
+    merges_tbl = bpe_train_documents(sf_dir, n_merges).to_pandas()
+    merges = list(zip(merges_tbl.left, merges_tbl.right))
+    wrapped = {"ref": ray.put(merges)}
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        ms = ray.get(wrapped["ref"])
+        memo: dict = {}
+
+        def n_tok(w: str) -> int:
+            n = memo.get(w)
+            if n is None:
+                n = memo[w] = len(_bpe_apply_merges(w, ms))
+            return n
+
+        ids = batch["doc_id"].to_numpy()
+        counts, chars = [], []
+        for s in batch["text"].to_pylist():
+            ws = [w for w in s.split(" ") if w]
+            counts.append(sum(n_tok(w) for w in ws))
+            chars.append(sum(len(w) for w in ws))
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_bpe_tokens": pa.array(counts, pa.int64()),
+                         "n_chars_tokenized": pa.array(chars, pa.int64())})
+
+    return ds.map_batches(tokenize, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def _bpe_merge_one(seq: list, left: str, right: str, merged: str) -> list:

@@ -264,3 +264,25 @@ def test_bpe_trainer_matches_reference_and_paths(ray_session):
     for w in some:
         seg = tx._bpe_apply_merges(w, list(zip(mt.left, mt.right)))
         assert "".join(seg) == w
+
+
+def test_bpe_tokenize_matches_reference(ray_session):
+    """The distributed BPE tokenizer must agree doc-for-doc with a direct
+    pure-python segmentation using the SAME trained merge table, and the
+    char accounting must equal the whitespace-stripped document length."""
+    from serverless_covariate_drift_detection_ray.pipelines import (
+        textops as tx)
+
+    out = tx.bpe_tokenize_documents(SF).to_pandas().set_index("doc_id")
+    mt = tx.bpe_train_documents(SF).to_pandas()
+    merges = list(zip(mt.left, mt.right))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    assert len(out) == len(docs)
+    for _, r in docs.sample(80, random_state=5).iterrows():
+        ws = [w for w in r.text.split(" ") if w]
+        n_ref = sum(len(tx._bpe_apply_merges(w, merges)) for w in ws)
+        assert out.loc[r.doc_id, "n_bpe_tokens"] == n_ref
+        assert out.loc[r.doc_id, "n_chars_tokenized"] == sum(map(len, ws))
+    # merging strictly compresses: token count <= char count, >= word count
+    assert (out.n_bpe_tokens <= out.n_chars_tokenized).all()
