@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings_int8": ann.quantize_embeddings_int8,
         "ann_topk_quantized": ann.ann_topk_quantized,
         "ann_quantized_recall": ann.ann_quantized_recall,
+        "ann_pq_topk": ann.ann_pq_topk,
+        "ann_pq_recall": ann.ann_pq_recall,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
         "mmd_embeddings_drift": ann.mmd_embeddings_drift,
@@ -502,6 +504,10 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "ann_ivf_persistent": "tests/test_queries.py::"
                           "test_ann_ivf_persistent_index_reuse_and_recall",
     "ann_lsh_bucketed": "tests/test_queries.py::test_ann_lsh_recall_vs_exact",
+    "ann_pq_recall": "tests/test_regressions_r5.py::"
+                     "test_ann_pq_recall_and_determinism",
+    "ann_pq_topk": "tests/test_regressions_r5.py::"
+                   "test_ann_pq_recall_and_determinism",
     "approx_distinct_users_by_type": "tests/test_queries.py::"
                                      "test_approx_distinct_hll_within_error_bound",
     "bpe_tokenize_documents": "tests/test_regressions_r5.py::"

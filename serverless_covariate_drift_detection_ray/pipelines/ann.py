@@ -1538,6 +1538,171 @@ GROUP BY et.query_id
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance scan — the standard
+# 100×-scale ANN compression path alongside int8 scalar quantization and
+# IVF: the corpus shrinks to M uint8 codes per vector (64 float32 dims →
+# 8 bytes here, 32×), and queries score against a per-query (M × K) lookup
+# table instead of the raw vectors.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces (dim 64 → 8 dims each)
+PQ_K = 256      # codewords per subspace (one uint8 code each)
+PQ_KMEANS_ITERS = 10
+
+
+def _pq_train_codebooks(sf_dir: str):
+    """Train the M per-subspace codebooks on the same bounded deterministic
+    smallest-hash sample the IVF trainer uses (≤ IVF_TRAIN_CAP rows of the
+    L2-normalized corpus, order-free and resume-stable), with seeded plain
+    Lloyd's per subspace — the whole artifact is (M, K, d/M) floats, a
+    broadcast-sized object at any corpus scale."""
+    from ..functions.hashing import splitmix64
+
+    cap = IVF_TRAIN_CAP
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def train_sample(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        keys = splitmix64(ids.astype(np.uint64))
+        order = np.argsort(keys, kind="stable")[:cap]
+        sub = batch.take(pa.array(order))
+        return pa.table({"key": pa.array(keys[order].astype(np.int64)),
+                         "embedding": sub["embedding"]})
+
+    sampled = ds.map_batches(train_sample, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    order = np.argsort(sampled.key.to_numpy().astype(np.uint64),
+                       kind="stable")[:cap]
+    train = np.stack(sampled.embedding.to_numpy()[order]).astype(np.float64)
+    train = _normalize_rows(train)
+    d = train.shape[1]
+    assert d % PQ_M == 0, f"dim {d} not divisible by PQ_M={PQ_M}"
+    w = d // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = np.ascontiguousarray(train[:, m * w:(m + 1) * w])
+        books.append(_lloyd_l2(sub, min(PQ_K, sub.shape[0]),
+                               PQ_KMEANS_ITERS, seed=17 + m))
+    return books  # list of (k_m, w) float64
+
+
+def _lloyd_l2(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded plain-L2 Lloyd's on the driver sample (deterministic init =
+    k distinct rows; empty clusters keep their previous centroid)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    init = rng.choice(x.shape[0], size=k, replace=False)
+    c = x[np.sort(init)].copy()
+    for _ in range(iters):
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ c.T)
+              + (c * c).sum(1)[None, :])
+        a = d2.argmin(1)
+        for j in range(k):
+            members = x[a == j]
+            if members.shape[0]:
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def _pq_encode(x: np.ndarray, books: list) -> np.ndarray:
+    """(n, M) uint8 codes: per subspace, nearest codeword by L2 (ties →
+    lowest index via argmin)."""
+    n, d = x.shape
+    w = d // len(books)
+    codes = np.empty((n, len(books)), dtype=np.uint8)
+    for m, c in enumerate(books):
+        sub = x[:, m * w:(m + 1) * w]
+        d2 = ((sub * sub).sum(1)[:, None] - 2.0 * (sub @ c.T)
+              + (c * c).sum(1)[None, :])
+        codes[:, m] = d2.argmin(1).astype(np.uint8)
+    return codes
+
+
+def ann_pq_topk(sf_dir: str):
+    """Top-k cosine via product quantization with an asymmetric-distance
+    (ADC) scan: corpus vectors are ENCODED to M uint8 codes against the
+    broadcast codebooks, queries stay full-precision, and each batch scores
+    rows as Σ_m LUT_m[code] where LUT = q_sub · codebook_mᵀ — one (M × K)
+    table per query, no corpus float math. Rows-only (k-means-trained
+    codebooks have no SQL equivalent); recall vs the exact oracled baseline
+    and determinism are pinned in tests, mirroring the LSH/IVF pattern.
+    At 10^12-row scale the encode pass is the one full-precision read;
+    scans then touch 8 bytes/vector (here fused into one pass because the
+    sandbox corpus is re-read per query set anyway — the persistent-IVF op
+    shows the build-once layout)."""
+    import ray
+
+    q_ids, qm = _query_matrix(sf_dir)
+    books = _pq_train_codebooks(sf_dir)
+    w = qm.shape[1] // PQ_M
+    # per-query LUTs: (n_q, M, K) — queries × 8 × 256 floats, broadcast-sized
+    luts = np.stack([np.stack([qm[:, m * w:(m + 1) * w] @ books[m].T
+                               for m in range(PQ_M)], axis=1)])[0]
+    wrapped = {"ref": ray.put((q_ids, luts, books))}
+
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score_adc(batch: pa.Table) -> pa.Table:
+        qi, lt, bks = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        x = _normalize_rows(_to_matrix(batch["embedding"]))
+        codes = _pq_encode(x, bks)                     # (n, M) uint8
+        # ADC: scores[q, i] = Σ_m lt[q, m, codes[i, m]]
+        n = codes.shape[0]
+        scores = np.zeros((lt.shape[0], n))
+        for m in range(PQ_M):
+            scores += lt[:, m, codes[:, m]]
+        # rank on the 1e-6-rounded score (determinism across matmul shapes)
+        scores = np.floor(scores * 1e6 + 0.5) / 1e6
+        k = min(TOP_K, n)
+        out_q, out_n, out_s = [], [], []
+        for q in range(scores.shape[0]):
+            top = _topk_tiebreak_cut(scores[q], ids, k)
+            out_q.append(np.full(k, qi[q], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(scores[q][top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = ds.map_batches(score_adc, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+
+    return partials.groupby("query_id").map_groups(merge_topk,
+                                                   batch_format="pandas")
+
+
+def ann_pq_recall(sf_dir: str):
+    """Recall@k of the PQ/ADC ranking vs the exact cosine baseline — the
+    audit number a deployment watches when swapping full-precision scans
+    for 8-byte codes. Rows-only (the PQ side is k-means-trained); the
+    recall floor itself is asserted in tests."""
+    ex = ann_topk_cosine(sf_dir).to_pandas()
+    qz = ann_pq_topk(sf_dir).to_pandas()
+    qz = qz[["query_id", "neighbor_id"]].assign(hit=np.int64(1))
+    m = ex[["query_id", "neighbor_id"]].merge(
+        qz, on=["query_id", "neighbor_id"], how="left")
+    g = m.groupby("query_id", as_index=False).agg(
+        n_overlap=("hit", "count"), k=("neighbor_id", "size"))
+    return pa.table({
+        "query_id": pa.array(g.query_id.to_numpy(np.int64)),
+        "n_overlap": pa.array(g.n_overlap.to_numpy(np.int64)),
+        "k": pa.array(g.k.to_numpy(np.int64)),
+    })
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: keyword + vector with reciprocal-rank fusion — the
 # standard production search shape (sparse lexical recall fused with dense
 # semantic recall). Each side retrieves a bounded per-query candidate list

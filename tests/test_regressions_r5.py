@@ -286,3 +286,27 @@ def test_bpe_tokenize_matches_reference(ray_session):
         assert out.loc[r.doc_id, "n_chars_tokenized"] == sum(map(len, ws))
     # merging strictly compresses: token count <= char count, >= word count
     assert (out.n_bpe_tokens <= out.n_chars_tokenized).all()
+
+
+def test_ann_pq_recall_and_determinism(ray_session):
+    """PQ/ADC scan: (a) codes really are M uint8 per vector (the 32×
+    compression claim), (b) recall@10 vs the exact oracled baseline clears
+    the documented floor (measured 0.73 at sf0.001/0.01), (c) the ranking
+    is deterministic run-to-run, (d) only corpus rows are returned."""
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        PQ_M, _normalize_rows, _pq_encode, _pq_train_codebooks, _to_matrix,
+        ann_pq_recall, ann_pq_topk)
+
+    r = ann_pq_recall(SF).to_pandas()
+    assert (r.k == 10).all()
+    assert r.n_overlap.sum() / r.k.sum() >= 0.5
+
+    a = ann_pq_topk(SF).to_pandas().reset_index(drop=True)
+    b = ann_pq_topk(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.neighbor_id >= 10).all()
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    x = _normalize_rows(_to_matrix(emb["embedding"]))[:64]
+    codes = _pq_encode(x, _pq_train_codebooks(SF))
+    assert codes.shape == (64, PQ_M) and codes.dtype == np.uint8
