@@ -1635,8 +1635,8 @@ def ann_pq_topk(sf_dir: str):
     books = _pq_train_codebooks(sf_dir)
     w = qm.shape[1] // PQ_M
     # per-query LUTs: (n_q, M, K) — queries × 8 × 256 floats, broadcast-sized
-    luts = np.stack([np.stack([qm[:, m * w:(m + 1) * w] @ books[m].T
-                               for m in range(PQ_M)], axis=1)])[0]
+    luts = np.stack([qm[:, m * w:(m + 1) * w] @ books[m].T
+                     for m in range(PQ_M)], axis=1)
     wrapped = {"ref": ray.put((q_ids, luts, books))}
 
     ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1778,10 +1778,12 @@ def hybrid_search_rrf(sf_dir: str, lexical_path: str = "postings"):
     count. Jaccard = inter/(|q|+|d|-inter) uses the same integers as the
     set expression, so both paths are bit-identical (pinned by the
     forced-path parity test). ``lexical_path="scan"`` keeps the direct
-    per-query set scan for that parity check. A query batch too large to
-    broadcast its vocabulary flips to the corpus-side postings build
-    (``inverted_index_documents``) + bucket join — same candidate set, one
-    extra shuffle."""
+    per-query set scan for that parity check. The probe assumes a BOUNDED
+    query side (here the N_QUERIES constant) so the query-vocab index
+    broadcasts; a query batch too large for that would instead use the
+    corpus-side postings build (``textops.inverted_index_documents``) +
+    bucket join — same candidate set, one extra shuffle — which this op
+    does not implement (no such query scale exists in the surface)."""
     import pyarrow.parquet as pq
     import ray
 

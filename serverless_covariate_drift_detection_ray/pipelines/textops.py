@@ -1678,6 +1678,9 @@ def bpe_train_documents(sf_dir: str, n_merges: int = BPE_MERGES):
                      "n": pa.array(ns, pa.int64())})
 
 
+_BPE_MERGE_CACHE: dict = {}
+
+
 def bpe_tokenize_documents(sf_dir: str, n_merges: int = BPE_MERGES):
     """Tokenize the corpus WITH the trained BPE vocabulary — the consumer
     half of ``bpe_train_documents``: train (or reuse) the merge table, then
@@ -1689,13 +1692,24 @@ def bpe_tokenize_documents(sf_dir: str, n_merges: int = BPE_MERGES):
     once, read per worker); segmentation memoizes per distinct WORD within
     each batch (Zipf means a block re-sees its head words constantly), so
     per-batch cost tracks distinct words, not tokens. No shuffle at all —
-    the corpus pass is embarrassingly parallel. Rows-only (BPE application
-    is not SQL-expressible); pinned by a per-doc pure-python reference
-    parity test."""
+    the corpus pass is embarrassingly parallel. The trainer run is
+    memoized per (source content fingerprint, n_merges) in-process, so a
+    sweep that runs train + tokenize pays the trainer once; a deployment
+    would persist the merge table as an artifact (state/reference.py
+    shape). Rows-only (BPE application is not SQL-expressible); pinned by
+    a per-doc pure-python reference parity test."""
+    import os
+
     import ray
 
-    merges_tbl = bpe_train_documents(sf_dir, n_merges).to_pandas()
-    merges = list(zip(merges_tbl.left, merges_tbl.right))
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    key = (sf_dir, st.st_size, st.st_mtime_ns, n_merges)
+    merges = _BPE_MERGE_CACHE.get(key)
+    if merges is None:
+        merges_tbl = bpe_train_documents(sf_dir, n_merges).to_pandas()
+        merges = list(zip(merges_tbl.left, merges_tbl.right))
+        _BPE_MERGE_CACHE.clear()  # one live corpus at a time — no leak
+        _BPE_MERGE_CACHE[key] = merges
     wrapped = {"ref": ray.put(merges)}
     ds = _read_docs(sf_dir, ["doc_id", "text"])
 

@@ -83,12 +83,18 @@ def _merged_state_row(pid: int, merged) -> "pa.Table":
 REDUCED_DRIVER_MAX = 500_000
 
 # total violation rows assembled driver-side; beyond this, violations are
-# sorted and written per partition by a distributed groupby writer.
-# Env-overridable so bench can FORCE the streamed writer on the
-# violation-heavy fixture (SCDD_VIOLATIONS_DRIVER_MAX=0) and measure its
-# cost instead of assuming it.
-VIOLATIONS_DRIVER_MAX = int(os.environ.get("SCDD_VIOLATIONS_DRIVER_MAX",
-                                           1_000_000))
+# sorted and written per partition by a distributed groupby writer
+VIOLATIONS_DRIVER_MAX = 1_000_000
+
+
+def _violations_driver_max() -> int:
+    """Effective driver-fold gate, env-overridable PER CALL (same contract
+    as config.scratch_root — honored without re-importing): bench forces
+    the streamed writer with SCDD_VIOLATIONS_DRIVER_MAX=0 to measure its
+    cost; tests monkeypatch the module constant, which stays the
+    fallback."""
+    v = os.environ.get("SCDD_VIOLATIONS_DRIVER_MAX")
+    return int(v) if v is not None else VIOLATIONS_DRIVER_MAX
 
 COLUMN_STATS_SCHEMA = pa.schema(
     [
@@ -526,7 +532,7 @@ def validate(
     assert TS_FORMAT  # format documented in stages.drift
 
     violations = None  # driver-side table when small, None when streamed
-    if n_viol <= VIOLATIONS_DRIVER_MAX:
+    if n_viol <= _violations_driver_max():
         violations = pa.concat_tables(
             list(viol_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
         ) if n_viol else VIOLATION_SCHEMA.empty_table()

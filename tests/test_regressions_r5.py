@@ -180,7 +180,13 @@ def test_scratch_root_relocates_staged_caches(ray_session, tmp_path,
     root = str(tmp_path / "shared")
     monkeypatch.setenv("SCDD_SCRATCH_ROOT", root)
     assert scratch_root() == root
+    tag = os.path.basename(os.path.normpath(SF))
 
+    def tmp_dirs():
+        return {p: set(os.listdir(p)) if os.path.isdir(p) else set()
+                for p in (f"/tmp/scdd_csv/{tag}", f"/tmp/scdd_ivf/{tag}")}
+
+    before = tmp_dirs()
     out = csv_roundtrip_orders(SF)
     df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     con = duckdb.connect()
@@ -189,7 +195,6 @@ def test_scratch_root_relocates_staged_caches(ray_session, tmp_path,
     canon = lambda d: d.sort_values(list(sorted(d.columns)))[
         sorted(d.columns)].reset_index(drop=True)
     pd.testing.assert_frame_equal(canon(df), canon(odf), check_dtype=False)
-    tag = os.path.basename(os.path.normpath(SF))
     pub = f"{root}/scdd_csv/{tag}"
     assert os.path.isdir(pub) and any(
         os.path.exists(os.path.join(pub, d, "_SUCCESS"))
@@ -198,6 +203,10 @@ def test_scratch_root_relocates_staged_caches(ray_session, tmp_path,
     ivf = ann_ivf_persistent(SF)
     assert len(_to_pd(ivf)) > 0
     assert os.path.isdir(f"{root}/scdd_ivf/{tag}")
+    # (c) nothing leaked to the DEFAULT /tmp prefix for this fixture tag:
+    # a half-relocation (relocated publish + node-local sibling write or
+    # /tmp-first read) would show up as new entries here
+    assert tmp_dirs() == before
 
 
 def _to_pd(res):
