@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_quantized": ann.ann_topk_quantized,
         "ann_quantized_recall": ann.ann_quantized_recall,
         "ann_pq_topk": ann.ann_pq_topk,
+        "ann_ivfpq_topk": ann.ann_ivfpq_topk,
         "ann_pq_recall": ann.ann_pq_recall,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
@@ -503,6 +504,8 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "ann_ivf_cosine": "tests/test_queries.py::test_ann_ivf_recall_vs_exact",
     "ann_ivf_persistent": "tests/test_queries.py::"
                           "test_ann_ivf_persistent_index_reuse_and_recall",
+    "ann_ivfpq_topk": "tests/test_regressions_r5.py::"
+                      "test_ann_ivfpq_recall_and_determinism",
     "ann_lsh_bucketed": "tests/test_queries.py::test_ann_lsh_recall_vs_exact",
     "ann_pq_recall": "tests/test_regressions_r5.py::"
                      "test_ann_pq_recall_and_determinism",

@@ -1683,6 +1683,81 @@ def ann_pq_topk(sf_dir: str):
                                                    batch_format="pandas")
 
 
+def ann_ivfpq_topk(sf_dir: str, nprobe: int = IVF_NPROBE):
+    """IVF × PQ — the canonical billion-scale ANN composition (FAISS
+    IVFPQ's shape): corpus rows route to their nearest IVF cell, queries
+    probe their ``nprobe`` nearest cells, and rows inside probed cells are
+    scored by the PQ/ADC lookup — so a query touches ~nprobe/n_cells of
+    the corpus AND pays 8-byte-code arithmetic on what it touches. Both
+    trained artifacts reuse the shared bounded-sample trainers
+    (``_ivf_train_centroids``, ``_pq_train_codebooks``), so cell routing
+    matches ``ann_ivf_cosine`` and codes match ``ann_pq_topk`` exactly.
+    Scan-based (no shuffle): cell assignment is one (n × n_cells) matmul
+    per batch and unprobed rows drop before any code gather. Rows-only;
+    recall vs the exact oracled baseline is pinned in tests (bounded below
+    by the IVF probe recall ∧ PQ rank fidelity)."""
+    import ray
+
+    q_ids, qm = _query_matrix(sf_dir)
+    cents = _ivf_train_centroids(sf_dir, IVF_N_CELLS)
+    books = _pq_train_codebooks(sf_dir)
+    p = min(nprobe, cents.shape[0])
+    qsim = qm @ cents.T
+    probes = np.argpartition(-qsim, p - 1, axis=1)[:, :p]  # (n_q, p)
+    w = qm.shape[1] // PQ_M
+    luts = np.stack([qm[:, m * w:(m + 1) * w] @ books[m].T
+                     for m in range(PQ_M)], axis=1)
+    wrapped = {"ref": ray.put((q_ids, probes, luts, books, cents))}
+
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score_probed(batch: pa.Table) -> pa.Table:
+        qi, prb, lt, bks, c = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        x = _normalize_rows(_to_matrix(batch["embedding"]))
+        cell = np.argmax(x @ c.T, axis=1)                  # (n,)
+        codes = _pq_encode(x, bks)                         # (n, M) uint8
+        out_q, out_n, out_s = [], [], []
+        for q in range(len(qi)):
+            sel = np.flatnonzero(np.isin(cell, prb[q]))
+            if sel.size == 0:
+                continue
+            s = np.zeros(sel.size)
+            for m in range(PQ_M):
+                s += lt[q, m, codes[sel, m]]
+            s = np.floor(s * 1e6 + 0.5) / 1e6
+            k = min(TOP_K, sel.size)
+            cut = _topk_tiebreak_cut(s, ids[sel], k)
+            out_q.append(np.full(k, qi[q], dtype=np.int64))
+            out_n.append(ids[sel[cut]])
+            out_s.append(s[cut])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = ds.map_batches(score_probed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", "neighbor_id"],
+                              ascending=[False, True]).head(TOP_K)
+
+    return partials.groupby("query_id").map_groups(merge_topk,
+                                                   batch_format="pandas")
+
+
 def ann_pq_recall(sf_dir: str):
     """Recall@k of the PQ/ADC ranking vs the exact cosine baseline — the
     audit number a deployment watches when swapping full-precision scans

@@ -319,3 +319,36 @@ def test_ann_pq_recall_and_determinism(ray_session):
     x = _normalize_rows(_to_matrix(emb["embedding"]))[:64]
     codes = _pq_encode(x, _pq_train_codebooks(SF))
     assert codes.shape == (64, PQ_M) and codes.dtype == np.uint8
+
+
+def test_ann_ivfpq_recall_and_determinism(ray_session):
+    """IVF×PQ composition: deterministic, corpus-only neighbors, and
+    recall@10 vs the exact baseline above the floor implied by its two
+    parts (IVF probe recall ~0.6 × PQ fidelity ~0.73; measured 0.50-0.56
+    at sf0.001/0.01 — floor 0.35 leaves noise margin). Every returned
+    neighbor must lie in a cell its query probed (the pruning contract)."""
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        IVF_N_CELLS, IVF_NPROBE, _ivf_train_centroids, _normalize_rows,
+        _query_matrix, _to_matrix, ann_ivfpq_topk, ann_topk_cosine)
+
+    a = ann_ivfpq_topk(SF).to_pandas().reset_index(drop=True)
+    b = ann_ivfpq_topk(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.neighbor_id >= 10).all()
+    ex = ann_topk_cosine(SF).to_pandas()
+    ep = set(zip(ex.query_id, ex.neighbor_id))
+    ap = set(zip(a.query_id, a.neighbor_id))
+    assert len(ep & ap) / len(ep) >= 0.35
+
+    # pruning contract: neighbor's cell ∈ its query's probed set
+    cents = _ivf_train_centroids(SF, IVF_N_CELLS)
+    q_ids, qm = _query_matrix(SF)
+    qsim = qm @ cents.T
+    probes = {int(q): set(np.argpartition(-qsim[i], IVF_NPROBE - 1)
+                          [:IVF_NPROBE]) for i, q in enumerate(q_ids)}
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    x = _normalize_rows(_to_matrix(emb["embedding"]))
+    cell = dict(zip(emb["vec_id"].to_numpy(), np.argmax(x @ cents.T, 1)))
+    for _, r in a.iterrows():
+        assert cell[r.neighbor_id] in probes[r.query_id]
