@@ -159,6 +159,26 @@ def run_queries() -> tuple[dict[str, float], dict]:
     return out, ctx
 
 
+def _violations_digest(out_dir: str) -> str:
+    """Order-sensitive content digest of every written violations.parquet
+    (path + all columns row-order-as-written) — the writers pin a
+    deterministic (partition_id, check, image_id) order, so equal digests
+    mean byte-equal violation rows."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(os.path.join(
+            out_dir, "violations", "partition_id=*", "violations.parquet"))):
+        t = pq.read_table(f)
+        h.update(os.path.relpath(f, out_dir).encode())
+        for c in sorted(t.column_names):
+            h.update(repr(t[c].to_pylist()).encode())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     if "--violations" in sys.argv:
         # Violation-heavy pass (fixtures.gen "violheavy": 256k rows, ~40k
@@ -172,7 +192,8 @@ def main() -> None:
         import ray
 
         ray.shutdown()
-        results = {}
+        results, digests = {}, {}
+        out_dir = f"/tmp/scdd_bench/violheavy/out-{NUM_CPUS}"
         for label, extra in (("driver_fold", {}),
                              ("streamed_writer",
                               {"SCDD_VIOLATIONS_DRIVER_MAX": "0"})):
@@ -185,6 +206,7 @@ def main() -> None:
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
             results[label] = json.loads(out.strip().splitlines()[-1])
+            digests[label] = _violations_digest(out_dir)
         d, s = results["driver_fold"], results["streamed_writer"]
         print(json.dumps({
             "metric": "violation_heavy_streamed_vs_driver",
@@ -195,6 +217,13 @@ def main() -> None:
             "images_per_sec_streamed_writer": s["images_per_sec"],
             "streamed_overhead": round(s["value"] / d["value"], 3),
             "violations_match": d["violations"] == s["violations"],
+            # ROW-level evidence, not just counts: both paths publish the
+            # same violations/partition_id=N/violations.parquet layout with
+            # the same (check, image_id) within-partition order, so the
+            # content digests must be byte-identical
+            "violations_digest_match": (
+                digests["driver_fold"] == digests["streamed_writer"]),
+            "violations_digest": digests["driver_fold"],
             "num_cpus": NUM_CPUS,
         }))
         return
