@@ -352,3 +352,33 @@ def test_ann_ivfpq_recall_and_determinism(ray_session):
     cell = dict(zip(emb["vec_id"].to_numpy(), np.argmax(x @ cents.T, 1)))
     for _, r in a.iterrows():
         assert cell[r.neighbor_id] in probes[r.query_id]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc", min_size=0, max_size=24),
+       st.lists(st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc", "ca",
+                                           "aa", "bb", "abc"]),
+                          st.sampled_from(["a", "b", "c", "ab", "bc", "ca",
+                                           "aa", "bb", "abc"])),
+                min_size=0, max_size=6))
+def test_bpe_incremental_equals_from_scratch(word, merges):
+    """The driver path updates sequences INCREMENTALLY (one _bpe_merge_one
+    per new merge) while the distributed path re-derives them FROM SCRATCH
+    (_bpe_apply_merges over the whole table each round); their equivalence
+    — greedy left-to-right application in rank order commutes with
+    incremental state — is what makes the forced-path parity structural
+    rather than coincidental. Property-check it over adversarial
+    overlapping merge tables (aa on aaa, chained ab+abc, etc.)."""
+    from serverless_covariate_drift_detection_ray.pipelines.textops import (
+        _bpe_apply_merges, _bpe_merge_one)
+
+    scratch = _bpe_apply_merges(word, merges)
+    seq = list(word)
+    for left, right in merges:
+        seq = _bpe_merge_one(seq, left, right, left + right)
+    assert seq == scratch
+    assert "".join(seq) == word  # segmentation always reconstructs
