@@ -170,13 +170,25 @@ def _violations_digest(out_dir: str) -> str:
     import pyarrow.parquet as pq
 
     h = hashlib.sha256()
+    n_files = n_rows = 0
     for f in sorted(glob.glob(os.path.join(
             out_dir, "violations", "partition_id=*", "violations.parquet"))):
         t = pq.read_table(f)
+        if t.num_rows == 0:
+            # normalize across writers: the driver fold writes an EMPTY
+            # violations.parquet for clean partitions, the streamed writer
+            # writes no file at all — zero rows contribute nothing either way
+            continue
+        n_files += 1
+        n_rows += t.num_rows
         h.update(os.path.relpath(f, out_dir).encode())
         for c in sorted(t.column_names):
             h.update(repr(t[c].to_pylist()).encode())
-    return h.hexdigest()[:16]
+    # a digest over zero files would compare nothing and vacuously "match";
+    # the violheavy fixture guarantees violations, so silence here means the
+    # layout assumption broke — fail loudly instead of publishing evidence
+    assert n_files > 0, f"no non-empty violations files under {out_dir}"
+    return f"{h.hexdigest()[:16]}:{n_files}f:{n_rows}r"
 
 
 def main() -> None:

@@ -1722,7 +1722,15 @@ def ann_ivfpq_topk(sf_dir: str, nprobe: int = IVF_NPROBE):
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         x = _normalize_rows(_to_matrix(batch["embedding"]))
         cell = np.argmax(x @ c.T, axis=1)                  # (n,)
-        codes = _pq_encode(x, bks)                         # (n, M) uint8
+        # encode ONLY rows some query probes — the rest drop after the
+        # cheap routing matmul, before any per-subspace code distance
+        probed = np.flatnonzero(np.isin(cell, np.unique(prb)))
+        if probed.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids, cell = ids[probed], cell[probed]
+        codes = _pq_encode(x[probed], bks)                 # (n', M) uint8
         out_q, out_n, out_s = [], [], []
         for q in range(len(qi)):
             sel = np.flatnonzero(np.isin(cell, prb[q]))

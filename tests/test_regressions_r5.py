@@ -349,9 +349,14 @@ def test_ann_ivfpq_recall_and_determinism(ray_session):
     emb = pq.read_table(f"{SF}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
     x = _normalize_rows(_to_matrix(emb["embedding"]))
-    cell = dict(zip(emb["vec_id"].to_numpy(), np.argmax(x @ cents.T, 1)))
+    sims = x @ cents.T
+    row_of = {int(v): i for i, v in enumerate(emb["vec_id"].to_numpy())}
     for _, r in a.iterrows():
-        assert cell[r.neighbor_id] in probes[r.query_id]
+        # the pipeline's argmax ran on per-Ray-batch matmul shapes; a
+        # near-tied centroid pair can flip under a different BLAS blocking,
+        # so accept any probed cell within float tolerance of the row's max
+        s = sims[row_of[int(r.neighbor_id)]]
+        assert any(s[c] >= s.max() - 1e-9 for c in probes[r.query_id])
 
 
 from hypothesis import given, settings
