@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized_recall": ann.ann_quantized_recall,
         "ann_pq_topk": ann.ann_pq_topk,
         "ann_ivfpq_topk": ann.ann_ivfpq_topk,
+        "ann_pq_rerank_topk": ann.ann_pq_rerank_topk,
         "ann_pq_recall": ann.ann_pq_recall,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "dedup_semantic_embeddings": ann.dedup_semantic_embeddings,
@@ -507,6 +508,8 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "ann_ivfpq_topk": "tests/test_regressions_r5.py::"
                       "test_ann_ivfpq_recall_and_determinism",
     "ann_lsh_bucketed": "tests/test_queries.py::test_ann_lsh_recall_vs_exact",
+    "ann_pq_rerank_topk": "tests/test_regressions_r5.py::"
+                          "test_ann_pq_rerank_recall_and_exactness",
     "ann_pq_recall": "tests/test_regressions_r5.py::"
                      "test_ann_pq_recall_and_determinism",
     "ann_pq_topk": "tests/test_regressions_r5.py::"

@@ -1683,6 +1683,100 @@ def ann_pq_topk(sf_dir: str):
                                                    batch_format="pandas")
 
 
+PQ_RERANK_C = 50  # candidate depth; measured recall@10 = 1.0 at sf0.01
+
+
+def ann_pq_rerank_topk(sf_dir: str, c: int = PQ_RERANK_C):
+    """Two-stage retrieval — the standard production ANN deployment shape:
+    a cheap PQ/ADC scan nominates top-``c`` candidates per query, then ONE
+    bounded gather of just those candidates' full vectors feeds an exact
+    cosine rerank of ≤ N_QUERIES × c rows on the driver. The corpus pays
+    8-byte-code arithmetic; full-precision math touches only candidates
+    (nq × c rows — broadcast-bounded at any corpus scale, fetched by a
+    sorted-array membership probe inside one filtered scan). Rows-only;
+    the evidence test pins recall ≥ 0.9 vs the exact oracled baseline
+    (measured 1.0 at sf0.001/0.01 with c=50) and that every reranked
+    score is the exact cosine (full-vector math, 1e-6-rounded like the
+    exact op)."""
+    import ray
+
+    q_ids, qm = _query_matrix(sf_dir)
+    books = _pq_train_codebooks(sf_dir)
+    w = qm.shape[1] // PQ_M
+    luts = np.stack([qm[:, m * w:(m + 1) * w] @ books[m].T
+                     for m in range(PQ_M)], axis=1)
+    wrapped = {"ref": ray.put((q_ids, luts, books))}
+
+    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        qi, lt, bks = ray.get(wrapped["ref"])
+        batch = batch.filter(
+            pa.compute.greater_equal(batch["vec_id"], N_QUERIES))
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        codes = _pq_encode(_normalize_rows(_to_matrix(batch["embedding"])),
+                           bks)
+        out_q, out_n, out_s = [], [], []
+        for q in range(len(qi)):
+            s = np.zeros(codes.shape[0])
+            for m in range(PQ_M):
+                s += lt[q, m, codes[:, m]]
+            s = np.floor(s * 1e6 + 0.5) / 1e6
+            k = min(c, s.size)
+            cut = _topk_tiebreak_cut(s, ids, k)
+            out_q.append(np.full(k, qi[q], dtype=np.int64))
+            out_n.append(ids[cut])
+            out_s.append(s[cut])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    def head_c(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", "neighbor_id"],
+                              ascending=[False, True]).head(c)
+
+    cand = (ds.map_batches(adc_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("query_id").map_groups(head_c, batch_format="pandas")
+            .to_pandas())  # ≤ N_QUERIES × c rows by construction
+    cand_ids = np.sort(np.unique(cand.neighbor_id.to_numpy(np.int64)))
+    wrapped2 = {"ref": ray.put(cand_ids.astype(np.uint64))}
+
+    def gather(batch: pa.Table) -> pa.Table:
+        cs = ray.get(wrapped2["ref"])
+        keep = probe_sorted(cs, batch["vec_id"].to_numpy().astype(np.uint64))
+        return batch.filter(pa.array(keep))
+
+    got = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"]
+                        ).map_batches(gather, batch_format="pyarrow",
+                                      zero_copy_batch=True).to_pandas()
+    vid = got.vec_id.to_numpy(np.int64)
+    vmat = _normalize_rows(np.stack(got.embedding.to_numpy()).astype(
+        np.float64))
+    row_of = {int(v): i for i, v in enumerate(vid)}
+    out_q, out_n, out_c = [], [], []
+    for qi_pos, qid in enumerate(q_ids):
+        nb = cand[cand.query_id == qid].neighbor_id.to_numpy(np.int64)
+        rows = np.array([row_of[int(n)] for n in nb], dtype=np.int64)
+        cos = np.floor((vmat[rows] @ qm[qi_pos]) * 1e6 + 0.5) / 1e6
+        k = min(TOP_K, rows.size)
+        order = np.lexsort((nb, -cos))[:k]
+        out_q.append(np.full(k, qid, dtype=np.int64))
+        out_n.append(nb[order])
+        out_c.append(cos[order])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out_q)),
+        "neighbor_id": pa.array(np.concatenate(out_n)),
+        "cos": pa.array(np.concatenate(out_c), pa.float64()),
+    })
+
+
 def ann_ivfpq_topk(sf_dir: str, nprobe: int = IVF_NPROBE):
     """IVF × PQ — the canonical billion-scale ANN composition (FAISS
     IVFPQ's shape): corpus rows route to their nearest IVF cell, queries

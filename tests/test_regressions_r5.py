@@ -387,3 +387,27 @@ def test_bpe_incremental_equals_from_scratch(word, merges):
         seq = _bpe_merge_one(seq, left, right, left + right)
     assert seq == scratch
     assert "".join(seq) == word  # segmentation always reconstructs
+
+
+def test_ann_pq_rerank_recall_and_exactness(ray_session):
+    """Two-stage PQ→exact rerank: recall@10 ≥ 0.9 vs the exact baseline
+    (measured 0.99-1.0 at c=50), deterministic, corpus-only — and every
+    returned score must be the EXACT 1e-6-rounded cosine (full-vector
+    math), so wherever a returned pair also appears in the exact top-k the
+    scores agree bit-for-bit."""
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        ann_pq_rerank_topk, ann_topk_cosine)
+
+    a = ann_pq_rerank_topk(SF).to_pandas().reset_index(drop=True)
+    b = ann_pq_rerank_topk(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.neighbor_id >= 10).all()
+    ex = ann_topk_cosine(SF).to_pandas()
+    ep = set(zip(ex.query_id, ex.neighbor_id))
+    ap = set(zip(a.query_id, a.neighbor_id))
+    assert len(ep & ap) / len(ep) >= 0.9
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos
+                 for r in ex.itertuples()}
+    for r in a.itertuples():
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert r.cos == exact_cos[(r.query_id, r.neighbor_id)]
