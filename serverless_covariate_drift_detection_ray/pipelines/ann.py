@@ -790,14 +790,38 @@ def _spherical_kmeans(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarra
     return c
 
 
-def _ivf_train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
-    """Shared IVF training pass: per-block deterministic smallest-hash
-    sample partials -> driver re-cap -> L2 normalize -> seeded spherical
-    k-means. Single source of truth for the in-flight (ann_ivf_cosine) and
-    persistent (build_ivf_index) paths so their centroids stay identical."""
+_TRAINED_CACHE: dict = {}  # (kind, sf fingerprint, params) → artifact
+
+
+def _trained_artifact(kind: str, sf_dir: str, params: tuple, build):
+    """In-process memo for deterministically-trained ANN artifacts
+    (IVF centroids, PQ codebooks) keyed by source content fingerprint —
+    the _BPE_MERGE_CACHE pattern: one 161-query sweep calls the PQ trainer
+    from four ops and would otherwise pay three redundant corpus sample
+    scans + k-means fits for bit-identical results (deterministic seed +
+    deterministic smallest-hash sample)."""
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    src = (sf_dir, st.st_size, st.st_mtime_ns)
+    key = (kind, src, params)
+    art = _TRAINED_CACHE.get(key)
+    if art is None:
+        art = build()
+        # one live CORPUS at a time (no leak across regenerated fixtures),
+        # but keep sibling kinds for the same corpus — a sweep alternates
+        # ivf and pq artifacts and cross-kind eviction would thrash them
+        for k in [k for k in _TRAINED_CACHE if k[1] != src]:
+            del _TRAINED_CACHE[k]
+        _TRAINED_CACHE[key] = art
+    return art
+
+
+def _bounded_sample_matrix(sf_dir: str, cap: int) -> np.ndarray:
+    """Bounded deterministic training sample, shared by the IVF and PQ
+    trainers (ONE implementation, so 'same sample' stays structural):
+    per-block smallest-splitmix64(vec_id) partials → driver re-cap →
+    L2-normalized (cap, d) float64 matrix. Order-free and resume-stable."""
     from ..functions.hashing import splitmix64
 
-    cap = IVF_TRAIN_CAP
     ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def train_sample(batch: pa.Table) -> pa.Table:
@@ -813,9 +837,18 @@ def _ivf_train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
     order = np.argsort(sampled.key.to_numpy().astype(np.uint64),
                        kind="stable")[:cap]
     train = np.stack(sampled.embedding.to_numpy()[order]).astype(np.float64)
-    train = train / np.maximum(
-        np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
-    return _spherical_kmeans(train, n_cells, IVF_KMEANS_ITERS, seed=11)
+    return _normalize_rows(train)
+
+
+def _ivf_train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Shared IVF training pass: bounded deterministic sample → seeded
+    spherical k-means. Single source of truth for the in-flight
+    (ann_ivf_cosine), persistent (build_ivf_index) and IVF×PQ paths so
+    their centroids stay identical; memoized per source fingerprint."""
+    return _trained_artifact(
+        "ivf", sf_dir, (n_cells, IVF_KMEANS_ITERS),
+        lambda: _spherical_kmeans(_bounded_sample_matrix(sf_dir, IVF_TRAIN_CAP),
+                                  n_cells, IVF_KMEANS_ITERS, seed=11))
 
 
 def _merge_cell_partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -1551,39 +1584,26 @@ PQ_KMEANS_ITERS = 10
 
 
 def _pq_train_codebooks(sf_dir: str):
-    """Train the M per-subspace codebooks on the same bounded deterministic
-    smallest-hash sample the IVF trainer uses (≤ IVF_TRAIN_CAP rows of the
-    L2-normalized corpus, order-free and resume-stable), with seeded plain
+    """Train the M per-subspace codebooks on the SAME bounded deterministic
+    sample the IVF trainer uses (shared `_bounded_sample_matrix`, so the
+    'same sample' claim is structural, not copy-paste), with seeded plain
     Lloyd's per subspace — the whole artifact is (M, K, d/M) floats, a
-    broadcast-sized object at any corpus scale."""
-    from ..functions.hashing import splitmix64
+    broadcast-sized object at any corpus scale. Memoized per source
+    fingerprint (a sweep calls this from four ops)."""
+    def build():
+        train = _bounded_sample_matrix(sf_dir, IVF_TRAIN_CAP)
+        d = train.shape[1]
+        assert d % PQ_M == 0, f"dim {d} not divisible by PQ_M={PQ_M}"
+        w = d // PQ_M
+        books = []
+        for m in range(PQ_M):
+            sub = np.ascontiguousarray(train[:, m * w:(m + 1) * w])
+            books.append(_lloyd_l2(sub, min(PQ_K, sub.shape[0]),
+                                   PQ_KMEANS_ITERS, seed=17 + m))
+        return books  # list of (k_m, w) float64
 
-    cap = IVF_TRAIN_CAP
-    ds = _read_blocked(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def train_sample(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        keys = splitmix64(ids.astype(np.uint64))
-        order = np.argsort(keys, kind="stable")[:cap]
-        sub = batch.take(pa.array(order))
-        return pa.table({"key": pa.array(keys[order].astype(np.int64)),
-                         "embedding": sub["embedding"]})
-
-    sampled = ds.map_batches(train_sample, batch_format="pyarrow",
-                             zero_copy_batch=True).to_pandas()
-    order = np.argsort(sampled.key.to_numpy().astype(np.uint64),
-                       kind="stable")[:cap]
-    train = np.stack(sampled.embedding.to_numpy()[order]).astype(np.float64)
-    train = _normalize_rows(train)
-    d = train.shape[1]
-    assert d % PQ_M == 0, f"dim {d} not divisible by PQ_M={PQ_M}"
-    w = d // PQ_M
-    books = []
-    for m in range(PQ_M):
-        sub = np.ascontiguousarray(train[:, m * w:(m + 1) * w])
-        books.append(_lloyd_l2(sub, min(PQ_K, sub.shape[0]),
-                               PQ_KMEANS_ITERS, seed=17 + m))
-    return books  # list of (k_m, w) float64
+    return _trained_artifact("pq", sf_dir, (PQ_M, PQ_K, PQ_KMEANS_ITERS),
+                             build)
 
 
 def _lloyd_l2(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
@@ -1615,6 +1635,17 @@ def _pq_encode(x: np.ndarray, books: list) -> np.ndarray:
               + (c * c).sum(1)[None, :])
         codes[:, m] = d2.argmin(1).astype(np.uint8)
     return codes
+
+
+def _adc_scores(luts: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """ONE copy of the ADC scoring kernel (three ops rank on it, so the
+    rounding/tie-break contract lives in one place): (n_q, n) matrix of
+    Σ_m luts[:, m, codes[:, m]], rounded at 1e-6 so ranks are stable
+    across matmul/batch shapes."""
+    scores = np.zeros((luts.shape[0], codes.shape[0]))
+    for m in range(codes.shape[1]):
+        scores += luts[:, m, codes[:, m]]
+    return np.floor(scores * 1e6 + 0.5) / 1e6
 
 
 def ann_pq_topk(sf_dir: str):
@@ -1652,14 +1683,8 @@ def ann_pq_topk(sf_dir: str):
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         x = _normalize_rows(_to_matrix(batch["embedding"]))
         codes = _pq_encode(x, bks)                     # (n, M) uint8
-        # ADC: scores[q, i] = Σ_m lt[q, m, codes[i, m]]
-        n = codes.shape[0]
-        scores = np.zeros((lt.shape[0], n))
-        for m in range(PQ_M):
-            scores += lt[:, m, codes[:, m]]
-        # rank on the 1e-6-rounded score (determinism across matmul shapes)
-        scores = np.floor(scores * 1e6 + 0.5) / 1e6
-        k = min(TOP_K, n)
+        scores = _adc_scores(lt, codes)
+        k = min(TOP_K, codes.shape[0])
         out_q, out_n, out_s = [], [], []
         for q in range(scores.shape[0]):
             top = _topk_tiebreak_cut(scores[q], ids, k)
@@ -1720,12 +1745,10 @@ def ann_pq_rerank_topk(sf_dir: str, c: int = PQ_RERANK_C):
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         codes = _pq_encode(_normalize_rows(_to_matrix(batch["embedding"])),
                            bks)
+        scores = _adc_scores(lt, codes)
         out_q, out_n, out_s = [], [], []
         for q in range(len(qi)):
-            s = np.zeros(codes.shape[0])
-            for m in range(PQ_M):
-                s += lt[q, m, codes[:, m]]
-            s = np.floor(s * 1e6 + 0.5) / 1e6
+            s = scores[q]
             k = min(c, s.size)
             cut = _topk_tiebreak_cut(s, ids, k)
             out_q.append(np.full(k, qi[q], dtype=np.int64))
@@ -1825,15 +1848,13 @@ def ann_ivfpq_topk(sf_dir: str, nprobe: int = IVF_NPROBE):
                              "score": pa.array([], pa.float64())})
         ids, cell = ids[probed], cell[probed]
         codes = _pq_encode(x[probed], bks)                 # (n', M) uint8
+        scores = _adc_scores(lt, codes)
         out_q, out_n, out_s = [], [], []
         for q in range(len(qi)):
             sel = np.flatnonzero(np.isin(cell, prb[q]))
             if sel.size == 0:
                 continue
-            s = np.zeros(sel.size)
-            for m in range(PQ_M):
-                s += lt[q, m, codes[sel, m]]
-            s = np.floor(s * 1e6 + 0.5) / 1e6
+            s = scores[q, sel]
             k = min(TOP_K, sel.size)
             cut = _topk_tiebreak_cut(s, ids[sel], k)
             out_q.append(np.full(k, qi[q], dtype=np.int64))

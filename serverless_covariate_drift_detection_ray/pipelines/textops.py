@@ -1726,7 +1726,9 @@ def bpe_tokenize_documents(sf_dir: str, n_merges: int = BPE_MERGES):
         ids = batch["doc_id"].to_numpy()
         counts, chars = [], []
         for s in batch["text"].to_pylist():
-            ws = [w for w in s.split(" ") if w]
+            # NULL text tokenizes to zero words — same fillna("") semantics
+            # as the trainer's _tokens() path
+            ws = [w for w in (s or "").split(" ") if w]
             counts.append(sum(n_tok(w) for w in ws))
             chars.append(sum(len(w) for w in ws))
         return pa.table({"doc_id": pa.array(ids.astype(np.int64)),

@@ -301,7 +301,10 @@ def test_ann_pq_recall_and_determinism(ray_session):
     """PQ/ADC scan: (a) codes really are M uint8 per vector (the 32×
     compression claim), (b) recall@10 vs the exact oracled baseline clears
     the documented floor (measured 0.73 at sf0.001/0.01), (c) the ranking
-    is deterministic run-to-run, (d) only corpus rows are returned."""
+    is deterministic run-to-run — sound because _read_blocked pins block
+    counts, so both runs encode under identical batch shapes (an argmin
+    tie could only flip across DIFFERENT matmul shapes), (d) only corpus
+    rows are returned."""
     from serverless_covariate_drift_detection_ray.pipelines.ann import (
         PQ_M, _normalize_rows, _pq_encode, _pq_train_codebooks, _to_matrix,
         ann_pq_recall, ann_pq_topk)
@@ -411,3 +414,23 @@ def test_ann_pq_rerank_recall_and_exactness(ray_session):
     for r in a.itertuples():
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert r.cos == exact_cos[(r.query_id, r.neighbor_id)]
+
+
+def test_bpe_tokenize_tolerates_null_text(ray_session, tmp_path):
+    """A NULL text row must tokenize to zero tokens (the trainer's
+    fillna('') semantics), not crash the consume half of the feature."""
+    from serverless_covariate_drift_detection_ray.pipelines import (
+        textops as tx)
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(["the cat sat", None, "the cat ran",
+                          "a dog sat there", "", "the the the"]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = tx.bpe_tokenize_documents(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    assert len(out) == 6
+    assert out.loc[1, "n_bpe_tokens"] == 0
+    assert out.loc[4, "n_bpe_tokens"] == 0
+    assert out.loc[0, "n_bpe_tokens"] >= 3  # real docs still tokenize
