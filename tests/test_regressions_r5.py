@@ -434,3 +434,26 @@ def test_bpe_tokenize_tolerates_null_text(ray_session, tmp_path):
     assert out.loc[1, "n_bpe_tokens"] == 0
     assert out.loc[4, "n_bpe_tokens"] == 0
     assert out.loc[0, "n_bpe_tokens"] >= 3  # real docs still tokenize
+
+
+def test_trained_artifact_cache_invalidates_on_source_change(ray_session,
+                                                             tmp_path):
+    """The PQ/IVF artifact memo must serve the SAME object for the same
+    corpus (one trainer pass per sweep) and retrain when the source file
+    changes (size/mtime fingerprint) — a stale codebook against a
+    regenerated corpus would silently return wrong neighbors."""
+    import shutil
+    import time as _time
+
+    from serverless_covariate_drift_detection_ray.pipelines.ann import (
+        _pq_train_codebooks)
+
+    src = f"{SF}/embeddings.parquet"
+    shutil.copy(src, str(tmp_path / "embeddings.parquet"))
+    b1 = _pq_train_codebooks(str(tmp_path))
+    assert _pq_train_codebooks(str(tmp_path)) is b1  # memo hit
+    _time.sleep(0.01)
+    shutil.copy(src, str(tmp_path / "embeddings.parquet"))  # new mtime
+    b2 = _pq_train_codebooks(str(tmp_path))
+    assert b2 is not b1  # fingerprint change retrains
+    assert all((x == y).all() for x, y in zip(b1, b2))  # same data → same art
