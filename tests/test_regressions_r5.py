@@ -457,3 +457,42 @@ def test_trained_artifact_cache_invalidates_on_source_change(ray_session,
     b2 = _pq_train_codebooks(str(tmp_path))
     assert b2 is not b1  # fingerprint change retrains
     assert all((x == y).all() for x, y in zip(b1, b2))  # same data → same art
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=2,
+                max_size=60))
+def test_len_band_explode_pairs_exactly_once(lengths):
+    """Fuzz the exactly-once argument behind the banded Levenshtein
+    blocking: for ANY length multiset, every same-brand pair with
+    |len diff| <= max_dist appears in EXACTLY ONE block under the
+    native×native + native×borrowed pairing rule — no missed boundary
+    pairs, no double counting (the two failure modes of composite
+    blocking)."""
+    from collections import Counter
+
+    from serverless_covariate_drift_detection_ray.pipelines.queries import (
+        LEN_BAND_W, _len_band_explode)
+
+    max_dist = 2
+    names = ["x" * L for L in lengths]
+    t = pa.table({
+        "p_partkey": pa.array(np.arange(len(names), dtype=np.int64)),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["B"] * len(names)),
+    })
+    ex = _len_band_explode(t, max_dist=max_dist, w=LEN_BAND_W).to_pandas()
+    seen = Counter()
+    for _, g in ex.groupby("blk"):
+        keys = g.p_partkey.to_numpy()
+        lens = g._len.to_numpy()
+        nat = g._native.to_numpy()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if abs(lens[i] - lens[j]) <= max_dist and (nat[i] or nat[j]):
+                    seen[tuple(sorted((keys[i], keys[j])))] += 1
+    want = {tuple(sorted((a, b)))
+            for a in range(len(lengths)) for b in range(a + 1, len(lengths))
+            if abs(lengths[a] - lengths[b]) <= max_dist}
+    assert set(seen) == want
+    assert all(v == 1 for v in seen.values()), seen.most_common(3)
