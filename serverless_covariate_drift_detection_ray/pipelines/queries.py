@@ -827,25 +827,34 @@ def _hourly_mean_frame(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
+        # exact INTEGER micro-unit sums (FLOOR(v*1e6+0.5) is the same
+        # double→int map in both engines, and int64 addition is
+        # order-independent) — a raw float SUM(value) differs from
+        # DuckDB's by summation order, and at sf0.1 one hourly mean of
+        # 3600 landed exactly on a 1e-6 FLOOR boundary and flipped the
+        # rounded bucket cross-engine
+        v6 = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
         g = pa.table({"hour": hour, "event_type": batch["event_type"],
-                      "value": batch["value"]}).group_by(
+                      "v6": pa.array(v6)}).group_by(
             ["hour", "event_type"]).aggregate([([], "count_all"),
-                                               ("value", "sum")])
+                                               ("v6", "sum")])
         g = pa.table({"hour": g["hour"], "event_type": g["event_type"],
-                      "n": g["count_all"], "s": g["value_sum"]})
+                      "n": g["count_all"], "s6": g["v6_sum"]})
         b = (hash64(g["hour"].cast(pa.int64()).to_numpy()) % n_buckets
              ).astype(np.int64)
         return g.append_column("b", pa.array(b))
 
     def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["hour", "event_type"], sort=False).agg(
-            n=("n", "sum"), s=("s", "sum")).reset_index()
+            n=("n", "sum"), s6=("s6", "sum")).reset_index()
 
     c = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
                        ).groupby("b").map_groups(
         bucket_merge, batch_format="pandas").to_pandas()
     c = c.sort_values(["event_type", "hour"], kind="mergesort")
-    c["m"] = c.s.to_numpy(np.float64) / c.n.to_numpy(np.float64)
+    # same op order as the SQL twin: (int_sum / 1e6) / n
+    c["m"] = (c.s6.to_numpy(np.float64) / 1e6) / c.n.to_numpy(np.float64)
     return c
 
 
@@ -939,7 +948,9 @@ def ewma_control_events(sf_dir: str, lam: float = 0.2, big_l: float = 3.0):
 EWMA_SQL = """
 WITH RECURSIVE m AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         COUNT(*)::BIGINT AS n, SUM(value) / COUNT(*) AS mv
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))::DOUBLE
+           / 1000000 / COUNT(*) AS mv
   FROM events GROUP BY 1, 2),
 st AS (
   SELECT event_type, AVG(mv) AS mu, SQRT(VAR_POP(mv)) AS sd
@@ -998,7 +1009,8 @@ def seasonality_profile_events(sf_dir: str, z: float = 3.0):
 SEASONALITY_SQL = """
 WITH m AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         SUM(value) / COUNT(*) AS mv
+         SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))::DOUBLE
+           / 1000000 / COUNT(*) AS mv
   FROM events GROUP BY 1, 2),
 h AS (SELECT event_type, EXTRACT(hour FROM hour) AS hod, mv FROM m),
 p AS (SELECT event_type, hod, AVG(mv) AS pm, SQRT(VAR_POP(mv)) AS ps,
@@ -1020,7 +1032,9 @@ FROM p
 CUSUM_SQL = """
 WITH m AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
-         COUNT(*)::BIGINT AS n, SUM(value) / COUNT(*) AS mv
+         COUNT(*)::BIGINT AS n,
+         SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))::DOUBLE
+           / 1000000 / COUNT(*) AS mv
   FROM events GROUP BY 1, 2),
 st AS (
   SELECT event_type, AVG(mv) AS mu, SQRT(VAR_POP(mv)) AS sd
