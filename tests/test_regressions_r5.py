@@ -1,7 +1,13 @@
-"""Round-5 regression pins for the r4 ADVICE items.
+"""Round-5 pins: r4 ADVICE regressions + evidence gates for the round's
+new operators.
 
-Each test forces the exact condition the advice named (nullable labels,
-3-pipeline cache interleaving) rather than re-running the happy path.
+ADVICE pins force the exact named condition (nullable labels, 3-pipeline
+cache interleaving) rather than re-running the happy path. The rest are
+the named ROWS_ONLY_EVIDENCE gates for the round-5 ops (BPE trainer /
+tokenizer, PQ / IVF×PQ / PQ-rerank ANN) plus property tests for the two
+structural arguments the round leaned on: the (brand, length-band)
+exactly-once pairing and BPE incremental ≡ from-scratch merge
+application.
 """
 
 import numpy as np
