@@ -220,8 +220,31 @@ def main() -> None:
             results[label] = json.loads(out.strip().splitlines()[-1])
             digests[label] = _violations_digest(out_dir)
         d, s = results["driver_fold"], results["streamed_writer"]
+        # seeded-TRUTH reconciliation for the checks whose semantics align
+        # 1:1 with truth rows at dense rates (referential + the four domain
+        # checks; uniqueness is per-KEY vs truth's per-occurrence and
+        # near-dup finds genuine unplanted clusters — see fixtures/gen.py)
+        import collections
+        import glob
+
+        import pyarrow.parquet as pq_
+
+        truth = pq_.read_table(glob.glob(
+            "/tmp/scdd_fixtures/violheavy-*/truth/violations.parquet")[0],
+            columns=["check"])
+        tc = collections.Counter(truth["check"].to_pylist())
+        wc: collections.Counter = collections.Counter()
+        for f in glob.glob(os.path.join(out_dir, "violations",
+                                        "partition_id=*",
+                                        "violations.parquet")):
+            wc.update(pq_.read_table(f, columns=["check"])["check"].to_pylist())
+        aligned = ["referential_image_id", "dims_match_decoded",
+                   "fmt_in_domain", "bytes_nonempty", "caption_nonnull"]
+        truth_exact = {c: (wc.get(c, 0) == tc.get(c, 0)) for c in aligned}
         print(json.dumps({
             "metric": "violation_heavy_streamed_vs_driver",
+            "truth_exact_by_check": truth_exact,
+            "truth_reconciled": all(truth_exact.values()),
             "rows": d["rows"], "violations": d["violations"],
             "sec_driver_fold": d["value"],
             "sec_streamed_writer": s["value"],
