@@ -229,9 +229,15 @@ def main() -> None:
 
         import pyarrow.parquet as pq_
 
-        truth = pq_.read_table(glob.glob(
-            "/tmp/scdd_fixtures/violheavy-*/truth/violations.parquet")[0],
-            columns=["check"])
+        from serverless_covariate_drift_detection_ray.fixtures.gen import (
+            ensure_fixture)
+
+        # the EXACT versioned fixture dir the subprocesses validated (an
+        # unsorted glob could pick a stale generator-version sibling)
+        fix = ensure_fixture("violheavy")
+        truth = pq_.read_table(os.path.join(fix, "truth",
+                                            "violations.parquet"),
+                               columns=["check"])
         tc = collections.Counter(truth["check"].to_pylist())
         wc: collections.Counter = collections.Counter()
         for f in glob.glob(os.path.join(out_dir, "violations",
@@ -261,6 +267,12 @@ def main() -> None:
             "violations_digest": digests["driver_fold"],
             "num_cpus": NUM_CPUS,
         }))
+        # fail LOUDLY (after printing the full JSON evidence) if either
+        # evidence claim regressed — a report-only false would silently
+        # degrade what BASELINE.md cites
+        if not (all(truth_exact.values())
+                and digests["driver_fold"] == digests["streamed_writer"]):
+            sys.exit(1)
         return
 
     if "--scaling" in sys.argv:

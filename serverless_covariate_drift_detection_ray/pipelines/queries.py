@@ -846,8 +846,18 @@ def _hourly_mean_frame(sf_dir: str) -> pd.DataFrame:
         return g.append_column("b", pa.array(b))
 
     def bucket_merge(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["hour", "event_type"], sort=False).agg(
+        g = df.groupby(["hour", "event_type"], sort=False).agg(
             n=("n", "sum"), s6=("s6", "sum")).reset_index()
+        # int64 micro-unit sums wrap silently past 2^63 while the DuckDB
+        # twin promotes to HUGEINT: with |value| ≤ ~1e3 (v6 ≤ 1e9) the
+        # guard admits ~4.6e9 rows per (hour, type) cell — beyond it,
+        # raise rather than diverge cross-engine (the fix at that scale is
+        # a wider accumulator or sub-hour pre-buckets)
+        if len(g) and np.abs(g.s6.to_numpy(np.int64)).max() > np.int64(2**62):
+            raise OverflowError(
+                "hourly micro-unit sum near int64 range — shrink the "
+                "bucket span or widen the accumulator")
+        return g
 
     c = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True
                        ).groupby("b").map_groups(

@@ -448,18 +448,21 @@ def test_trained_artifact_cache_invalidates_on_source_change(ray_session,
     corpus (one trainer pass per sweep) and retrain when the source file
     changes (size/mtime fingerprint) — a stale codebook against a
     regenerated corpus would silently return wrong neighbors."""
+    import os as _os
     import shutil
-    import time as _time
 
     from serverless_covariate_drift_detection_ray.pipelines.ann import (
         _pq_train_codebooks)
 
     src = f"{SF}/embeddings.parquet"
-    shutil.copy(src, str(tmp_path / "embeddings.parquet"))
+    dst = str(tmp_path / "embeddings.parquet")
+    shutil.copy(src, dst)
     b1 = _pq_train_codebooks(str(tmp_path))
     assert _pq_train_codebooks(str(tmp_path)) is b1  # memo hit
-    _time.sleep(0.01)
-    shutil.copy(src, str(tmp_path / "embeddings.parquet"))  # new mtime
+    # bump mtime EXPLICITLY (same-size copy + sleep would flake on
+    # coarse-granularity filesystems)
+    st = _os.stat(dst)
+    _os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
     b2 = _pq_train_codebooks(str(tmp_path))
     assert b2 is not b1  # fingerprint change retrains
     assert all((x == y).all() for x, y in zip(b1, b2))  # same data → same art

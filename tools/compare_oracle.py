@@ -92,7 +92,9 @@ def main():
                 # rows-only entry: mirror the driver's weaker gate (runs,
                 # stable schema, deterministic) — the hard gate is the
                 # named test in ROWS_ONLY_EVIDENCE
-                if name == "validate_images" and sf.endswith("0.1"):
+                if (name == "validate_images"
+                        and os.path.basename(os.path.normpath(sf))
+                        == "sf0.1"):
                     print(f"SKIP {name}: flagship covered by bench headline")
                     continue
                 a, b = canon(to_pandas(qs[name](sf))), \
